@@ -1,0 +1,47 @@
+"""Engine configuration.
+
+Every magic constant the reference hard-codes becomes a parameter here
+(pattern thresholds ``Mechanism Y.py:224-227``, chunk sizing
+``mechanism_x.py:17-18``, detection file granularity ``Mechanism Y.py:116``,
+trigger cadence ``Mechanism Y.py:309``). The reference README notes the
+shipped values are "TEST Thresholds" with production values much larger
+(``README.md:220``) - hence config, not constants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PatternThresholds:
+    """Thresholds for the three detection patterns (reference test values)."""
+
+    # PatId1 "UPGRADE" (``Mechanism Y.py:225``)
+    merchant_total_txns: int = 5
+    customer_merchant_txns: int = 2
+    # PatId1 fallback when percentile table is unavailable (``Mechanism Y.py:236-237``)
+    fallback_weight: float = 2.0
+    # weight percentile defining "low importance" (``Mechanism Y.py:86``)
+    weight_percentile: float = 0.01
+    # PatId2 "CHILD" (``Mechanism Y.py:226``)
+    child_min_txns: int = 3
+    child_max_avg_amount: float = 23.0
+    # PatId3 "DEI-NEEDED" (``Mechanism Y.py:227``)
+    dei_min_female: int = 2
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    thresholds: PatternThresholds = field(default_factory=PatternThresholds)
+    # feeder (Mechanism X parity: ``mechanism_x.py:17-18``)
+    feeder_chunk_rows: int = 10_000
+    feeder_interval_s: float = 1.0
+    # detection sink granularity (``Mechanism Y.py:116``)
+    detection_file_rows: int = 50
+    # streaming (``Mechanism Y.py:104``, ``:309``)
+    max_files_per_trigger: int = 1
+    trigger: str | None = None  # None => availableNow in tests
+    # when True, PatId2/PatId3 re-emit every batch while the condition holds
+    # (reference parity, survey §2.12); False dedups against prior detections.
+    refire_stateful_patterns: bool = True

@@ -1,0 +1,55 @@
+"""Generic relational helpers used across queries.
+
+Only what queries actually share lives here - individual queries stay
+plain DataFrame expressions so Catalyst sees the whole plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_percentile_threshold(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    fraction: float,
+    out_col: str = "threshold",
+) -> DataFrame:
+    """Exact, oracle-reproducible low-percentile threshold per group.
+
+    Returns one row per group: the largest ``value_col`` whose
+    ``percent_rank`` within the group is <= ``fraction``. ``percent_rank``
+    is rank-based exact arithmetic ((rank-1)/(n-1)), identical across
+    engines - unlike interpolated percentiles, whose float interpolation
+    differs in the last ulp between Spark and DuckDB.
+
+    Replaces ``percentile_approx`` (reference ``Mechanism Y.py:86``) where
+    golden equality matters. Window + max aggregates: two shuffles on the
+    group key, both pre-aggregatable; fine for dimension-sized inputs.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= fraction)
+        .groupBy(*group_cols)
+        .agg(F.max(value_col).alias(out_col))
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group top-k via row_number. Callers must make
+    ``order_exprs`` a total order (tie-break on a key column) or the
+    result is nondeterministic under retries."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,490 @@
+"""Query registry: every operator from SURVEY.md §2, runnable on the
+driver-provided tables, each paired with an ANSI-SQL DuckDB oracle.
+
+Conventions that make the cross-engine value-hash deterministic:
+
+  * **Never sum raw doubles.** IEEE addition is order-dependent and Spark
+    and DuckDB aggregate in different orders. Element-wise double math is
+    deterministic, so compute per-row, ``CAST`` to DECIMAL(18,2) per row,
+    then sum decimals (exact, associative) and cast the result back to
+    DECIMAL(18,2) in BOTH engines.
+  * **No division in filters.** ``avg < t`` becomes ``sum < t * count``.
+  * **Exact rank-based percentiles** (``percent_rank``), not interpolated
+    or sketched quantiles, where an oracle exists.
+  * **Total ordering for any top-k** (tie-break on a key column).
+  * **Alias every computed column identically** in Spark and SQL.
+
+The reference's pattern queries (survey §2.12) are re-expressed over the
+driver tables: transactions := events (customer:=user_id,
+merchant:=event_type, amount:=value) for the state-shaped patterns, and
+lineitem x orders (customer:=o_custkey, merchant:=l_suppkey,
+weight:=l_discount, category:=l_returnflag) for PatId1's dimension-join
+shape. Thresholds are scaled to the synthetic data; the *shape* of each
+plan (filters, joins, aggregates, pivot, percentile-threshold semi-joins)
+is the reference's.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One registered query: a Spark plan + its DuckDB oracle (None for
+    ops whose semantics SQL can't express - driver then does a weaker
+    rows-only check)."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# Reference pattern queries (survey §2.12) on driver tables
+# ---------------------------------------------------------------------------
+
+@register(
+    "patid2_child",
+    """
+    SELECT user_id AS customer_id,
+           event_type AS merchant_id,
+           count(*) AS transaction_count,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount_sum
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+       AND CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) < 50 * count(*)
+    """,
+    doc="PatId2 'CHILD' shape (Mechanism Y.py:243): keyed count/sum state, "
+    "count>=T and avg<T2 as exact decimal sum < T2*count.",
+)
+def patid2_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    agg = events.groupBy(
+        F.col("user_id").alias("customer_id"),
+        F.col("event_type").alias("merchant_id"),
+    ).agg(
+        F.count("*").alias("transaction_count"),
+        F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_amount_sum"),
+    )
+    return agg.filter(
+        (F.col("transaction_count") >= 3)
+        & (F.col("total_amount_sum") < F.lit(50) * F.col("transaction_count"))
+    )
+
+
+@register(
+    "patid3_dei",
+    """
+    SELECT user_id AS merchant_id,
+           count(*) FILTER (WHERE event_type = 'purchase') AS female_transaction_count,
+           count(*) FILTER (WHERE event_type = 'click') AS male_transaction_count
+    FROM events
+    GROUP BY 1
+    HAVING count(*) FILTER (WHERE event_type = 'purchase')
+           < count(*) FILTER (WHERE event_type = 'click')
+       AND count(*) FILTER (WHERE event_type = 'purchase') > 2
+    """,
+    doc="PatId3 'DEI-NEEDED' shape (Mechanism Y.py:187-190,:244): pivot with "
+    "explicit value list, zero-fill, F<M and F>T filter.",
+)
+def patid3_dei(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy(F.col("user_id").alias("merchant_id"))
+        .pivot("event_type", ["purchase", "click"])
+        .count()
+        .na.fill(0, subset=["purchase", "click"])
+        .withColumnRenamed("purchase", "female_transaction_count")
+        .withColumnRenamed("click", "male_transaction_count")
+    )
+    return pivoted.filter(
+        (F.col("female_transaction_count") < F.col("male_transaction_count"))
+        & (F.col("female_transaction_count") > 2)
+    )
+
+
+@register(
+    "patid1_upgrade",
+    """
+    WITH tx AS (
+        SELECT o.o_custkey AS customer_id, l.l_suppkey AS merchant_id,
+               l.l_discount AS weight, l.l_returnflag AS category
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+        SELECT merchant_id, category, weight,
+               percent_rank() OVER (PARTITION BY merchant_id, category
+                                    ORDER BY weight) AS pr
+        FROM tx
+    ),
+    thresholds AS (
+        SELECT merchant_id, category, max(weight) AS p1_weight
+        FROM ranked WHERE pr <= 0.05 GROUP BY 1, 2
+    ),
+    low_weight AS (
+        SELECT DISTINCT tx.customer_id, tx.merchant_id
+        FROM tx JOIN thresholds t
+          ON tx.merchant_id = t.merchant_id AND tx.category = t.category
+        WHERE tx.weight < t.p1_weight
+    ),
+    active_merchants AS (
+        SELECT merchant_id FROM tx GROUP BY 1 HAVING count(*) > 5
+    ),
+    hot_pairs AS (
+        SELECT customer_id, merchant_id FROM tx GROUP BY 1, 2 HAVING count(*) > 2
+    )
+    SELECT lw.customer_id, lw.merchant_id
+    FROM low_weight lw
+    WHERE lw.merchant_id IN (SELECT merchant_id FROM active_merchants)
+      AND EXISTS (SELECT 1 FROM hot_pairs hp
+                  WHERE hp.customer_id = lw.customer_id
+                    AND hp.merchant_id = lw.merchant_id)
+    """,
+    doc="PatId1 'UPGRADE' shape (Mechanism Y.py:231-239): active merchants x "
+    "hot pairs x batch-local low-weight transactions under an exact "
+    "per-(merchant,category) 1st-percentile weight threshold; semi-joins "
+    "replace the reference's inner-join-then-project (survey §2.4).",
+)
+def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    tx = lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_suppkey").alias("merchant_id"),
+        F.col("l_discount").alias("weight"),
+        F.col("l_returnflag").alias("category"),
+    )
+    w = Window.partitionBy("merchant_id", "category").orderBy("weight")
+    thresholds = (
+        tx.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.05)
+        .groupBy("merchant_id", "category")
+        .agg(F.max("weight").alias("p1_weight"))
+    )
+    low_weight = (
+        tx.alias("t")
+        .join(
+            F.broadcast(thresholds.alias("thr")),
+            on=[
+                F.col("t.merchant_id") == F.col("thr.merchant_id"),
+                F.col("t.category") == F.col("thr.category"),
+            ],
+        )
+        .filter(F.col("t.weight") < F.col("thr.p1_weight"))
+        .select(F.col("t.customer_id"), F.col("t.merchant_id"))
+        .distinct()
+    )
+    active_merchants = (
+        tx.groupBy("merchant_id").agg(F.count("*").alias("n")).filter(F.col("n") > 5)
+    )
+    hot_pairs = (
+        tx.groupBy("customer_id", "merchant_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 2)
+    )
+    return (
+        low_weight.join(F.broadcast(active_merchants), on="merchant_id", how="left_semi")
+        .join(hot_pairs, on=["customer_id", "merchant_id"], how="left_semi")
+        .select("customer_id", "merchant_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core (survey §2.3-2.8) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+               AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q1 shape: scan filter + multi-aggregate hash agg (A1/A2).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast("decimal(18,4)")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q5 shape: 5-way join chain with small dims broadcast, "
+    "decimal-exact revenue.",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "order_enrichment",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           coalesce(c.c_name, 'UNKNOWN') AS customer_name,
+           coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           o.o_totalprice
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="J1 enrichment shape (Mechanism Y.py:221): left-outer dimension "
+    "join with null-safe coalesce (P6/P7).",
+)
+def order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.col("c_name"), F.lit("UNKNOWN")).alias("customer_name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        "o_totalprice",
+    )
+
+
+@register(
+    "customers_without_big_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+    doc="Anti join (survey §2.4 extension of J2/J3 semi-join semantics).",
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "suppliers_with_shipments",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    """,
+    doc="Left-semi join - the idiomatic form of the reference's "
+    "inner-join-then-project (survey §2.4).",
+)
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    return s.join(l, s["s_suppkey"] == l["l_suppkey"], "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "returnflag_pivot",
+    """
+    SELECT l_suppkey AS supplier_id,
+           count(*) FILTER (WHERE l_returnflag = 'A') AS flag_a,
+           count(*) FILTER (WHERE l_returnflag = 'N') AS flag_n,
+           count(*) FILTER (WHERE l_returnflag = 'R') AS flag_r
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="A3 pivot shape (Mechanism Y.py:187-190): explicit pivot value "
+    "list (no distinct pre-scan), zero-filled.",
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_suppkey").alias("supplier_id"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .count()
+        .na.fill(0, subset=["A", "N", "R"])
+        .withColumnRenamed("A", "flag_a")
+        .withColumnRenamed("N", "flag_n")
+        .withColumnRenamed("R", "flag_r")
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders
+    ) WHERE rank <= 3
+    """,
+    doc="Window top-k per group with total ordering (tie-break on key).",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "priority_orders_union",
+    """
+    SELECT o_orderkey, 'HIGH_VALUE' AS tag FROM orders WHERE o_totalprice > 400000
+    UNION
+    SELECT o_orderkey, 'URGENT' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="U1 unionByName fold (Mechanism Y.py:247-258) + distinct (A6).",
+)
+def priority_orders_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    high_value = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", F.lit("HIGH_VALUE").alias("tag")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("URGENT").alias("tag")
+    )
+    return high_value.unionByName(urgent).distinct()
+
+
+@register(
+    "distinct_supplier_flags",
+    "SELECT DISTINCT l_suppkey, l_returnflag FROM lineitem",
+    doc="A6 distinct over a projected pair.",
+)
+def distinct_supplier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag").distinct()
+
+
+@register(
+    "rollup_lineitem_status",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="Rollup hierarchy aggregate (beyond reference surface, survey §2.5 "
+    "notes its absence).",
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Event-time tumbling window aggregate as a batch plan; the "
+    "streaming variant (watermark + window) lives in streaming/windows.py.",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+    )

@@ -1,0 +1,70 @@
+"""Batch and streaming sources, always with explicit schemas.
+
+Parity targets:
+  * S2 static CSV scan with explicit schema (reference ``Mechanism Y.py:68``)
+  * S3 streaming CSV file source with ``maxFilesPerTrigger``
+    (reference ``Mechanism Y.py:100-105``)
+  * S5 empty-DataFrame literal (reference ``Mechanism Y.py:216-218``) -
+    here ``spark.createDataFrame([], schema)``, no RDD detour.
+
+At scale the file-stream source is swapped for Kafka / auto-loader style
+sources; the API here keeps that a one-line change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from pyspark_data_engineering_assignment_spark.schemas import IMPORTANCE_SCHEMA, TRANSACTION_SCHEMA
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Static CSV scan, header on, schema explicit (never inferred)."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan; optional column pruning expressed early so it reaches
+    the reader (``ReadSchema`` in the physical plan)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming file source tailing a directory (local stand-in for the
+    reference's S3 prefix, ``Mechanism Y.py:100-105``)."""
+    reader = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(schema)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def read_transactions(spark: SparkSession, path: str) -> DataFrame:
+    """BankSim-style transactions CSV (reference fact schema)."""
+    return read_csv(spark, path, TRANSACTION_SCHEMA)
+
+
+def read_importance(spark: SparkSession, path: str) -> DataFrame:
+    """CustomerImportance dimension; ``fraud`` renamed to ``ci_fraud`` to
+    avoid the fact-column clash (reference ``Mechanism Y.py:69``), cached
+    because it is reused by every micro-batch."""
+    return (
+        read_csv(spark, path, IMPORTANCE_SCHEMA)
+        .withColumnRenamed("fraud", "ci_fraud")
+        .cache()
+    )
+
+
+def empty_df(spark: SparkSession, schema: StructType) -> DataFrame:
+    """Empty relation with a fixed schema (no ``sc.emptyRDD()`` detour)."""
+    return spark.createDataFrame([], schema)
