@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pyspark_data_engineering_assignment_spark.plans.registry import QUERIES
+from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

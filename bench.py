@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-from pyspark_data_engineering_assignment_spark.plans.registry import QUERIES
+from pyspark_data_engineering_assignment_spark.plans import QUERIES
 from pyspark_data_engineering_assignment_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,70 @@
+"""Text primitives for the document-processing operators.
+
+All built-in expressions (split/transform/sequence/hash) - no UDFs, so
+they vectorize inside codegen and scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. Single-space split keeps cross-engine
+    parity trivial; use ``tokens_re`` for real-world whitespace."""
+    return F.split(F.trim(text), " ")
+
+
+def tokens_re(text: Column) -> Column:
+    """Regex whitespace tokenization (runs of any whitespace)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams (shingles) as space-joined strings.
+
+    ``sequence(1, len-n+1)`` + ``slice`` keeps it a pure expression; for
+    texts shorter than n tokens the result is an empty array.
+    """
+    toks = tokens(text)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 hex of the normalized
+    (trimmed, lowercased) text - the exact-dedup key."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(i, shingle). Salting via a literal first argument gives
+    ``num_hashes`` independent hash families from one built-in hash fn.
+    Returns ``array<bigint>`` of length ``num_hashes``."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

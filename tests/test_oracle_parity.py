@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark_data_engineering_assignment_spark.plans.registry import QUERIES
+from pyspark_data_engineering_assignment_spark.plans import QUERIES
 from tests.oracle_harness import compare_query, duckdb_connection
 
 SF = "/root/testdata/sf0.001"
