@@ -74,27 +74,32 @@ DEC = "decimal(18,2)"
     SELECT user_id AS customer_id,
            event_type AS merchant_id,
            count(*) AS transaction_count,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount_sum
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS total_amount_cents
     FROM events
     GROUP BY 1, 2
     HAVING count(*) >= 3
-       AND CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) < 50 * count(*)
+       AND sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) < 5000 * count(*)
     """,
     doc="PatId2 'CHILD' shape (Mechanism Y.py:243): keyed count/sum state, "
-    "count>=T and avg<T2 as exact decimal sum < T2*count.",
+    "count>=T and avg<T2 as exact integer-cents sum < T2*count. Money is "
+    "fixed-pointed to BIGINT cents per row BEFORE summing so the output "
+    "type is hash-stable across engines (DuckDB widens sum(DECIMAL) to "
+    "DECIMAL(38,x), Spark to decimal(28,x)).",
 )
 def patid2_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
     agg = events.groupBy(
         F.col("user_id").alias("customer_id"),
         F.col("event_type").alias("merchant_id"),
     ).agg(
         F.count("*").alias("transaction_count"),
-        F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_amount_sum"),
+        F.sum(cents).cast("long").alias("total_amount_cents"),
     )
     return agg.filter(
         (F.col("transaction_count") >= 3)
-        & (F.col("total_amount_sum") < F.lit(50) * F.col("transaction_count"))
+        & (F.col("total_amount_cents") < F.lit(5000) * F.col("transaction_count"))
     )
 
 
@@ -223,32 +228,39 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
-               AS sum_disc_price,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_qty_e2,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_base_price_e2,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+                AS BIGINT) AS sum_disc_price_e4,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-12-01'
     GROUP BY 1, 2
     """,
-    doc="TPC-H Q1 shape: scan filter + multi-aggregate hash agg (A1/A2).",
+    doc="TPC-H Q1 shape: scan filter + multi-aggregate hash agg (A1/A2). "
+    "Money is fixed-pointed per row (exact decimal -> integer cents/e4) "
+    "before summing, so sums are pure BIGINT arithmetic - order- and "
+    "engine-independent, hash-stable.",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
+    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    price_e2 = (F.col("l_extendedprice").cast(DEC) * 100).cast("long")
+    disc_e4 = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount").cast(DEC))
+        * 10000
+    ).cast("long")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1) - F.col("l_discount").cast(DEC))
-            )
-            .cast("decimal(18,4)")
-            .alias("sum_disc_price"),
+            F.sum(qty_e2).cast("long").alias("sum_qty_e2"),
+            F.sum(price_e2).cast("long").alias("sum_base_price_e2"),
+            F.sum(disc_e4).cast("long").alias("sum_disc_price_e4"),
             F.count("*").alias("count_order"),
         )
     )
@@ -258,9 +270,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4))
-               AS revenue,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+                AS BIGINT) AS revenue_e4,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -269,8 +281,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY 1
     """,
-    doc="TPC-H Q5 shape: 5-way join chain with small dims broadcast, "
-    "decimal-exact revenue.",
+    doc="TPC-H Q5 shape: 5-way join chain with small dims broadcast; "
+    "revenue fixed-pointed per row to BIGINT e4 units so the sum is "
+    "exact integer arithmetic, hash-stable across engines.",
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -278,6 +291,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    revenue_e4 = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount").cast(DEC))
+        * 10000
+    ).cast("long")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -285,12 +303,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1) - F.col("l_discount").cast(DEC))
-            )
-            .cast("decimal(18,4)")
-            .alias("revenue"),
+            F.sum(revenue_e4).cast("long").alias("revenue_e4"),
             F.count("*").alias("n_items"),
         )
     )
@@ -443,12 +456,13 @@ def distinct_supplier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n_items,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_qty_e2
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     doc="Rollup hierarchy aggregate (beyond reference surface, survey §2.5 "
-    "notes its absence).",
+    "notes its absence). Quantity fixed-pointed per row -> BIGINT sum.",
 )
 def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -456,13 +470,15 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum((F.col("l_quantity").cast(DEC) * 100).cast("long"))
+            .cast("long")
+            .alias("sum_qty_e2"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
             F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
             "n_items",
-            "sum_qty",
+            "sum_qty_e2",
         )
     )
 
@@ -470,21 +486,29 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_hourly",
     """
-    SELECT date_trunc('hour', ts) AS hour,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS total_value_cents
     FROM events
     GROUP BY 1, 2
     """,
     doc="Event-time tumbling window aggregate as a batch plan; the "
-    "streaming variant (watermark + window) lives in streaming/windows.py.",
+    "streaming variant (watermark + window) lives in streaming/windows.py. "
+    "Hour emitted as a formatted string and value as BIGINT cents - both "
+    "hash-stable across engines.",
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        F.col("event_type"),
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+        F.sum((F.col("value").cast(DEC) * 100).cast("long"))
+        .cast("long")
+        .alias("total_value_cents"),
     )

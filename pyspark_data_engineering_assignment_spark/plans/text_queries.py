@@ -133,18 +133,20 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lang_stats",
     """
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY 1, 2
     """,
-    doc="Corpus composition: per (lang, source) doc/char/token totals.",
+    doc="Corpus composition: per (lang, source) doc/char/token totals. "
+    "Every sum cast to BIGINT (DuckDB widens sum(INT) to HUGEINT).",
 )
 def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(F.size(tokens(F.col("text")))).cast("long").alias("total_tokens"),
     )
 

@@ -27,6 +27,27 @@ from pyspark.sql import SparkSession
 _DEF_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+# Dynamic SQL confs the engine's query semantics depend on. The round
+# driver calls entry()/queries() with ITS OWN vanilla session, so these
+# must be applied at query-build time too (all are dynamic = safe to set
+# on a live session; idempotent).
+_REQUIRED_RUNTIME_CONFS = {
+    # timestamp semantics are defined in UTC: date_trunc/date_format and
+    # toPandas all render in session tz, and the DuckDB oracle is naive-UTC
+    "spark.sql.session.timeZone": "UTC",
+    # events.ts is parquet TIMESTAMP(NANOS): read as long, truncate to micros
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply the dynamic confs correctness depends on to a session we did
+    not build (e.g. the round driver's vanilla session)."""
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
 def get_spark(
     app_name: str = "pyspark-dea-engine",
     master: str | None = None,
@@ -44,6 +65,9 @@ def get_spark(
         .master(master or f"local[{cpus}]")
         # --- determinism / oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS); read as long + truncate to
+        # micros (sources/tables.py) instead of [PARQUET_TYPE_ILLEGAL]
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- adaptive execution: the 100TB safety net ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -10,6 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from pyspark_data_engineering_assignment_spark.session import ensure_session_confs
+
 TABLES = (
     "region",
     "nation",
@@ -25,17 +27,18 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver hands us ITS vanilla session; apply the dynamic confs the
+    # engine's semantics assume (UTC timestamps, nanosAsLong) exactly once.
+    ensure_session_confs(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
-        # default ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (dynamic SQL
-        # conf, safe under any session) and truncate to micros - matching
-        # DuckDB, whose TIMESTAMP is microsecond precision.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(NANOS), read as long under
+        # nanosAsLong, truncated to micros - matching DuckDB's microsecond
+        # TIMESTAMP. `div` is integer division: epoch-nanos ~1.7e18 exceed
+        # double's 2^53 exact range, so float division could skew the
+        # result by +/-1 microsecond.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -2,8 +2,17 @@
 Spark query and its DuckDB oracle on the same parquet tables, compare
 row count + column names + order-insensitive values.
 
-Normalization mirrors what an order-insensitive value hash needs: sort
-columns by name, canonicalize each cell to a string, sort the row strings.
+Both result sets are fetched through pandas (``DataFrame.toPandas`` /
+``duckdb .df()``) because that is how a driver-side value hash sees
+them - and the conversions are NOT symmetric: DuckDB renders DECIMAL as
+float64 while Spark renders it as ``decimal.Decimal`` objects, and
+DuckDB widens ``sum(INT)`` to HUGEINT. Round 1 lost 6 queries to
+exactly that class of mismatch while the old ``fetchall`` +
+``Decimal.normalize()`` harness stayed green. Canonicalization here is
+therefore deliberately STRICT: no decimal normalization, types must
+already agree. Registered queries must emit only hash-stable output
+types (BIGINT / DOUBLE / STRING); see the fixed-point conventions in
+``plans/registry.py``.
 """
 
 from __future__ import annotations
@@ -13,6 +22,8 @@ import decimal
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from pyspark_data_engineering_assignment_spark.sources.tables import TABLES
 
@@ -27,21 +38,37 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v) -> str:
+    """Strict cell canonicalization - intentionally does NOT unify
+    Decimal vs float or int vs float: a query whose two sides disagree
+    on value *type* must fail here, like it fails the driver's hash."""
     if v is None:
         return "<null>"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        return repr(v)
+        return repr(f)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple)):
+        return str(v)  # strict: Decimal('5.00') != float 5.0
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        t = pd.Timestamp(v)
+        if t.tzinfo is not None:
+            t = t.tz_convert("UTC").tz_localize(None)
+        return t.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     return str(v)
+
+
+def _rows(pdf: pd.DataFrame) -> list[tuple]:
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        out.append(tuple(None if (x is None or x is pd.NaT or (isinstance(x, float) and math.isnan(x))) else x for x in row))
+    return out
 
 
 def normalize_rows(columns: list[str], rows: list[tuple]) -> list[str]:
@@ -50,13 +77,13 @@ def normalize_rows(columns: list[str], rows: list[tuple]) -> list[str]:
 
 
 def compare_query(spark, con, fn, oracle: str, sf_dir: str) -> tuple[bool, str]:
-    sdf = fn(spark, sf_dir)
-    spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spdf = fn(spark, sf_dir).toPandas()
+    spark_cols = [c.lower() for c in spdf.columns]
+    spark_rows = _rows(spdf)
 
-    res = con.execute(oracle)
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    dpdf = con.execute(oracle).df()
+    duck_cols = [c.lower() for c in dpdf.columns]
+    duck_rows = _rows(dpdf)
 
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
