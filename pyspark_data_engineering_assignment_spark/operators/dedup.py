@@ -67,11 +67,19 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = docs.select(
+    # Materialize shingles once (a projection boundary, so the 64 min-hash
+    # transforms share one computed array), and DROP docs with no shingles:
+    # texts shorter than shingle_len tokens would get all-null signatures,
+    # every such doc would share identical band hashes, and one giant
+    # candidate bucket would go quadratic on a real corpus. Short docs are
+    # routed to exact dedup instead (md5 of the whole normalized text is
+    # the right key when there aren't even shingle_len tokens).
+    shingled = docs.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(word_ngrams(F.col(text_col), shingle_len), num_hashes).alias(
-            "sig"
-        ),
+        word_ngrams(F.col(text_col), shingle_len).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = shingled.select(
+        "doc_id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
     )
     banded = sig.select(
         "doc_id",
@@ -147,7 +155,12 @@ def minhash_lsh_near_duplicates(
         )
         .withColumn("inter_size", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("union_size", F.size(F.array_union("sh_a", "sh_b")))
-        .filter(F.col("inter_size") * 100 >= F.col("union_size") * num)
+        # union_size > 0 guards the vacuous pass (0 >= 0) for any pair of
+        # empty shingle sets that slips past the candidate-stage filter.
+        .filter(
+            (F.col("union_size") > 0)
+            & (F.col("inter_size") * 100 >= F.col("union_size") * num)
+        )
         .select("id_a", "id_b", "inter_size", "union_size")
     )
 
@@ -238,10 +251,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     bucket_expr=None,
     threshold_pct: int = 70,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over candidate buckets (default: same
     first token). Integer cross-multiplied threshold - SQL-expressible,
-    serves as the oracle-checkable baseline for the LSH variants."""
+    serves as the oracle-checkable baseline for the LSH variants.
+
+    SCALE NOTE: first-token bucketing is an *oracle baseline*, not a
+    production path - on real text the most common first token ("the")
+    buckets a large corpus fraction and the within-bucket self-join goes
+    quadratic. At scale use ``minhash_lsh_near_duplicates`` (bounded
+    band buckets), or pass ``max_bucket_size`` to hard-cap the blow-up
+    (buckets above the cap are dropped, trading recall for a bounded
+    join; the cap is applied via a pre-aggregated bucket-count
+    broadcast, one extra cheap shuffle)."""
     toks = F.col("_toks")
     d = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -250,6 +273,14 @@ def ngram_jaccard_pairs(
             "bucket"
         ),
     )
+    if max_bucket_size is not None:
+        small_buckets = (
+            d.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        d = d.join(F.broadcast(small_buckets), on="bucket", how="left_semi")
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(

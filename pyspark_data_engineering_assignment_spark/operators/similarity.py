@@ -77,6 +77,26 @@ def _rh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def _probe_buckets(sig, n_planes: int, probe_bits: int):
+    """Multi-probe bucket list: the signature's own bucket plus every
+    bucket within Hamming distance <= probe_bits (bit flips). Single-probe
+    LSH has a recall cliff when a true neighbor sits just across one
+    hyperplane; probing the 1-flip neighborhood recovers most of it for
+    (n_planes + 1)x the bucket lookups - still nowhere near a scan."""
+    buckets = [sig]
+    if probe_bits >= 1:
+        buckets += [
+            sig.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)
+        ]
+    if probe_bits >= 2:
+        buckets += [
+            sig.bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return F.array(*buckets)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -87,10 +107,14 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     seed: int = 42,
     exclude_self: bool = True,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: compare only within the query's hyperplane
-    bucket. 2^n_planes buckets; expected bucket size = corpus/2^n.
-    Shuffle is a hash join on the bucket key, not a crossJoin."""
+    bucket(s). 2^n_planes buckets; expected bucket size = corpus/2^n.
+    Shuffle is a hash join on the bucket key, not a crossJoin. With
+    ``probe_bits=1`` (default) each query also probes the n_planes
+    buckets one bit-flip away - each corpus vector lives in exactly one
+    bucket, so probes never duplicate a (query, neighbor) pair."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -100,7 +124,9 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        _rh_signature(vec_col, planes).alias("bucket"),
+        F.explode(
+            _probe_buckets(_rh_signature(vec_col, planes), n_planes, probe_bits)
+        ).alias("bucket"),
     )
     pairs = F.broadcast(q).join(c, on="bucket")
     if exclude_self:
@@ -126,15 +152,24 @@ def embedding_near_duplicates(
     n_planes: int = 8,
     seed: int = 42,
     min_cosine: float = 0.95,
+    probe_bits: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within LSH buckets (id_a < id_b)."""
+    """Embedding-cosine near-dup pairs within LSH buckets (id_a < id_b).
+
+    With ``probe_bits=1`` the left side of the self-join probes every
+    bucket one bit-flip away, so a near-dup pair straddling a single
+    hyperplane is still found. Each pair matches exactly once (the right
+    side keeps its unique home bucket)."""
     planes = _hyperplanes(dim, n_planes, seed)
     d = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _rh_signature(vec_col, planes).alias("bucket"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    a = d.select(
+        "vid", "vec", F.explode(_probe_buckets(F.col("bucket"), n_planes, probe_bits)).alias("bucket")
+    ).alias("a")
+    b = d.alias("b")
     return (
         a.join(
             b,

@@ -242,9 +242,11 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_neardup",
     None,
     doc="MinHash(64 hashes, 16 bands) + LSH banding candidates, verified "
-    "by exact shingle Jaccard >= 0.7. Rows-only check: banding is not "
-    "SQL-expressible tersely; correctness is tested in "
-    "tests/test_dedup.py against the exact-Jaccard baseline.",
+    "by exact shingle Jaccard >= 0.7. Docs shorter than the shingle "
+    "length are excluded (routed to exact dedup) - they'd otherwise "
+    "share an all-null signature mega-bucket. Rows-only check: banding "
+    "is not SQL-expressible tersely; precision/recall tested in "
+    "tests/test_dedup.py against the exact-Jaccard all-pairs baseline.",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_near_duplicates(
@@ -256,7 +258,8 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_neardup",
     None,
     doc="64-bit SimHash signatures, 16-bit-band candidates, Hamming<=8 "
-    "verify. Rows-only check; signature packing tested in tests/test_dedup.py.",
+    "verify. Rows-only check; signature determinism and identical-doc "
+    "detection tested in tests/test_dedup.py.",
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=8)

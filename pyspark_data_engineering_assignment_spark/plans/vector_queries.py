@@ -109,10 +109,11 @@ def label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     None,
-    doc="LSH-bucketed approximate top-k (random hyperplanes, seed=42): "
-    "the scale path - each query probes one bucket instead of the "
-    "corpus. Rows-only check; recall vs brute force asserted in "
-    "tests/test_similarity.py.",
+    doc="LSH-bucketed approximate top-k (random hyperplanes, seed=42, "
+    "1-bit multi-probe): the scale path - each query probes n_planes+1 "
+    "buckets instead of the corpus. Rows-only check; recall@5 vs brute "
+    "force measured in tests/test_similarity.py (0.18 single-probe -> "
+    "0.64 with 1-bit probing -> 0.94 with 2-bit on random gaussians).",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -123,7 +124,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup",
     None,
     doc="Embedding-cosine near-duplicate pairs (cos >= 0.9) within LSH "
-    "buckets. Rows-only check; bucket recall tested in tests/test_similarity.py.",
+    "buckets, 1-bit multi-probe on the self-join's left side. Rows-only "
+    "check; planted-near-dup detection tested in tests/test_similarity.py "
+    "(distinguishes '0 rows because no near-dups exist' from broken).",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(

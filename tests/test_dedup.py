@@ -1,0 +1,143 @@
+"""Unit tests for the dedup operators (operators/dedup.py).
+
+Covers the guarantees the registry's rows-only entries rely on:
+  * exact dedup groups,
+  * LSH precision (output is a subset of exact-Jaccard pairs - the
+    verify stage makes this structural) and recall vs the exact
+    all-pairs baseline,
+  * the short-doc guard: docs with fewer than shingle_len tokens are
+    excluded from the LSH path (no all-null-signature mega-bucket),
+  * SimHash signature determinism + identical-doc detection,
+  * the ngram-Jaccard bucket-size cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from pyspark_data_engineering_assignment_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    minhash_lsh_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
+BASE = "the quick brown fox jumps over the lazy dog while watching stars at night"
+OTHER = "completely different subject matter about databases indexes and storage engines"
+THIRD = "rain falls softly on the quiet village roofs as morning light arrives slowly"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                      # exact duplicate of 0
+        (2, BASE + " tonight"),         # near-dup of 0 (shingle Jaccard ~0.92)
+        (3, OTHER),
+        (4, THIRD),
+        (5, OTHER + " now"),            # near-dup of 3 (shingle Jaccard ~0.89)
+        # short docs: fewer than shingle_len(=3) tokens
+        (10, "hi"),
+        (11, "hi"),                     # identical short doc
+        (12, "ok then"),
+        (13, "yo"),
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+
+def exact_jaccard_pairs(docs, threshold=0.7, shingle_len=3):
+    """All-pairs exact shingle-set Jaccard - the brute-force baseline."""
+    from pyspark_data_engineering_assignment_spark.functions.text import word_ngrams
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), shingle_len)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    num = int(round(threshold * 100))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("i"),
+            F.size(F.array_union("a.sh", "b.sh")).alias("u"),
+        )
+        .filter((F.col("u") > 0) & (F.col("i") * 100 >= F.col("u") * num))
+    )
+
+
+def test_exact_duplicate_groups(spark, docs):
+    groups = {
+        r["keeper_id"]: r["n_docs"] for r in exact_duplicate_groups(docs).collect()
+    }
+    assert groups == {0: 2, 10: 2}  # {0,1} and {10,11}
+
+
+def test_minhash_lsh_matches_exact_baseline(spark, docs):
+    exact = _pairs(exact_jaccard_pairs(docs, 0.7))
+    lsh = _pairs(minhash_lsh_near_duplicates(docs, jaccard_threshold=0.7))
+    # precision is structural (verify stage recomputes exact Jaccard)
+    assert lsh <= exact
+    # recall on this fixture: every planted near-dup pair is found
+    assert (0, 1) in lsh and (0, 2) in lsh and (1, 2) in lsh and (3, 5) in lsh
+    assert len(lsh) == len(exact), f"missed pairs: {exact - lsh}"
+
+
+def test_minhash_short_docs_excluded(spark, docs):
+    cands = _pairs(minhash_lsh_candidates(docs))
+    short_ids = {10, 11, 12, 13}
+    assert all(a not in short_ids and b not in short_ids for a, b in cands), (
+        "short docs must be routed to exact dedup, not the LSH path"
+    )
+
+
+def test_minhash_no_short_doc_bucket_explosion(spark):
+    # 100 single-token docs, all distinct: with the null-signature bug this
+    # produced O(n^2) candidate pairs; with the guard it produces none.
+    rows = [(i, f"tok{i}") for i in range(100)]
+    one_tok = spark.createDataFrame(rows, DOCS_SCHEMA)
+    assert minhash_lsh_candidates(one_tok).count() == 0
+    assert minhash_lsh_near_duplicates(one_tok).count() == 0
+
+
+def test_simhash_signature_deterministic(spark, docs):
+    s1 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    s2 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text -> identical signature
+
+
+def test_simhash_near_duplicates(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical docs
+    assert (0, 3) not in pairs and (0, 4) not in pairs  # unrelated docs
+
+
+def test_ngram_jaccard_bucket_cap(spark):
+    # 5 docs sharing the first token: uncapped they form a bucket of 5;
+    # capped at 3 the bucket is dropped entirely.
+    rows = [(i, f"same start then unique tail {i} " + " ".join(f"w{i}{j}" for j in range(8))) for i in range(5)]
+    rows += [(100, "same start then unique tail 0 " + " ".join(f"w0{j}" for j in range(8)))]
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    uncapped = ngram_jaccard_pairs(d, threshold_pct=70)
+    capped = ngram_jaccard_pairs(d, threshold_pct=70, max_bucket_size=3)
+    assert uncapped.count() > 0
+    assert capped.count() == 0
