@@ -1,0 +1,235 @@
+"""The streaming engine: foreachBatch pipeline wiring every parity part.
+
+Reference lifecycle (``Mechanism Y.py:305-313``, survey §3.1): a file
+stream tails a drop prefix, and each micro-batch runs
+merge-state -> read-state -> enrich -> detect -> sink. This module is the
+Spark-first re-plumbing of that loop:
+
+  * per-batch aggregates (``operators.aggregates``) are the *partial* half
+    of the aggregation; the state store's additive merge is the *final*
+    half (replaces the driver-serialized JDBC UPSERT,
+    ``Mechanism Y.py:136-206``);
+  * state reads come back as DataFrames (replaces 3 single-partition JDBC
+    scans per batch, ``:210-212``);
+  * detection output goes through the idempotent 50-row sink
+    (``streaming.sink``), never through driver memory;
+  * the whole loop is restart-safe: state merges are idempotent by
+    batch_id, the sink overwrites per batch_id, and the stream
+    checkpoints - a replayed batch reproduces byte-identical output
+    instead of double-counting (fixes survey §7.4.1/§7.4.2).
+
+Batch semantics quirks preserved from the reference (survey §2.12):
+PatId1's low-weight condition is batch-local; PatId2/PatId3 re-fire every
+batch while their state condition holds. Setting
+``EngineConfig.refire_stateful_patterns=False`` suppresses re-fires by
+anti-joining against the cumulative set of already-emitted detection keys
+(itself a state table, so the dedup survives restarts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+from pyspark.sql.streaming import StreamingQuery
+
+from pyspark_data_engineering_assignment_spark.config import EngineConfig
+from pyspark_data_engineering_assignment_spark.operators.aggregates import (
+    customer_merchant_batch_aggregate,
+    gender_pivot_aggregate,
+    merchant_batch_aggregate,
+)
+from pyspark_data_engineering_assignment_spark.patterns.detect import (
+    Clock,
+    SystemClock,
+    detect_all,
+    enrich_batch,
+    low_weight_thresholds,
+)
+from pyspark_data_engineering_assignment_spark.schemas import TRANSACTION_SCHEMA
+from pyspark_data_engineering_assignment_spark.sources.readers import read_csv_stream
+from pyspark_data_engineering_assignment_spark.state.store import (
+    CUSTOMER_MERCHANT_SUMMARY,
+    MERCHANT_GENDER_SUMMARY,
+    MERCHANT_SUMMARY,
+    ParquetStateStore,
+    StateTableSpec,
+)
+from pyspark_data_engineering_assignment_spark.streaming.sink import write_detections
+
+# Cumulative set of already-emitted detection keys, used only when
+# refire_stateful_patterns=False. Reuses the state store, so the dedup is
+# idempotent by batch_id and survives restarts like any other state table.
+SEEN_DETECTIONS = StateTableSpec(
+    "seen_detections",
+    ("PatternId", "ActionType", "CustomerName", "MerchantId"),
+    ("n_emits",),
+    StructType(
+        [
+            StructField("PatternId", StringType(), False),
+            StructField("ActionType", StringType(), False),
+            StructField("CustomerName", StringType(), False),
+            StructField("MerchantId", StringType(), False),
+            StructField("n_emits", LongType(), True),
+            StructField("last_updated", TimestampType(), True),
+        ]
+    ),
+)
+
+
+class DetectionPipeline:
+    """One instance per stream; ``process_batch`` is the foreachBatch body
+    (callable directly in tests with a static DataFrame + batch_id)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: ParquetStateStore,
+        importance: DataFrame,
+        detections_dir: str,
+        config: EngineConfig | None = None,
+        clock: Clock | None = None,
+        weight_thresholds: DataFrame | None = None,
+        use_percentile_thresholds: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.store = store
+        self.importance = importance
+        self.detections_dir = detections_dir
+        self.config = config or EngineConfig()
+        self.clock = clock or SystemClock()
+        if weight_thresholds is None and use_percentile_thresholds:
+            # Static setup, once per stream (reference Mechanism Y.py:84-89):
+            # per-(merchant, category) 1st-percentile weight, cached.
+            weight_thresholds = low_weight_thresholds(
+                importance, self.config.thresholds.weight_percentile
+            ).cache()
+        # None => PatId1 falls back to the fixed Weight < 2.0 threshold
+        # (reference Mechanism Y.py:236-237).
+        self.weight_thresholds = weight_thresholds
+
+    # ------------------------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> int:
+        """The foreachBatch body. Returns the number of detections written
+        (0 for an empty batch). Safe to replay with the same batch_id."""
+        y_start = self.clock.now_str()
+        if batch_df.isEmpty():  # T8 short-circuit, a single probe job
+            return 0
+        batch_df.persist()
+        try:
+            # 1. partial aggregates -> final additive merge (idempotent).
+            # last_updated = batch-start time from the injected clock, so
+            # golden tests see deterministic state snapshots.
+            self.store.merge_batch(
+                MERCHANT_SUMMARY, merchant_batch_aggregate(batch_df), batch_id,
+                now=y_start,
+            )
+            self.store.merge_batch(
+                CUSTOMER_MERCHANT_SUMMARY,
+                customer_merchant_batch_aggregate(batch_df),
+                batch_id,
+                now=y_start,
+            )
+            self.store.merge_batch(
+                MERCHANT_GENDER_SUMMARY, gender_pivot_aggregate(batch_df), batch_id,
+                now=y_start,
+            )
+            # 2. read updated cumulative state.
+            merchant_state = self.store.read_state(MERCHANT_SUMMARY)
+            cm_state = self.store.read_state(CUSTOMER_MERCHANT_SUMMARY)
+            gender_state = self.store.read_state(MERCHANT_GENDER_SUMMARY)
+            # 3. enrich the batch with the broadcast importance dimension.
+            enriched = enrich_batch(batch_df, self.importance)
+            # 4. evaluate the three patterns, union the detections.
+            detections = detect_all(
+                merchant_state,
+                cm_state,
+                gender_state,
+                enriched,
+                self.weight_thresholds,
+                self.config.thresholds,
+                self.clock,
+                y_start,
+            )
+            if not self.config.refire_stateful_patterns:
+                seen = self.store.read_state(SEEN_DETECTIONS).select(
+                    *SEEN_DETECTIONS.key_cols
+                )
+                detections = detections.join(
+                    seen, on=list(SEEN_DETECTIONS.key_cols), how="left_anti"
+                )
+                # Sink BEFORE recording keys as seen: a crash between the
+                # two replays into identical files (overwrite), then the
+                # merge; the reverse order would drop the batch's files.
+                n = write_detections(
+                    detections,
+                    self.detections_dir,
+                    batch_id,
+                    self.config.detection_file_rows,
+                )
+                self.store.merge_batch(
+                    SEEN_DETECTIONS,
+                    detections.groupBy(*SEEN_DETECTIONS.key_cols).agg(
+                        F.count("*").alias("n_emits")
+                    ),
+                    batch_id,
+                    now=y_start,
+                )
+                return n
+            # 5. idempotent 50-row-file sink.
+            return write_detections(
+                detections,
+                self.detections_dir,
+                batch_id,
+                self.config.detection_file_rows,
+            )
+        finally:
+            batch_df.unpersist()
+
+    # ------------------------------------------------------------------
+    def run_stream(self, input_dir: str, checkpoint_dir: str) -> StreamingQuery:
+        """Start the stream: CSV file source (S3-prefix stand-in) ->
+        foreachBatch(process_batch), checkpointed.
+
+        Trigger: ``EngineConfig.trigger`` as processingTime (reference
+        ``Mechanism Y.py:309``: '30 seconds'), or availableNow when None -
+        drains the backlog in maxFilesPerTrigger-sized batches then stops,
+        which is what tests and backfills want.
+        """
+        stream = read_csv_stream(
+            self.spark,
+            input_dir,
+            TRANSACTION_SCHEMA,
+            self.config.max_files_per_trigger,
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .outputMode("update")  # T2; inert under foreachBatch, declared for parity
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if self.config.trigger:
+            writer = writer.trigger(processingTime=self.config.trigger)
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def run_backfill(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    detections_dir: str,
+    importance: DataFrame,
+    config: EngineConfig | None = None,
+    clock: Clock | None = None,
+) -> None:
+    """Convenience: drain whatever is in ``input_dir`` through a fresh
+    pipeline with availableNow and wait for completion."""
+    store = ParquetStateStore(spark, state_dir)
+    pipe = DetectionPipeline(
+        spark, store, importance, detections_dir, config=config, clock=clock
+    )
+    q = pipe.run_stream(input_dir, os.path.join(state_dir, "_checkpoint"))
+    q.awaitTermination()

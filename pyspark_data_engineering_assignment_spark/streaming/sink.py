@@ -1,0 +1,101 @@
+"""Detection sink: CSV files of exactly N rows, idempotent per batch.
+
+Replaces the reference's driver-global Python buffer (``Mechanism Y.py:115``,
+``:266-277``): it ``collect()``s every batch's detections into a list on the
+driver, flushes a CSV per 50 rows, and keeps the remainder in process memory
+- a crash loses up to 49 detections, and a replayed batch appends them
+twice. Survey §7.4.1 ranks that the #1 hard part to fix.
+
+This sink keeps detections distributed end to end and is restart-safe:
+
+  * **Deterministic global order** without a single-partition sort:
+    ``repartitionByRange`` on the detection key + ``sortWithinPartitions``,
+    then per-partition counts (an O(#partitions) metadata collect - the
+    only thing that ever crosses the driver) are prefix-summed into
+    offsets, and a per-partition ``row_number`` plus the broadcast offset
+    map yields a dense global index. This is the standard distributed
+    zip-with-index; no stage funnels all rows through one task, so it
+    holds at any detection volume.
+  * **Exactly-N-row files**: ``bucket = global_idx div N``; one shuffle on
+    ``bucket`` co-locates each bucket in one task, and ``partitionBy``
+    writes one CSV per bucket. Every file has exactly N rows except the
+    last (the reference holds the remainder in driver memory forever; we
+    flush it - the one intentional deviation, survey §7.5).
+  * **Idempotent by batch**: output lands under ``batch_id={id}/`` with
+    mode=overwrite, so a replayed micro-batch rewrites byte-identical
+    files instead of double-emitting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Detection record columns (reference ``Mechanism Y.py:60-64``); also the
+# deterministic sort key for file assignment.
+DETECTION_COLS = (
+    "YStartTime", "DetectionTime", "PatternId",
+    "ActionType", "CustomerName", "MerchantId",
+)
+
+
+def write_detections(
+    detections: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    rows_per_file: int = 50,
+) -> int:
+    """Write one micro-batch's detections as ``batch_id={id}/bucket=K/``
+    CSVs of exactly ``rows_per_file`` rows (last file may be smaller).
+    Returns the number of detections written."""
+    cols = [c for c in DETECTION_COLS if c in detections.columns]
+
+    # Distributed zip-with-index: range-partition + local sort gives a
+    # total order across partitions; per-partition counts (metadata-sized
+    # collect) become prefix-sum offsets added to a per-partition
+    # row_number. No single-partition stage anywhere.
+    parted = (
+        detections.select(*cols)
+        .repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        total = sum(counts.values())
+        if total == 0:
+            return 0
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offset_of_pid = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+        w = Window.partitionBy("_pid").orderBy(*cols)
+        bucketed = (
+            parted.withColumn("_idx", F.row_number().over(w) - 1 + offset_of_pid)
+            .withColumn("bucket", (F.col("_idx") / rows_per_file).cast("int"))
+            .drop("_pid", "_idx")
+        )
+        n_buckets = (total + rows_per_file - 1) // rows_per_file
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        (
+            bucketed.repartition(n_buckets, "bucket")
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .option("header", "true")
+            .csv(target)
+        )
+        return total
+    finally:
+        parted.unpersist()

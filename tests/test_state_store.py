@@ -1,0 +1,145 @@
+"""State-merge unit tests (SURVEY §5.2): the additive MERGE contract vs
+the reference's ``INSERT ... ON CONFLICT DO UPDATE`` semantics
+(``Mechanism Y.py:152-160``, ``:173-179``, ``:196-202``):
+
+  * new keys insert, existing keys add counters
+  * Decimal(18,2) money stays penny-exact across merges
+  * null counters coalesce to 0 (``Mechanism Y.py:178``)
+  * replaying a batch_id is a no-op (idempotence - fixes survey §7.4.2)
+  * batch-invariance: different chunkings of the same rows yield
+    identical final state
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql.types import (
+    DecimalType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyspark_data_engineering_assignment_spark.state.store import (
+    CUSTOMER_MERCHANT_SUMMARY,
+    MERCHANT_SUMMARY,
+    ParquetStateStore,
+)
+
+NOW = "2024-01-01 00:00:00"
+
+MERCHANT_AGG_SCHEMA = StructType(
+    [
+        StructField("merchant_id", StringType(), False),
+        StructField("total_transactions", LongType(), True),
+    ]
+)
+
+CM_AGG_SCHEMA = StructType(
+    [
+        StructField("customer_id", StringType(), False),
+        StructField("merchant_id", StringType(), False),
+        StructField("transaction_count", LongType(), True),
+        StructField("total_amount_sum", DecimalType(18, 2), True),
+    ]
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetStateStore(spark, str(tmp_path / "state"))
+
+
+def merchant_state(store):
+    rows = store.read_state(MERCHANT_SUMMARY).collect()
+    return {r["merchant_id"]: r["total_transactions"] for r in rows}
+
+
+def cm_state(store):
+    rows = store.read_state(CUSTOMER_MERCHANT_SUMMARY).collect()
+    return {
+        (r["customer_id"], r["merchant_id"]): (
+            r["transaction_count"],
+            r["total_amount_sum"],
+        )
+        for r in rows
+    }
+
+
+def test_empty_state_has_schema(spark, store):
+    df = store.read_state(MERCHANT_SUMMARY)
+    assert df.count() == 0
+    assert df.schema == MERCHANT_SUMMARY.schema
+
+
+def test_insert_then_additive_merge(spark, store):
+    b0 = spark.createDataFrame([("M1", 3)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b0, batch_id=0, now=NOW)
+    assert merchant_state(store) == {"M1": 3}
+
+    b1 = spark.createDataFrame([("M1", 2), ("M2", 5)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b1, batch_id=1, now=NOW)
+    assert merchant_state(store) == {"M1": 5, "M2": 5}
+
+
+def test_replayed_batch_is_noop(spark, store):
+    b0 = spark.createDataFrame([("M1", 3)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b0, batch_id=0, now=NOW)
+    # replay the same epoch (crash-before-checkpoint scenario) and an
+    # older epoch: neither may double-count
+    store.merge_batch(MERCHANT_SUMMARY, b0, batch_id=0, now=NOW)
+    store.merge_batch(MERCHANT_SUMMARY, b0, batch_id=-1, now=NOW)
+    assert merchant_state(store) == {"M1": 3}
+
+
+def test_decimal_penny_exactness(spark, store):
+    # 0.10 + 0.20 is not float-representable; the Decimal(18,2) path must
+    # carry it exactly across three separate merges.
+    for bid, amt in enumerate(["0.10", "0.20", "0.30"]):
+        b = spark.createDataFrame(
+            [("C1", "M1", 1, Decimal(amt))], CM_AGG_SCHEMA
+        )
+        store.merge_batch(CUSTOMER_MERCHANT_SUMMARY, b, batch_id=bid, now=NOW)
+    count, total = cm_state(store)[("C1", "M1")]
+    assert count == 3
+    assert total == Decimal("0.60")
+
+
+def test_null_amount_coalesces_to_zero(spark, store):
+    b0 = spark.createDataFrame([("C1", "M1", 2, Decimal("5.00"))], CM_AGG_SCHEMA)
+    b1 = spark.createDataFrame([("C1", "M1", 1, None)], CM_AGG_SCHEMA)
+    store.merge_batch(CUSTOMER_MERCHANT_SUMMARY, b0, batch_id=0, now=NOW)
+    store.merge_batch(CUSTOMER_MERCHANT_SUMMARY, b1, batch_id=1, now=NOW)
+    count, total = cm_state(store)[("C1", "M1")]
+    assert count == 3
+    assert total == Decimal("5.00")
+
+
+def test_batch_invariance(spark, tmp_path):
+    """Chunking must not matter: one big batch vs three small ones yield
+    the same final state (survey §5.4 property)."""
+    rows = [
+        ("C1", "M1", 1, Decimal("10.00")),
+        ("C1", "M1", 2, Decimal("2.50")),
+        ("C2", "M1", 1, Decimal("7.25")),
+        ("C2", "M2", 4, Decimal("0.75")),
+    ]
+    one = ParquetStateStore(spark, str(tmp_path / "one"))
+    one.merge_batch(
+        CUSTOMER_MERCHANT_SUMMARY,
+        spark.createDataFrame(rows, CM_AGG_SCHEMA),
+        batch_id=0,
+        now=NOW,
+    )
+    many = ParquetStateStore(spark, str(tmp_path / "many"))
+    for bid, row in enumerate(rows):
+        many.merge_batch(
+            CUSTOMER_MERCHANT_SUMMARY,
+            spark.createDataFrame([row], CM_AGG_SCHEMA),
+            batch_id=bid,
+            now=NOW,
+        )
+    assert cm_state(one) == cm_state(many)

@@ -1,0 +1,251 @@
+"""End-to-end streaming test (SURVEY §5.3): feeder -> file stream ->
+foreachBatch pipeline (state merge -> enrich -> detect -> 50-row sink),
+golden-checked per batch against an independent pandas replay of the
+reference's semantics (``Mechanism Y.py:221-258``).
+
+Covers, in one flow: S1-S3/S5 sources, K2-K4 sinks, A1-A3/A5 aggregates,
+J1 enrichment, PatId1-3 as functions, T1-T8 streaming surface, the
+exactly-N-row file contract, replay idempotence, and the
+refire-suppression (dedup) mode.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import Counter
+from decimal import Decimal
+
+import pandas as pd
+import pytest
+
+from pyspark_data_engineering_assignment_spark.config import EngineConfig, PatternThresholds
+from pyspark_data_engineering_assignment_spark.patterns.detect import FixedClock
+from pyspark_data_engineering_assignment_spark.schemas import TRANSACTION_SCHEMA
+from pyspark_data_engineering_assignment_spark.sources.readers import read_csv, read_importance
+from pyspark_data_engineering_assignment_spark.state.store import (
+    CUSTOMER_MERCHANT_SUMMARY,
+    MERCHANT_GENDER_SUMMARY,
+    MERCHANT_SUMMARY,
+    ParquetStateStore,
+)
+from pyspark_data_engineering_assignment_spark.streaming.pipeline import DetectionPipeline
+from pyspark_data_engineering_assignment_spark.streaming.sink import write_detections
+from pyspark_data_engineering_assignment_spark.tools.feeder import feed_chunks
+
+CLOCK = FixedClock("2024-01-01 00:00:00")
+
+# 16 transactions, fed as 4 chunks of 4. Planted patterns (thresholds are
+# the reference test values: merchant>5, pair>2, count>=3 & avg<23, f<m &
+# f>2, fallback weight<2.0):
+#   * (C1,M1): 4 low-amount txns -> PatId2 "CHILD" from batch 2 on
+#   * (C2,M1): 4 txns with dim weight 0.5 -> PatId1 "UPGRADE" once M1's
+#     total >5 and the pair count >2 AND the batch carries the low-weight
+#     txn (batch-local condition) -> batches 2 and 3
+#   * M2: 3 F + 4 M txns -> PatId3 "DEI-NEEDED" in batch 3 (f=3>2, f<m=4)
+ROWS = [
+    # step, customer, age, gender, zipcodeOri, merchant, zipMerchant, category, amount, fraud
+    (0, "C1", "2", "F", "28007", "M1", "28007", "es_a", "10.0", 0),
+    (0, "C2", "3", "M", "28007", "M1", "28007", "es_a", "30.0", 0),
+    (0, "C3", "3", "M", "28007", "M2", "28007", "es_b", "50.0", 0),
+    (0, "C4", "2", "F", "28007", "M2", "28007", "es_b", "50.0", 0),
+
+    (1, "C1", "2", "F", "28007", "M1", "28007", "es_a", "20.0", 0),
+    (1, "C2", "3", "M", "28007", "M1", "28007", "es_a", "30.0", 0),
+    (1, "C3", "3", "M", "28007", "M2", "28007", "es_b", "50.0", 0),
+    (1, "C4", "2", "F", "28007", "M2", "28007", "es_b", "50.0", 0),
+
+    (2, "C1", "2", "F", "28007", "M1", "28007", "es_a", "10.0", 0),
+    (2, "C2", "3", "M", "28007", "M1", "28007", "es_a", "30.0", 0),
+    (2, "C3", "3", "M", "28007", "M2", "28007", "es_b", "50.0", 0),
+    (2, "C4", "2", "F", "28007", "M2", "28007", "es_b", "50.0", 0),
+
+    (3, "C5", "3", "M", "28007", "M2", "28007", "es_b", "50.0", 0),
+    (3, "C2", "3", "M", "28007", "M1", "28007", "es_a", "30.0", 0),
+    (3, "C1", "2", "F", "28007", "M1", "28007", "es_a", "10.0", 0),
+    (3, "C6", "3", "M", "28007", "M3", "28007", "es_c", "100.0", 0),
+]
+COLUMNS = [f.name for f in TRANSACTION_SCHEMA.fields]
+
+IMPORTANCE_ROWS = [
+    # Source, Target, Weight, typeTrans, fraud
+    ("C2", "M1", "0.5", "es_a", 0),   # low weight: drives PatId1
+    ("C1", "M1", "5.0", "es_a", 0),
+    ("C3", "M2", "5.0", "es_b", 0),
+]
+
+# Independent expectation (hand-replayed reference semantics; see the
+# module docstring of patterns/detect.py for the rules). Key =
+# (PatternId, ActionType, CustomerName, MerchantId).
+EXPECTED = {
+    0: Counter(),
+    1: Counter(),
+    2: Counter(
+        {
+            ("PatId1", "UPGRADE", "C2", "M1"): 1,
+            ("PatId2", "CHILD", "C1", "M1"): 1,
+        }
+    ),
+    3: Counter(
+        {
+            ("PatId1", "UPGRADE", "C2", "M1"): 1,
+            ("PatId2", "CHILD", "C1", "M1"): 1,
+            ("PatId3", "DEI-NEEDED", "", "M2"): 1,
+        }
+    ),
+}
+
+
+def _write_inputs(tmp_path):
+    src = tmp_path / "transactions.csv"
+    pd.DataFrame(ROWS, columns=COLUMNS).to_csv(src, index=False)
+    imp = tmp_path / "importance.csv"
+    pd.DataFrame(
+        IMPORTANCE_ROWS, columns=["Source", "Target", "Weight", "typeTrans", "fraud"]
+    ).to_csv(imp, index=False)
+    input_dir = tmp_path / "incoming"
+    chunk_paths = feed_chunks(str(src), str(input_dir), chunk_rows=4)
+    assert len(chunk_paths) == 4
+    return str(input_dir), str(imp), chunk_paths
+
+
+def _read_detections(detections_dir: str) -> dict[int, Counter]:
+    """batch_id -> multiset of detection keys, read back from the CSVs."""
+    out: dict[int, Counter] = {}
+    for bdir in glob.glob(os.path.join(detections_dir, "batch_id=*")):
+        bid = int(bdir.rsplit("=", 1)[1])
+        keys = Counter()
+        for f in glob.glob(os.path.join(bdir, "bucket=*", "*.csv")):
+            pdf = pd.read_csv(f, dtype=str, keep_default_na=False)
+            for r in pdf.itertuples(index=False):
+                keys[(r.PatternId, r.ActionType, r.CustomerName, r.MerchantId)] += 1
+        out[bid] = keys
+    return out
+
+
+def _run(spark, tmp_path, config: EngineConfig):
+    input_dir, imp_path, chunk_paths = _write_inputs(tmp_path)
+    importance = read_importance(spark, imp_path)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    detections_dir = str(tmp_path / "detections")
+    pipe = DetectionPipeline(
+        spark, store, importance, detections_dir, config=config, clock=CLOCK
+    )
+    q = pipe.run_stream(input_dir, str(tmp_path / "checkpoint"))
+    q.awaitTermination()
+    return pipe, store, detections_dir, chunk_paths
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    config = EngineConfig()  # parity mode: refire on, 50-row files
+    pipe, store, detections_dir, chunk_paths = _run(spark, tmp_path, config)
+
+    # --- per-batch golden detections -----------------------------------
+    got = _read_detections(detections_dir)
+    for bid, expected in EXPECTED.items():
+        assert got.get(bid, Counter()) == expected, f"batch {bid}"
+
+    # --- final state equals whole-dataset aggregates (batch invariance) -
+    m = {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    }
+    assert m == {"M1": 8, "M2": 7, "M3": 1}
+    cm = {
+        (r["customer_id"], r["merchant_id"]): (
+            r["transaction_count"],
+            r["total_amount_sum"],
+        )
+        for r in store.read_state(CUSTOMER_MERCHANT_SUMMARY).collect()
+    }
+    assert cm[("C1", "M1")] == (4, Decimal("50.00"))
+    assert cm[("C2", "M1")] == (4, Decimal("120.00"))
+    assert cm[("C6", "M3")] == (1, Decimal("100.00"))
+    g = {
+        r["merchant_id"]: (
+            r["male_transaction_count"],
+            r["female_transaction_count"],
+        )
+        for r in store.read_state(MERCHANT_GENDER_SUMMARY).collect()
+    }
+    assert g == {"M1": (4, 4), "M2": (4, 3), "M3": (1, 0)}
+
+    # --- replay safety: re-running the last batch changes nothing -------
+    before = _read_detections(detections_dir)
+    last_chunk = read_csv(spark, chunk_paths[3], TRANSACTION_SCHEMA)
+    n = pipe.process_batch(last_chunk, batch_id=3)
+    assert n == sum(EXPECTED[3].values())
+    assert _read_detections(detections_dir) == before
+    assert {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    } == m
+
+
+def test_streaming_dedup_mode(spark, tmp_path):
+    """refire_stateful_patterns=False: a detection key is emitted once,
+    ever; batch 3 keeps only the new PatId3."""
+    config = EngineConfig(refire_stateful_patterns=False)
+    _, _, detections_dir, _ = _run(spark, tmp_path, config)
+    got = _read_detections(detections_dir)
+    assert got.get(2, Counter()) == EXPECTED[2]
+    assert got.get(3, Counter()) == Counter({("PatId3", "DEI-NEEDED", "", "M2"): 1})
+
+
+def test_detection_files_have_exactly_n_rows(spark, tmp_path):
+    """K4 contract: every file has exactly N rows except the last
+    (``Mechanism Y.py:115-116``; redesigned idempotent, survey §7.5)."""
+    from pyspark_data_engineering_assignment_spark.schemas import DETECTION_SCHEMA
+
+    rows = [
+        ("2024-01-01 00:00:00", "2024-01-01 00:00:00", "PatId2", "CHILD", f"C{i:03d}", "M1")
+        for i in range(23)
+    ]
+    df = spark.createDataFrame(rows, DETECTION_SCHEMA)
+    out = str(tmp_path / "det")
+    n = write_detections(df, out, batch_id=7, rows_per_file=5)
+    assert n == 23
+
+    files = sorted(glob.glob(os.path.join(out, "batch_id=7", "bucket=*", "*.csv")))
+    sizes = []
+    seen = set()
+    for f in files:
+        pdf = pd.read_csv(f, dtype=str, keep_default_na=False)
+        sizes.append(len(pdf))
+        seen.update(pdf["CustomerName"])
+    assert sorted(sizes, reverse=True) == [5, 5, 5, 5, 3]
+    assert seen == {f"C{i:03d}" for i in range(23)}  # no loss, no dup
+
+    # one file per bucket (each bucket co-located in one task)
+    buckets = {os.path.dirname(f) for f in files}
+    assert len(files) == len(buckets) == 5
+
+    # idempotent rewrite: same batch_id -> same files
+    before = {f: open(f).read() for f in files}
+    write_detections(df, out, batch_id=7, rows_per_file=5)
+    after_files = sorted(glob.glob(os.path.join(out, "batch_id=7", "bucket=*", "*.csv")))
+    after = {f: open(f).read() for f in after_files}
+    assert sorted(before.values()) == sorted(after.values())
+
+
+def test_empty_batch_short_circuit(spark, tmp_path):
+    """T8: an empty micro-batch writes nothing and bumps no state."""
+    importance = read_importance(
+        spark, _write_importance_only(tmp_path)
+    )
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    pipe = DetectionPipeline(
+        spark, store, importance, str(tmp_path / "det"), clock=CLOCK
+    )
+    empty = spark.createDataFrame([], TRANSACTION_SCHEMA)
+    assert pipe.process_batch(empty, batch_id=0) == 0
+    assert store.read_state(MERCHANT_SUMMARY).count() == 0
+    assert not os.path.exists(str(tmp_path / "det"))
+
+
+def _write_importance_only(tmp_path) -> str:
+    imp = tmp_path / "importance.csv"
+    pd.DataFrame(
+        IMPORTANCE_ROWS, columns=["Source", "Target", "Weight", "typeTrans", "fraud"]
+    ).to_csv(imp, index=False)
+    return str(imp)
