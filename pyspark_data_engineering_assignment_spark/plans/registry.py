@@ -512,3 +512,72 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_value_cents"),
     )
+
+
+@register(
+    "events_sliding_2h",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM (SELECT event_type, value,
+                 unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                         date_trunc('hour', ts)]) AS ws
+          FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="Sliding event-time window (2h window, 1h slide): each event lands "
+    "in two overlapping windows. Spark side is streaming/windows.py's "
+    "windowed_event_aggregate run in batch mode; the oracle materializes "
+    "both member windows per event and re-aggregates.",
+)
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.streaming.windows import (
+        windowed_event_aggregate,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return windowed_event_aggregate(e, "2 hours", "1 hour", watermark_delay=None)
+
+
+@register(
+    "events_sessions",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    tagged AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+    doc="Session windows per user (30 min inactivity gap): Spark side is "
+    "F.session_window (streaming/windows.py) in batch mode - window = "
+    "[first event, last event + gap); the oracle is the classic "
+    "gaps-and-islands rewrite (lag -> new-session flag -> running sum -> "
+    "group). A gap of exactly 30 min starts a new session in both "
+    "(Spark session windows are half-open).",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.streaming.windows import (
+        session_windowed_events,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return session_windowed_events(e, "30 minutes")

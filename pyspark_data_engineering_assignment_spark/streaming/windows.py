@@ -1,0 +1,101 @@
+"""Event-time windowed aggregation with watermarks over ``events``.
+
+The reference carries event time (``step``) but never uses it - all its
+state is wall-clock (survey §2.9 "Absent"). This module supplies the
+streaming surface a real deployment needs: tumbling/sliding event-time
+windows with late-data handling, the streaming twin of the batch
+``events_hourly`` registry query (``plans/registry.py``).
+
+Design notes for 100 TB streams:
+  * The aggregation is a plain watermarked ``groupBy(window(...))`` -
+    Spark keeps O(open windows x group keys) state, evicting each window
+    once the watermark passes its end. State size is bounded by the
+    watermark delay, not the stream length.
+  * The same plan runs in batch mode (``F.window`` works on static
+    DataFrames; ``withWatermark`` is a no-op there), which is how the
+    equivalence test pins streaming output to the batch oracle.
+  * Money is fixed-pointed to BIGINT cents per row before summing - the
+    engine-wide hash-stability convention (``plans/registry.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def windowed_event_aggregate(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark_delay: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide_duration`` is set) event-time
+    counts and cent-exact value sums per (window, event_type).
+
+    Output columns match the batch ``events_hourly`` query:
+    ``hour`` (window start, formatted), ``event_type``, ``n_events``,
+    ``total_value_cents`` - so the two are directly comparable.
+    """
+    df = events
+    if watermark_delay is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return (
+        df.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value").cast(DEC) * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value_cents",
+        )
+    )
+
+
+def session_windowed_events(
+    events: DataFrame,
+    gap_duration: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user_id: activity bursts separated by at least
+    ``gap_duration`` of silence close a session (window = [first event,
+    last event + gap)). Purely built-in (``F.session_window``), state
+    bounded by the watermark; also runs in batch mode, where the DuckDB
+    gaps-and-islands oracle checks it (``plans/registry.py``
+    events_sessions)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap_duration).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value").cast(DEC) * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value_cents",
+        )
+    )

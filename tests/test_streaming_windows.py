@@ -1,0 +1,142 @@
+"""Event-time windowed streaming tests (north-star streaming surface):
+
+  * the streaming windowed aggregate, drained with availableNow into a
+    memory sink, equals the batch plan on the same data (the batch plan
+    itself is oracle-checked via the ``events_hourly`` /
+    ``events_sliding_2h`` registry entries);
+  * append mode + watermark drops late data and only emits closed
+    windows - the semantics ``SURVEY.md`` §2.9 lists as absent from the
+    reference and the north star requires.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+from pyspark_data_engineering_assignment_spark.streaming.windows import (
+    windowed_event_aggregate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_complete_mode_equals_batch(spark, tmp_path):
+    """Drain the real events table through a file stream; complete-mode
+    output must equal the batch aggregation of the same rows."""
+    batch = load_table(spark, SF, "events").select("ts", "event_type", "value")
+    src = str(tmp_path / "events_parquet")
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = windowed_event_aggregate(stream, "1 hour", watermark_delay="2 hours")
+
+    sink = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = _rows(spark.table(sink))
+    want = _rows(windowed_event_aggregate(batch, "1 hour", watermark_delay=None))
+    assert got == want and len(got) > 0
+
+
+def test_append_mode_emits_closed_windows_and_drops_late(spark, tmp_path):
+    """Watermark semantics, pinned empirically (one file per micro-batch):
+
+    batch 0: 10:00, 12:05        -> watermark for batch 1 = 11:35
+    batch 1: 12:30               -> [10:00,11:00) state evicted + emitted
+                                    at end of batch (11:35 >= 11:00);
+                                    watermark for batch 2 = 12:00
+    batch 2: 10:15  LATE         -> its window was already evicted, so the
+                                    row is dropped (numRowsDroppedByWatermark)
+    batch 3: 14:00               -> advances watermark to 13:30, closing
+                                    [12:00,13:00); [14:00,15:00) stays open
+                                    and must never appear.
+
+    Note Spark's contract: a late row is dropped only once its window's
+    state has been evicted; eviction lags the watermark by one batch, so
+    a row later than the watermark but with live state still counts.
+    """
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    files = [
+        [("2024-01-01 10:00:00", "1.0"), ("2024-01-01 12:05:00", "8.0")],
+        [("2024-01-01 12:30:00", "32.0")],
+        [("2024-01-01 10:15:00", "16.0")],  # late: window already evicted
+        [("2024-01-01 14:00:00", "64.0")],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(
+            {
+                "ts": [r[0] for r in rows],
+                "event_type": ["x"] * len(rows),
+                "value": [r[1] for r in rows],
+            }
+        )
+        p = os.path.join(src, f"part{i}.csv")
+        pdf.to_csv(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    agg = windowed_event_aggregate(stream, "1 hour", watermark_delay="30 minutes")
+
+    sink = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # the 10:15 late row
+
+    got = _rows(spark.table(sink))
+    assert got == [
+        ("2024-01-01 10:00:00", "x", 1, 100),    # late 16.00 NOT counted
+        ("2024-01-01 12:00:00", "x", 2, 4000),   # 12:05 + 12:30
+    ]
