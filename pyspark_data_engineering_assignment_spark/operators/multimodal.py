@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -49,6 +50,15 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+HISTOGRAM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("counts", ArrayType(LongType()), True),
+    ]
+)
+
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Materialize a media table from documents: utf-8 payload bytes +
@@ -75,6 +85,41 @@ def decode_payload(payload: bytes, media_type: str) -> bytes:
     )
 
 
+def _payload_histogram(payload, media_type: str, dim: int) -> np.ndarray:
+    """Byte histogram folded to ``dim`` buckets, numpy-vectorized: the
+    per-byte work is ``np.frombuffer`` + ``np.bincount`` (no Python loop
+    over bytes - that would defeat the Arrow batching)."""
+    raw = decode_payload(bytes(payload), media_type)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    return np.bincount(arr % dim, minlength=dim).astype(np.int64)
+
+
+def byte_histogram(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Exact byte-bucket counts per payload via ``mapInPandas`` - the
+    integer-domain core of ``extract_features``, exposed separately so the
+    DuckDB oracle can check it exactly (integer counts are hash-stable
+    across engines; normalized floats are not).
+    """
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "counts": [
+                        _payload_histogram(p, m, dim)
+                        for p, m in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    return media.select("media_id", "media_type", "n_bytes", "payload").mapInPandas(
+        hist, schema=HISTOGRAM_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
@@ -88,12 +133,9 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
-                raw = decode_payload(bytes(payload), mtype)
-                hist = [0.0] * feature_dim
-                for byte in raw:
-                    hist[byte % feature_dim] += 1.0
-                total = sum(hist) or 1.0
-                feats.append([v / total for v in hist])
+                counts = _payload_histogram(payload, mtype, feature_dim)
+                total = counts.sum() or 1
+                feats.append((counts / total).astype(np.float32))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

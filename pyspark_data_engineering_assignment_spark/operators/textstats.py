@@ -59,15 +59,19 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "q_distinct_tokens": F.size(F.array_distinct(toks)),
             "q_punct": F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")),
             "q_max_token_len": F.array_max(F.transform(toks, F.length)),
+            # floor, not a bare cast: Spark's double->long cast truncates
+            # but DuckDB's rounds, so the oracle pins floor() in both.
             "q_mean_token_len_x100": F.when(
                 F.size(toks) > 0,
-                (
-                    F.aggregate(
-                        F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
+                F.floor(
+                    (
+                        F.aggregate(
+                            F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
+                        )
+                        * 100
                     )
-                    * 100
-                )
-                / F.size(toks),
+                    / F.size(toks)
+                ),
             ).cast("long"),
         }
     )

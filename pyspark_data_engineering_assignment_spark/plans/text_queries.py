@@ -23,7 +23,20 @@ from pyspark_data_engineering_assignment_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
+from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+    byte_histogram,
+    documents_as_media,
+)
+from pyspark_data_engineering_assignment_spark.operators.textstats import (
+    STOPWORDS,
+    language_id,
+    quality_features,
+)
 from pyspark_data_engineering_assignment_spark.plans.registry import register, _t
+
+
+def _sql_vocab(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
 @register(
@@ -263,3 +276,106 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "doc_language_id",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+                                  {_sql_vocab('en')})) AS hits_en,
+               len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+                                  {_sql_vocab('es')})) AS hits_es,
+               len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+                                  {_sql_vocab('fr')})) AS hits_fr,
+               len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+                                  {_sql_vocab('de')})) AS hits_de
+        FROM documents
+    )
+    SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM h
+    """,
+    doc="Language-ID heuristic (operators/textstats.py): per-language "
+    "distinct-stopword hit counts, argmax with deterministic alphabetical "
+    "tie-break, 'und' when nothing hits. The oracle re-states the nested "
+    "when-chain as an ordered CASE.",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d).select(
+        "doc_id", "hits_en", "hits_es", "hits_fr", "hits_de", "predicted_lang"
+    )
+
+
+@register(
+    "doc_quality_features",
+    r"""
+    SELECT doc_id,
+           len(text) AS q_chars,
+           len(string_split(trim(text), ' ')) AS q_tokens,
+           len(list_distinct(string_split(trim(text), ' '))) AS q_distinct_tokens,
+           len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS q_punct,
+           list_max(list_transform(string_split(trim(text), ' '), x -> len(x)))
+               AS q_max_token_len,
+           CAST(floor(list_sum(list_transform(string_split(trim(text), ' '),
+                                              x -> len(x))) * 100
+                      / len(string_split(trim(text), ' '))) AS BIGINT)
+               AS q_mean_token_len_x100
+    FROM documents
+    """,
+    doc="Per-document quality signals (operators/textstats.py): lengths, "
+    "type-token-ratio inputs, punctuation count, longest/mean token "
+    "length. Mean is floor()ed in both engines (Spark's double->long cast "
+    "truncates, DuckDB's rounds).",
+)
+def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id",
+        "q_chars",
+        "q_tokens",
+        "q_distinct_tokens",
+        "q_punct",
+        "q_max_token_len",
+        "q_mean_token_len_x100",
+    )
+
+
+@register(
+    "media_byte_histogram",
+    """
+    WITH b AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    bytes AS (
+        SELECT media_id, n_bytes,
+               unnest(list_transform(range(n_bytes),
+                      i -> ('0x' || substr(h, (2 * i + 1)::int, 2))::int % 16))
+                   AS bucket
+        FROM b
+    )
+    SELECT media_id, n_bytes, bucket, count(*) AS n
+    FROM bytes GROUP BY 1, 2, 3
+    """,
+    doc="Multimodal feature core, oracle-checked exactly: byte histogram "
+    "folded to 16 buckets, computed by the numpy-vectorized mapInPandas "
+    "operator (operators/multimodal.py byte_histogram) and re-derived in "
+    "the oracle by hex-decoding every payload byte in SQL. Zero-count "
+    "buckets dropped on both sides. extract_features is this histogram "
+    "normalized to float32 (tests/test_multimodal.py).",
+)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = byte_histogram(documents_as_media(d), dim=16)
+    return (
+        h.select("media_id", "n_bytes", F.posexplode("counts").alias("bucket", "n"))
+        .filter(F.col("n") > 0)
+    )

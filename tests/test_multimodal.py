@@ -1,0 +1,69 @@
+"""Multimodal plumbing tests: Arrow batch shape, numpy-vectorized byte
+histogram, normalized feature derivation, and the loud codec boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+    byte_histogram,
+    decode_payload,
+    documents_as_media,
+    extract_features,
+)
+
+DOCS = [
+    (1, "hello world"),
+    (2, ""),
+    (3, "abc " * 50),
+    (4, "émoji ünïcode bytes"),  # multi-byte utf-8
+]
+
+
+@pytest.fixture()
+def media(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return documents_as_media(docs)
+
+
+def _expected_hist(text: str, dim: int = 16) -> list[int]:
+    raw = text.encode("utf-8")
+    hist = [0] * dim
+    for b in raw:
+        hist[b % dim] += 1
+    return hist
+
+
+def test_byte_histogram_matches_pure_python(spark, media):
+    got = {r["media_id"]: list(r["counts"]) for r in byte_histogram(media).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _expected_hist(text), doc_id
+    # n_bytes consistency: histogram mass == payload byte length
+    for r in byte_histogram(media).collect():
+        assert sum(r["counts"]) == r["n_bytes"]
+
+
+def test_extract_features_is_normalized_histogram(spark, media):
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    for doc_id, text in DOCS:
+        hist = _expected_hist(text)
+        total = sum(hist) or 1
+        want = np.array(hist, dtype=np.float64) / total
+        got = np.array(feats[doc_id], dtype=np.float64)
+        assert got == pytest.approx(want, abs=1e-6), doc_id
+    # empty payload: all-zero feature, not NaN
+    assert all(v == 0.0 for v in feats[2])
+
+
+def test_decode_payload_fails_loudly_for_unknown_codec():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00", "image")
+
+
+def test_payload_column_pruned_when_unused(spark, media):
+    """Scale guard: a metadata-only projection must not read the payload
+    bytes (column pruning reaches the scan)."""
+    meta_only = media.select("media_id", "n_bytes")
+    assert "payload" not in meta_only.schema.fieldNames()
