@@ -43,13 +43,14 @@ def top_k_per_group(
     group_cols: list[str],
     order_exprs: list,
     k: int,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Deterministic per-group top-k via row_number. Callers must make
     ``order_exprs`` a total order (tie-break on a key column) or the
-    result is nondeterministic under retries."""
+    result is nondeterministic under retries. ``rank_col`` keeps the
+    1-based rank in the output; None drops it."""
     w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    out = df.withColumn(rank_col or "_rn", F.row_number().over(w)).filter(
+        F.col(rank_col or "_rn") <= k
     )
+    return out if rank_col else out.drop("_rn")

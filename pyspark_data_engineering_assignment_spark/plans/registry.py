@@ -32,6 +32,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_data_engineering_assignment_spark.operators.relational import (
+    exact_percentile_threshold,
+    top_k_per_group,
+)
 from pyspark_data_engineering_assignment_spark.sources.tables import load_table
 
 
@@ -185,12 +189,8 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").alias("weight"),
         F.col("l_returnflag").alias("category"),
     )
-    w = Window.partitionBy("merchant_id", "category").orderBy("weight")
-    thresholds = (
-        tx.withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") <= 0.05)
-        .groupBy("merchant_id", "category")
-        .agg(F.max("weight").alias("p1_weight"))
+    thresholds = exact_percentile_threshold(
+        tx, ["merchant_id", "category"], "weight", 0.05, out_col="p1_weight"
     )
     low_weight = (
         tx.alias("t")
@@ -411,14 +411,13 @@ def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-    )
+    return top_k_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        rank_col="rank",
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
 
 
 @register(
