@@ -1,0 +1,132 @@
+"""Tests for Spark-native stateful streaming operators
+(``streaming/stateful.py``): applyInPandasWithState running counters and
+watermark-bounded streaming dedup."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+
+from pyspark_data_engineering_assignment_spark.schemas import TRANSACTION_SCHEMA
+from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+    dedup_stream_by_key,
+    running_pair_counters,
+)
+from pyspark_data_engineering_assignment_spark.tools.feeder import feed_chunks
+
+COLUMNS = [f.name for f in TRANSACTION_SCHEMA.fields]
+
+
+def _tx(step, customer, merchant, amount):
+    return (step, customer, "2", "F", "28007", merchant, "28007", "es_a", amount, 0)
+
+
+def test_running_pair_counters_cumulative_state(spark, tmp_path):
+    """State persists across micro-batches: (C1,M1) crosses the emit
+    threshold in batch 1 only when batch 0's counts carried over."""
+    rows = [
+        # batch 0 (chunk of 4)
+        _tx(0, "C1", "M1", "10.00"),
+        _tx(0, "C1", "M1", "20.50"),
+        _tx(0, "C2", "M1", "5.00"),
+        _tx(0, "C2", "M2", "5.00"),
+        # batch 1
+        _tx(1, "C1", "M1", "0.25"),
+        _tx(1, "C2", "M1", "1.00"),
+        _tx(1, "C9", "M9", "1.00"),
+        _tx(1, "C9", "M9", "1.00"),
+    ]
+    src_csv = tmp_path / "tx.csv"
+    pd.DataFrame(rows, columns=COLUMNS).to_csv(src_csv, index=False)
+    input_dir = str(tmp_path / "incoming")
+    feed_chunks(str(src_csv), input_dir, chunk_rows=4)
+
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(input_dir)
+    )
+    out = running_pair_counters(stream, emit_min_count=3)
+
+    sink = f"pairs_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.table(sink).collect())
+    # batch 0: no pair reaches 3. batch 1: (C1,M1) -> 3 txns, 30.75 total.
+    # (C2,M1) has 2, (C9,M9) has 2 -> silent.
+    assert got == [("C1", "M1", 3, 3075)]
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    """Re-delivered event_ids within the watermark are dropped; distinct
+    ids all survive."""
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": ["2024-01-01 10:00:00", "2024-01-01 10:05:00", "2024-01-01 10:10:00"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "event_id": [2, 4],  # 2 is a redelivery
+            "ts": ["2024-01-01 10:06:00", "2024-01-01 10:20:00"],
+            "value": [2.0, 4.0],
+        }
+    )
+    for i, pdf in enumerate([f1, f2]):
+        p = os.path.join(src, f"part{i}.csv")
+        pdf.to_csv(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = dedup_stream_by_key(stream, ["event_id"], watermark_delay="1 hour")
+
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ids = sorted(r["event_id"] for r in spark.table(sink).collect())
+    assert ids == [1, 2, 3, 4]
