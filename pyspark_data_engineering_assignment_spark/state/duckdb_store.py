@@ -1,0 +1,150 @@
+"""External-RDBMS state backend: the reference's UPSERT protocol, verbatim.
+
+The reference keeps cumulative state in PostgreSQL and merges each batch
+with driver-side ``INSERT ... SELECT ... FROM temp ON CONFLICT (key) DO
+UPDATE SET counter = counter + EXCLUDED.counter`` (``Mechanism Y.py:
+147-160``, ``:172-180``, ``:195-203``; DDL ``sql/postgres_tables.sql``).
+This backend preserves that contract against an embedded DuckDB database
+(no PostgreSQL/JDBC driver ships in this environment; DuckDB speaks the
+same ``ON CONFLICT`` dialect), behind the same ``StateStore`` interface
+as ``ParquetStateStore`` - so the pipeline can swap backends untouched.
+
+Two deliberate fixes over the reference, matching the parquet backend:
+  * merges are idempotent by batch_id (an ``_applied_batches`` ledger
+    updated in the same transaction as the UPSERT - the reference
+    double-counts on replay, survey §7.4.2);
+  * null counters coalesce to 0 on BOTH sides of the addition
+    (the reference coalesces only the stored side, ``:178``).
+
+Scale honesty: per-batch aggregates cross the driver here (the reference
+shipped them through a JDBC temp table; same boundary). That is fine for
+dimension-sized aggregate rows and true to the reference architecture -
+the 100 TB path is ``ParquetStateStore`` / Delta ``MERGE``, where the
+merge runs as a distributed join.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import duckdb
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DataType, DecimalType, LongType, StringType, TimestampType
+
+from pyspark_data_engineering_assignment_spark.state.store import StateTableSpec
+
+
+def _ddl_type(dt: DataType) -> str:
+    if isinstance(dt, StringType):
+        return "VARCHAR"
+    if isinstance(dt, LongType):
+        return "BIGINT"
+    if isinstance(dt, DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, TimestampType):
+        return "TIMESTAMP"
+    raise TypeError(f"unsupported state column type: {dt}")
+
+
+class DuckDBStateStore:
+    """``StateStore`` backed by an embedded SQL database file."""
+
+    def __init__(self, spark: SparkSession, db_path: str) -> None:
+        self.spark = spark
+        self.con = duckdb.connect(db_path)
+        self.con.execute(
+            "CREATE TABLE IF NOT EXISTS _applied_batches ("
+            "table_name VARCHAR, batch_id BIGINT, PRIMARY KEY (table_name))"
+        )
+        self._created: set[str] = set()
+
+    def _ensure_table(self, spec: StateTableSpec) -> None:
+        if spec.name in self._created:
+            return
+        cols = ", ".join(
+            f"{f.name} {_ddl_type(f.dataType)}" for f in spec.schema.fields
+        )
+        pk = ", ".join(spec.key_cols)
+        self.con.execute(
+            f"CREATE TABLE IF NOT EXISTS {spec.name} ({cols}, PRIMARY KEY ({pk}))"
+        )
+        self._created.add(spec.name)
+
+    def last_batch_id(self, spec: StateTableSpec) -> int:
+        row = self.con.execute(
+            "SELECT batch_id FROM _applied_batches WHERE table_name = ?",
+            [spec.name],
+        ).fetchone()
+        return row[0] if row else -1
+
+    def read_state(self, spec: StateTableSpec) -> DataFrame:
+        self._ensure_table(spec)
+        cols = ", ".join(spec.schema.fieldNames())
+        rows = self.con.execute(f"SELECT {cols} FROM {spec.name}").fetchall()
+        return self.spark.createDataFrame(rows, spec.schema)
+
+    def merge_batch(
+        self,
+        spec: StateTableSpec,
+        batch_agg: DataFrame,
+        batch_id: int,
+        now: str | None = None,
+    ) -> None:
+        """The reference UPSERT, transactionally paired with the batch-id
+        ledger so a replayed micro-batch is a no-op."""
+        self._ensure_table(spec)
+        if batch_id <= self.last_batch_id(spec):
+            return
+
+        in_cols = list(spec.key_cols) + list(spec.sum_cols)
+        pdf = batch_agg.select(*in_cols).toPandas()
+        # Decimal columns cross pandas as objects; stringify (exact) and
+        # let SQL CAST restore the declared DECIMAL type.
+        agg_exprs = []
+        for c in spec.sum_cols:
+            f = spec.schema[c]
+            ddl = _ddl_type(f.dataType)
+            if isinstance(f.dataType, DecimalType):
+                pdf[c] = pdf[c].map(
+                    lambda v: None
+                    if v is None or (isinstance(v, float) and v != v)
+                    else str(v)
+                )
+            # pre-aggregate: ON CONFLICT rejects duplicate source keys, and
+            # the reference always groupBy'd per batch before the UPSERT -
+            # folding it into the statement keeps the contract whole here.
+            # coalesce matches the parquet backend: an all-null batch
+            # inserts 0, not NULL.
+            agg_exprs.append(
+                f"CAST(coalesce(sum(CAST({c} AS {ddl})), 0) AS {ddl}) AS {c}"
+            )
+
+        keys = ", ".join(spec.key_cols)
+        ts_expr = "CAST(? AS TIMESTAMP)" if now else "now()::TIMESTAMP"
+        updates = ", ".join(
+            f"{c} = coalesce({spec.name}.{c}, 0) + coalesce(EXCLUDED.{c}, 0)"
+            for c in spec.sum_cols
+        )
+        sql = (
+            f"INSERT INTO {spec.name} "
+            f"SELECT {keys}, {', '.join(agg_exprs)}, {ts_expr} AS last_updated "
+            f"FROM batch_view GROUP BY {keys} "
+            f"ON CONFLICT ({keys}) DO UPDATE SET "
+            f"{updates}, last_updated = EXCLUDED.last_updated"
+        )
+        self.con.register("batch_view", pdf)
+        try:
+            self.con.execute("BEGIN")
+            self.con.execute(sql, [now] if now else [])
+            self.con.execute(
+                "INSERT INTO _applied_batches VALUES (?, ?) "
+                "ON CONFLICT (table_name) DO UPDATE SET batch_id = EXCLUDED.batch_id",
+                [spec.name, batch_id],
+            )
+            self.con.execute("COMMIT")
+        except Exception:
+            self.con.execute("ROLLBACK")
+            raise
+        finally:
+            self.con.unregister("batch_view")

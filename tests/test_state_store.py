@@ -48,9 +48,22 @@ CM_AGG_SCHEMA = StructType(
 )
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
-    return ParquetStateStore(spark, str(tmp_path / "state"))
+def _make_store(backend: str, spark, path):
+    if backend == "parquet":
+        return ParquetStateStore(spark, str(path))
+    from pyspark_data_engineering_assignment_spark.state.duckdb_store import (
+        DuckDBStateStore,
+    )
+
+    return DuckDBStateStore(spark, str(path) + ".duckdb")
+
+
+@pytest.fixture(params=["parquet", "duckdb"])
+def store(request, spark, tmp_path):
+    """Every merge-semantics test runs against BOTH backends: the
+    distributed parquet/Delta-shaped store and the reference-parity
+    RDBMS UPSERT store."""
+    return _make_store(request.param, spark, tmp_path / "state")
 
 
 def merchant_state(store):
@@ -118,7 +131,8 @@ def test_null_amount_coalesces_to_zero(spark, store):
     assert total == Decimal("5.00")
 
 
-def test_batch_invariance(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["parquet", "duckdb"])
+def test_batch_invariance(spark, tmp_path, backend):
     """Chunking must not matter: one big batch vs three small ones yield
     the same final state (survey §5.4 property)."""
     rows = [
@@ -127,14 +141,14 @@ def test_batch_invariance(spark, tmp_path):
         ("C2", "M1", 1, Decimal("7.25")),
         ("C2", "M2", 4, Decimal("0.75")),
     ]
-    one = ParquetStateStore(spark, str(tmp_path / "one"))
+    one = _make_store(backend, spark, tmp_path / "one")
     one.merge_batch(
         CUSTOMER_MERCHANT_SUMMARY,
         spark.createDataFrame(rows, CM_AGG_SCHEMA),
         batch_id=0,
         now=NOW,
     )
-    many = ParquetStateStore(spark, str(tmp_path / "many"))
+    many = _make_store(backend, spark, tmp_path / "many")
     for bid, row in enumerate(rows):
         many.merge_batch(
             CUSTOMER_MERCHANT_SUMMARY,
@@ -143,3 +157,24 @@ def test_batch_invariance(spark, tmp_path):
             now=NOW,
         )
     assert cm_state(one) == cm_state(many)
+
+
+@pytest.mark.parametrize("backend", ["parquet", "duckdb"])
+def test_backends_agree(spark, tmp_path, backend):
+    """Cross-backend contract: identical batch sequence -> identical
+    state rows (modulo last_updated, pinned via now=...)."""
+    batches = [
+        [("C1", "M1", 1, Decimal("0.10")), ("C2", "M1", 1, None)],
+        [("C1", "M1", 2, Decimal("0.20"))],
+    ]
+    ref = _make_store("parquet", spark, tmp_path / "ref")
+    other = _make_store(backend, spark, tmp_path / "other")
+    for bid, rows in enumerate(batches):
+        for s in (ref, other):
+            s.merge_batch(
+                CUSTOMER_MERCHANT_SUMMARY,
+                spark.createDataFrame(rows, CM_AGG_SCHEMA),
+                batch_id=bid,
+                now=NOW,
+            )
+    assert cm_state(ref) == cm_state(other)

@@ -228,6 +228,30 @@ def test_detection_files_have_exactly_n_rows(spark, tmp_path):
     assert sorted(before.values()) == sorted(after.values())
 
 
+def test_pipeline_with_duckdb_state_backend(spark, tmp_path):
+    """The pipeline is backend-agnostic: the reference-parity RDBMS
+    UPSERT store yields the same per-batch detections as the parquet
+    store (also exercises process_batch as a plain batch loop -
+    backfill without a stream)."""
+    from pyspark_data_engineering_assignment_spark.state.duckdb_store import (
+        DuckDBStateStore,
+    )
+
+    input_dir, imp_path, chunk_paths = _write_inputs(tmp_path)
+    importance = read_importance(spark, imp_path)
+    store = DuckDBStateStore(spark, str(tmp_path / "state.duckdb"))
+    detections_dir = str(tmp_path / "detections")
+    pipe = DetectionPipeline(
+        spark, store, importance, detections_dir, config=EngineConfig(), clock=CLOCK
+    )
+    for bid, path in enumerate(chunk_paths):
+        pipe.process_batch(read_csv(spark, path, TRANSACTION_SCHEMA), bid)
+
+    got = _read_detections(detections_dir)
+    for bid, expected in EXPECTED.items():
+        assert got.get(bid, Counter()) == expected, f"batch {bid}"
+
+
 def test_empty_batch_short_circuit(spark, tmp_path):
     """T8: an empty micro-batch writes nothing and bumps no state."""
     importance = read_importance(
