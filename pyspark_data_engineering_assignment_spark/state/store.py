@@ -8,7 +8,13 @@ counter = counter + EXCLUDED.counter`` (reference ``Mechanism Y.py:136-206``,
   * the additive merge runs as a distributed union + hash re-aggregation
     (exactly what a Delta/Iceberg ``MERGE`` plans), not a driver-side SQL
     statement;
-  * state versions are immutable parquet snapshots with an atomically
+  * state is **hash-bucketed by key** with an independent version per
+    bucket: a merge reads and rewrites ONLY the buckets containing keys
+    touched by the batch. Per-batch I/O is O(|touched state|), not
+    O(|state|) - the same file-pruning a Delta ``MERGE`` gets from data
+    skipping, and what makes the store survive 100 TB state with
+    localized batches;
+  * bucket versions are immutable parquet snapshots with an atomically
     swapped pointer file - readers never see a partial write;
   * merges are **idempotent by batch_id**: replaying a micro-batch after a
     crash-before-checkpoint does not double-count (fixes the reference's
@@ -17,7 +23,9 @@ counter = counter + EXCLUDED.counter`` (reference ``Mechanism Y.py:136-206``,
 On a real lakehouse this class is swapped for Delta ``MERGE INTO`` with the
 same interface; the pointer dance is what Delta's transaction log does for
 us there. State size scales with distinct keys, not rows, and the merge
-shuffles only O(|batch keys| + |state keys|) pre-aggregated rows.
+shuffles only O(|batch keys| + |touched-bucket state keys|) pre-aggregated
+rows. Old bucket versions accumulate like a transaction log; a real
+deployment vacuums them (Delta ``VACUUM``) - out of scope here.
 """
 
 from __future__ import annotations
@@ -74,11 +82,13 @@ class StateStore(Protocol):
 
 
 class ParquetStateStore:
-    """Versioned-parquet state store with atomic pointer swap."""
+    """Hash-bucketed versioned-parquet state store with atomic pointer
+    swap and bucket-pruned merges."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16) -> None:
         self.spark = spark
         self.root = root
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
     # --- pointer management -------------------------------------------------
@@ -90,7 +100,13 @@ class ParquetStateStore:
             with open(self._pointer_path(table)) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"version": -1, "last_batch_id": -1}
+            # versions: bucket id (str) -> snapshot version of that bucket
+            return {
+                "versions": {},
+                "last_batch_id": -1,
+                "next_version": 0,
+                "n_buckets": self.n_buckets,
+            }
 
     def _write_pointer(self, table: str, pointer: dict) -> None:
         path = self._pointer_path(table)
@@ -100,16 +116,33 @@ class ParquetStateStore:
             json.dump(pointer, f)
         os.replace(tmp, path)  # atomic on POSIX
 
+    def _bucket_expr(self, spec: StateTableSpec, n_buckets: int):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in spec.key_cols]), F.lit(n_buckets)
+        )
+
+    def _bucket_paths(self, table: str, versions: dict, buckets=None) -> list[str]:
+        return [
+            os.path.join(self.root, table, f"v={v}", f"_bucket={b}")
+            for b, v in sorted(versions.items(), key=lambda kv: int(kv[0]))
+            if buckets is None or int(b) in buckets
+        ]
+
     # --- public API ----------------------------------------------------------
     def last_batch_id(self, spec: StateTableSpec) -> int:
         return self._read_pointer(spec.name)["last_batch_id"]
 
-    def read_state(self, spec: StateTableSpec) -> DataFrame:
+    def bucket_versions(self, spec: StateTableSpec) -> dict:
+        """bucket -> version map (introspection; tests use it to prove
+        untouched buckets are not rewritten)."""
+        return dict(self._read_pointer(spec.name)["versions"])
+
+    def read_state(self, spec: StateTableSpec, buckets=None) -> DataFrame:
         pointer = self._read_pointer(spec.name)
-        if pointer["version"] < 0:
+        paths = self._bucket_paths(spec.name, pointer["versions"], buckets)
+        if not paths:
             return self.spark.createDataFrame([], spec.schema)
-        path = os.path.join(self.root, spec.name, f"v={pointer['version']}")
-        return self.spark.read.schema(spec.schema).parquet(path)
+        return self.spark.read.schema(spec.schema).parquet(*paths)
 
     def merge_batch(
         self,
@@ -124,35 +157,65 @@ class ParquetStateStore:
         new keys insert; existing keys add counters; ``last_updated`` is
         refreshed for touched keys. Null counters coalesce to 0
         (``Mechanism Y.py:178``). Skips already-applied batch_ids.
+
+        I/O: reads and rewrites only the hash buckets that contain keys
+        present in the batch; every other bucket keeps its current
+        snapshot version untouched.
         """
         pointer = self._read_pointer(spec.name)
         if batch_id <= pointer["last_batch_id"]:
             return  # replayed batch: already merged, keep idempotent
+        n_buckets = pointer["n_buckets"]
 
         ts = F.to_timestamp(F.lit(now)) if now else F.current_timestamp()
-        batch_side = batch_agg.withColumn("last_updated", ts)
+        batch_side = (
+            batch_agg.withColumn("last_updated", ts)
+            .withColumn("_bucket", self._bucket_expr(spec, n_buckets))
+            .persist()
+        )
+        try:
+            # metadata-sized collect: one row per touched bucket
+            touched = {
+                int(r["_bucket"])
+                for r in batch_side.select("_bucket").distinct().collect()
+            }
+            if not touched:
+                self._write_pointer(spec.name, {**pointer, "last_batch_id": batch_id})
+                return
 
-        current = self.read_state(spec)
-        # Union + re-aggregate == distributed ON CONFLICT additive merge.
-        merged = (
-            current.select(*spec.schema.fieldNames())
-            .unionByName(batch_side.select(*spec.schema.fieldNames()))
-            .groupBy(*spec.key_cols)
-            .agg(
-                *[
-                    F.sum(F.coalesce(F.col(c), F.lit(0))).cast(
-                        spec.schema[c].dataType
-                    ).alias(c)
-                    for c in spec.sum_cols
-                ],
-                F.max("last_updated").alias("last_updated"),
+            current = self.read_state(spec, buckets=touched)
+            # Union + re-aggregate == distributed ON CONFLICT additive merge,
+            # restricted to the touched buckets.
+            merged = (
+                current.select(*spec.schema.fieldNames())
+                .unionByName(batch_side.select(*spec.schema.fieldNames()))
+                .groupBy(*spec.key_cols)
+                .agg(
+                    *[
+                        F.sum(F.coalesce(F.col(c), F.lit(0))).cast(
+                            spec.schema[c].dataType
+                        ).alias(c)
+                        for c in spec.sum_cols
+                    ],
+                    F.max("last_updated").alias("last_updated"),
+                )
+                .select(*spec.schema.fieldNames())
+                .withColumn("_bucket", self._bucket_expr(spec, n_buckets))
             )
-            .select(*spec.schema.fieldNames())
-        )
 
-        version = pointer["version"] + 1
-        out = os.path.join(self.root, spec.name, f"v={version}")
-        merged.write.mode("overwrite").parquet(out)
-        self._write_pointer(
-            spec.name, {"version": version, "last_batch_id": batch_id}
-        )
+            version = pointer["next_version"]
+            out = os.path.join(self.root, spec.name, f"v={version}")
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+            versions = dict(pointer["versions"])
+            versions.update({str(b): version for b in touched})
+            self._write_pointer(
+                spec.name,
+                {
+                    "versions": versions,
+                    "last_batch_id": batch_id,
+                    "next_version": version + 1,
+                    "n_buckets": n_buckets,
+                },
+            )
+        finally:
+            batch_side.unpersist()

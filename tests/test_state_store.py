@@ -159,6 +159,33 @@ def test_batch_invariance(spark, tmp_path, backend):
     assert cm_state(one) == cm_state(many)
 
 
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Scale property of the parquet store: a merge leaves every bucket
+    without touched keys at its existing snapshot version (per-batch I/O
+    is O(touched state), not O(state))."""
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=8)
+    seed = [(f"M{i}", 1) for i in range(32)]  # spread keys across buckets
+    store.merge_batch(
+        MERCHANT_SUMMARY,
+        spark.createDataFrame(seed, MERCHANT_AGG_SCHEMA),
+        batch_id=0,
+        now=NOW,
+    )
+    v0 = store.bucket_versions(MERCHANT_SUMMARY)
+    assert len(v0) == 8  # 32 keys cover all 8 buckets
+
+    store.merge_batch(
+        MERCHANT_SUMMARY,
+        spark.createDataFrame([("M0", 5)], MERCHANT_AGG_SCHEMA),
+        batch_id=1,
+        now=NOW,
+    )
+    v1 = store.bucket_versions(MERCHANT_SUMMARY)
+    changed = {b for b in v1 if v1[b] != v0[b]}
+    assert len(changed) == 1  # only M0's bucket was rewritten
+    assert merchant_state(store)["M0"] == 6  # and the merge still added
+
+
 @pytest.mark.parametrize("backend", ["parquet", "duckdb"])
 def test_backends_agree(spark, tmp_path, backend):
     """Cross-backend contract: identical batch sequence -> identical
