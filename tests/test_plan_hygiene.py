@@ -1,0 +1,107 @@
+"""Physical-plan hygiene guards: the properties that make these plans
+hold at 100 TB, pinned so a refactor can't silently regress them.
+
+  * filters and column pruning reach the parquet scan (PushedFilters /
+    ReadSchema)
+  * small dimensions broadcast (BroadcastHashJoin, no sort-merge on
+    dimension joins)
+  * semi/anti joins stay semi/anti (no blow-up then distinct)
+  * single-shuffle aggregations stay single-shuffle (partial+final hash
+    aggregate)
+  * no row-at-a-time Python (BatchEvalPython) anywhere in the registry;
+    Python appears only as Arrow-batched mapInPandas
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Formatted plans (node details, PushedFilters/ReadSchema)."""
+    return {name: plan_text(QUERIES[name].fn(spark, SF)) for name in QUERIES}
+
+
+@pytest.fixture(scope="module")
+def simple_plans(spark):
+    """Simple plans: each node once (for counting), codegen stages
+    marked with ``*(id)``."""
+    return {
+        name: plan_text(QUERIES[name].fn(spark, SF), mode="simple")
+        for name in QUERIES
+    }
+
+
+def test_filter_pushed_to_scan(plans):
+    p = plans["pricing_summary"]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning_reaches_scan(plans):
+    # pricing_summary touches 5 lineitem columns; the scan must not read
+    # the wide rest of the table
+    p = plans["pricing_summary"]
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_joins_broadcast(plans):
+    for name in ["revenue_by_nation", "order_enrichment", "patid1_upgrade"]:
+        assert "BroadcastHashJoin" in plans[name], name
+    # the 5-way chain must not sort-merge the small dims
+    assert plans["order_enrichment"].count("SortMergeJoin") == 0
+
+
+def test_semi_and_anti_joins_stay_semi_anti(plans):
+    assert "LeftSemi" in plans["suppliers_with_shipments"]
+    assert "LeftAnti" in plans["customers_without_big_orders"]
+    # anti-join pushes its selectivity filter into the orders scan
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in (
+        plans["customers_without_big_orders"]
+    )
+
+
+def test_single_shuffle_aggregations(simple_plans):
+    # partial+final hash agg: exactly one Exchange in the plan
+    for name in ["events_hourly", "dedup_exact", "lang_stats", "patid2_child"]:
+        assert simple_plans[name].count("Exchange") == 1, name
+        assert simple_plans[name].count("HashAggregate") >= 2, name  # partial+final
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_python_only_as_arrow_batches(plans):
+    # the multimodal path is the one place Python runs - as mapInPandas
+    assert "MapInPandas" in plans["media_byte_histogram"]
+
+
+def test_whole_stage_codegen_covers_relational_core(spark):
+    # the hot relational queries must run inside codegen stages. AQE only
+    # materializes codegen in the FINAL plan, so execute first (tiny sf),
+    # then inspect the executed plan for "*(id)" codegen markers.
+    for name in ["pricing_summary", "revenue_by_nation", "events_hourly"]:
+        df = QUERIES[name].fn(spark, SF)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, name
+        assert "*(" in final, f"{name}: no WholeStageCodegen stage in final plan"
