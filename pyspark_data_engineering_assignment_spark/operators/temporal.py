@@ -1,0 +1,88 @@
+"""Temporal joins Spark lacks as built-ins, composed from DataFrame ops.
+
+As-of join (the time-series workhorse: "for each left row, the latest
+right row at or before it, per key"). Spark has no ASOF JOIN; the naive
+rewrites are a non-equi theta join (quadratic blow-up per key) or a
+per-key subquery (driver loop). The scalable composition used here is
+union-tag-window:
+
+    1. tag both sides, union them on aligned schemas,
+    2. one shuffle: window partitioned by key, ordered by (time, side)
+       with right rows sorting before left rows at equal timestamps
+       (so "at or before" includes ties),
+    3. ``last(value, ignorenulls=True)`` over the unbounded-preceding
+       frame carries each right value forward to the left rows,
+    4. keep only left rows.
+
+Cost: ONE hash shuffle + per-key sort - same shape as any windowed
+aggregation, no pair blow-up, skew bounded by the hottest key exactly
+like a groupBy. This is the standard distributed as-of (what
+pandas.merge_asof does per group, re-expressed as a single window pass).
+
+Contract: the right side must be unique per (key, right_ts) - pre-dedup
+with ``max_by`` if it isn't (the registry query does) - otherwise which
+same-timestamp right row wins is plan-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of left join: every ``left`` row gains ``right_cols``
+    from the latest ``right`` row with ``right_ts <= left_ts`` for the
+    same key (nulls when no such row exists).
+
+    ``right_cols`` must not collide with ``left`` column names.
+    """
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+
+    left_rest = [c for c in left.columns if c not in key_cols and c != left_ts]
+
+    l_side = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *left_rest,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right_cols
+        ],
+    )
+    r_side = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_rest
+        ],
+        *right_cols,
+    )
+
+    # right rows sort before left rows at the same timestamp: a right row
+    # AT left_ts is eligible (the <= contract)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_t"), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = l_side.unionByName(r_side)
+    for c in right_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return (
+        out.filter(F.col("_side") == 0)
+        .drop("_side")
+        .withColumnRenamed("_t", left_ts)
+    )

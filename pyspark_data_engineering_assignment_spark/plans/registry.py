@@ -580,3 +580,46 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return session_windowed_events(e, "30 minutes")
+
+
+@register(
+    "purchase_asof_click",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id,
+               max_by(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+        SELECT event_id, user_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.value, c.click_id, c.click_value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (operators/temporal.py): every purchase gains the "
+    "same user's latest click at-or-before it. Spark side is the "
+    "union-tag-window composition (one shuffle, no pair blow-up); the "
+    "oracle is DuckDB's native ASOF LEFT JOIN. Clicks pre-deduped per "
+    "(user, ts) with max_by in both engines so ties are deterministic.",
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.temporal import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    return as_of_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_id", "click_value"]
+    ).select("event_id", "user_id", "value", "click_id", "click_value")

@@ -1,0 +1,77 @@
+"""As-of join unit tests (operators/temporal.py): backward semantics,
+tie inclusion, per-key isolation, no-match nulls. The registry query
+``purchase_asof_click`` additionally pins it against DuckDB's native
+ASOF JOIN at every oracle run."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pyspark_data_engineering_assignment_spark.operators.temporal import as_of_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+LEFT_SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("left_id", LongType()),
+    ]
+)
+
+RIGHT_SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("price", DoubleType()),
+    ]
+)
+
+
+def test_as_of_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1),   # before any right -> null
+            ("A", _ts("2024-01-01 11:00:00"), 2),   # tie with right @11:00 -> included
+            ("A", _ts("2024-01-01 11:30:00"), 3),   # latest right <= is 11:00
+            ("A", _ts("2024-01-01 13:00:00"), 4),   # latest right <= is 12:00
+            ("B", _ts("2024-01-01 11:30:00"), 5),   # other key: only B rights apply
+            ("C", _ts("2024-01-01 11:30:00"), 6),   # key with no right rows -> null
+        ],
+        LEFT_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 11:00:00"), 10.0),
+            ("A", _ts("2024-01-01 12:00:00"), 20.0),
+            ("B", _ts("2024-01-01 11:00:00"), 99.0),
+        ],
+        RIGHT_SCHEMA,
+    )
+    out = as_of_join(left, right, ["k"], "ts", "ts", ["price"])
+    got = {r["left_id"]: r["price"] for r in out.collect()}
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 99.0, 6: None}
+    # left row count preserved (left join), left columns intact
+    assert out.count() == 6
+    assert set(out.columns) == {"k", "ts", "left_id", "price"}
+
+
+def test_as_of_join_rejects_column_clash(spark):
+    left = spark.createDataFrame([("A", _ts("2024-01-01 10:00:00"), 1)], LEFT_SCHEMA)
+    right = left.withColumnRenamed("left_id", "x")
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, ["k"], "ts", "ts", ["x", "left_id"])
