@@ -623,3 +623,42 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of_join(
         purchases, clicks, ["user_id"], "ts", "ts", ["click_id", "click_value"]
     ).select("event_id", "user_id", "value", "click_id", "click_value")
+
+
+@register(
+    "events_value_brackets",
+    """
+    WITH brackets(label, lo, hi) AS (
+        VALUES ('micro', 0.0, 25.0), ('small', 25.0, 100.0),
+               ('mid', 100.0, 250.0), ('large', 250.0, 1000.0)
+    )
+    SELECT b.label, count(*) AS n_events,
+           CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events e JOIN brackets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+    doc="Range join (operators/rangejoin.py): events joined to containing "
+    "value brackets via interval bucketing (explode intervals to "
+    "overlapped buckets -> hash equi-join -> exact boundary filter) "
+    "instead of the quadratic theta join the oracle runs. Half-open "
+    "[lo, hi) semantics pinned by the boundary buckets.",
+)
+def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    brackets = spark.createDataFrame(
+        [("micro", 0.0, 25.0), ("small", 25.0, 100.0),
+         ("mid", 100.0, 250.0), ("large", 250.0, 1000.0)],
+        ["label", "lo", "hi"],
+    )
+    joined = bucketed_range_join(e, brackets, "value", "lo", "hi", bucket_width=50.0)
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("value").cast(DEC) * 100).cast("long"))
+        .cast("long")
+        .alias("total_value_cents"),
+    )

@@ -1,0 +1,47 @@
+"""Bucketed range join unit tests: containment, half-open boundaries,
+bucket-straddling intervals, single-match-per-pair (no dup from
+multi-bucket overlap)."""
+
+from __future__ import annotations
+
+from pyspark_data_engineering_assignment_spark.operators.rangejoin import (
+    bucketed_range_join,
+)
+
+
+def test_bucketed_range_join_semantics(spark):
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 24.99), (3, 25.0), (4, 99.0), (5, 250.0), (6, 999.0)],
+        ["pid", "v"],
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 25.0), ("b", 25.0, 100.0), ("c", 90.0, 260.0)],
+        ["label", "lo", "hi"],
+    )
+    out = bucketed_range_join(points, intervals, "v", "lo", "hi", bucket_width=50.0)
+    got = sorted((r["pid"], r["label"]) for r in out.collect())
+    assert got == [
+        (1, "a"),          # lo boundary included
+        (2, "a"),
+        (3, "b"),          # hi of a excluded, lo of b included
+        (4, "b"), (4, "c"),  # overlapping intervals both match
+        (5, "c"),          # interval straddles several buckets, one match
+    ]                       # 999.0 outside all -> dropped (inner join)
+
+
+def test_bucketed_range_join_no_duplicate_matches(spark):
+    # a wide interval overlapping many buckets still matches each point once
+    points = spark.createDataFrame([(i, float(i)) for i in range(100)], ["pid", "v"])
+    intervals = spark.createDataFrame([("all", 0.0, 100.0)], ["label", "lo", "hi"])
+    out = bucketed_range_join(points, intervals, "v", "lo", "hi", bucket_width=7.0)
+    assert out.count() == 100
+    assert out.select("pid").distinct().count() == 100
+
+
+def test_bucketed_range_join_rejects_clash(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1, 1.0)], ["pid", "v"])
+    intervals = spark.createDataFrame([(2, 0.0, 5.0)], ["pid", "lo", "hi"])
+    with pytest.raises(ValueError, match="clash"):
+        bucketed_range_join(points, intervals, "v", "lo", "hi", 10.0)
