@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over an ``array<float>`` column.
 
-Two strategies:
+Three strategies:
 
   * **Brute-force top-k** - broadcast the (small) query set, crossJoin,
     cosine in codegen, window top-k. Exact; at 100 TB this is the
@@ -9,10 +9,16 @@ Two strategies:
   * **LSH-bucketed top-k** - random-hyperplane signatures (sign of dot
     with deterministic pseudo-random planes) bucket the corpus; each
     query probes only its own bucket(s). Recall < 1, cost ~ bucket size.
-    This is the scale path; planes are generated from a fixed seed so
-    results are reproducible.
+    Data-independent (no training pass); planes are generated from a
+    fixed seed so results are reproducible.
+  * **IVF top-k** - coarse quantization: k-means cells learned from the
+    corpus (``pyspark.ml`` KMeans), corpus partitioned by nearest cell,
+    queries probe their ``n_probe`` nearest cells. Data-adaptive: on
+    clustered embeddings (the realistic case) cells follow the density
+    and recall beats data-independent LSH at equal probe cost. Needs the
+    training pass LSH doesn't.
 
-Embedding-cosine near-dup (corpus self-join) reuses the same buckets.
+Embedding-cosine near-dup (corpus self-join) reuses the LSH buckets.
 """
 
 from __future__ import annotations
@@ -137,6 +143,85 @@ def lsh_bucketed_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    1. train k-means centroids on the corpus (optionally a sample -
+       at 100 TB you train on ~1e6 sampled vectors, never the full set),
+    2. assign every corpus vector to its nearest cell (one ml transform,
+       distributed),
+    3. each query ranks the (tiny, broadcast) centroid table by L2 and
+       probes its ``n_probe`` nearest cells,
+    4. hash-join queries x corpus on the cell id, cosine, window top-k.
+
+    Shuffle cost ~ corpus/n_cells x n_probe per query against a hash
+    join - same shape as the LSH path but with data-adaptive buckets.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    to_vec = array_to_vector(F.col(vec_col).cast("array<double>"))
+    train = corpus.select(to_vec.alias("features"))
+    if train_fraction:
+        train = train.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+
+    c = (
+        model.transform(corpus.withColumn("features", to_vec))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col("prediction").alias("cell"),
+        )
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    l2sq = F.aggregate(
+        F.zip_with(
+            F.col("qvec").cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("cell"))
+    probed = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", l2sq)
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    pairs = F.broadcast(probed).join(c, on="cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

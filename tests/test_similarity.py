@@ -120,3 +120,33 @@ def test_embedding_neardup_finds_planted_pairs(spark):
     assert (2, 302) in pairs and pairs[(2, 302)] >= 0.99
     # random unrelated vectors in DIM=16 essentially never hit cos>=0.9
     assert all(a in (0, 1, 2) or a >= 300 for a, _ in pairs), pairs
+
+
+def test_ivf_topk_recall(spark, emb):
+    from pyspark_data_engineering_assignment_spark.operators.similarity import ivf_topk
+
+    exact = _topk_map(
+        brute_force_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5)
+    )
+    approx = _topk_map(
+        ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < N_QUERIES),
+            k=5,
+            n_cells=8,
+            n_probe=4,
+        )
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    # random gaussians are the adversarial case for IVF too (no cluster
+    # structure); probing half the cells must still clear a usable floor
+    assert recall >= 0.5, f"IVF recall@5 = {recall}"
+    # structural: k results per query, ranks total-ordered
+    per_q = {}
+    for r in ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_cells=8, n_probe=4
+    ).collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], (q, ranks)
