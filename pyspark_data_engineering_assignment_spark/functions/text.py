@@ -44,6 +44,45 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
+# ASCII-only BPE-ish pre-tokenization classes: letter runs, digit runs,
+# single non-alnum marks. ASCII-only on purpose: Java regex (Spark) and
+# RE2 (DuckDB) agree exactly on these classes, so the same pattern string
+# is the oracle's pattern.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_bpe(text: Column) -> Column:
+    """BPE-style pre-tokenization (letter runs / digit runs / punctuation
+    marks) - the subword-budget counter for training-data pipelines.
+    Whitespace never tokenizes; 'don't' -> [don, ', t]."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm): hash every k-gram, slide a window of ``window``
+    hashes, keep each window's minimum, dedup. Robust to insertions -
+    local edits disturb only nearby windows, unlike a whole-doc hash.
+
+    Hashes are md5 hex strings ordered lexicographically (not the usual
+    integers) so the DuckDB oracle can reproduce them exactly - both
+    engines have md5; neither shares an integer hash. Returns a sorted
+    ``array<string>`` of selected fingerprints.
+    """
+    grams = word_ngrams(text, k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    n_windows = F.size(hashes) - (window - 1)
+    mins = F.when(F.size(hashes) < window, F.array_distinct(hashes)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hashes, i, window)),
+            )
+        )
+    )
+    return F.array_sort(mins)
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 hex of the normalized
     (trimmed, lowercased) text - the exact-dedup key."""

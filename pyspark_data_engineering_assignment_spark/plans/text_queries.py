@@ -379,3 +379,77 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.select("media_id", "n_bytes", F.posexplode("counts").alias("bucket", "n"))
         .filter(F.col("n") > 0)
     )
+
+
+@register(
+    "doc_bpe_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_distinct_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-style pre-tokenization counts (functions/text.py tokens_bpe): "
+    "letter runs / digit runs / punctuation marks via one ASCII-only "
+    "regex that Java regex and RE2 interpret identically - the "
+    "subword-budget estimator for training-data pipelines.",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.text import tokens_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_bpe(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_winnowing",
+    """
+    WITH g AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(toks) - 3 + 2),
+                         i -> md5(array_to_string(toks[i:i+2], ' ')))
+               END AS hs
+        FROM g
+    )
+    SELECT doc_id,
+           list_sort(CASE WHEN len(hs) < 4 THEN list_distinct(hs)
+                          ELSE list_distinct(list_transform(
+                                   range(1, len(hs) - 4 + 2),
+                                   i -> list_min(hs[i:i+3])))
+                     END) AS fingerprints,
+           len(list_sort(CASE WHEN len(hs) < 4 THEN list_distinct(hs)
+                              ELSE list_distinct(list_transform(
+                                       range(1, len(hs) - 4 + 2),
+                                       i -> list_min(hs[i:i+3])))
+                         END)) AS n_fingerprints
+    FROM h
+    """,
+    doc="Winnowing fingerprints (MOSS algorithm, functions/text.py): "
+    "3-gram md5 hashes, sliding window of 4, per-window minimum, dedup, "
+    "sort. Local edits disturb only nearby windows - the rolling-hash "
+    "fingerprint for partial-overlap detection. md5-hex ordering keeps "
+    "both engines bit-identical (neither shares an integer hash fn).",
+)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(F.col("text"), k=3, window=4)
+    return d.select(
+        "doc_id",
+        fps.alias("fingerprints"),
+        F.size(fps).alias("n_fingerprints"),
+    )
