@@ -58,19 +58,26 @@ def tokens_bpe(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
 
 
-def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
-    MOSS algorithm): hash every k-gram, slide a window of ``window``
-    hashes, keep each window's minimum, dedup. Robust to insertions -
-    local edits disturb only nearby windows, unlike a whole-doc hash.
+def kgram_hashes(text: Column, k: int = 3) -> Column:
+    """md5 hex hash per word k-gram - the winnowing input. md5 (not
+    xxhash64) because it is the one hash DuckDB shares, keeping the
+    fingerprints oracle-checkable.
 
-    Hashes are md5 hex strings ordered lexicographically (not the usual
-    integers) so the DuckDB oracle can reproduce them exactly - both
-    engines have md5; neither shares an integer hash. Returns a sorted
-    ``array<string>`` of selected fingerprints.
+    MUST be materialized as its own projection (``.select(...alias())``)
+    before ``winnow_minima`` consumes it: inlining this expression into
+    the per-window lambda would recompute every gram hash once per
+    window - O(grams x windows) per document instead of O(grams).
     """
-    grams = word_ngrams(text, k)
-    hashes = F.transform(grams, lambda g: F.md5(g))
+    return F.transform(word_ngrams(text, k), lambda g: F.md5(g))
+
+
+def winnow_minima(hashes: Column, window: int = 4) -> Column:
+    """Winnowing selection (Schleimer/Wilkerson/Aiken's MOSS algorithm)
+    over an already-materialized hash array COLUMN: slide a window of
+    ``window`` hashes, keep each window's lexicographic minimum, dedup,
+    sort. Robust to insertions - local edits disturb only nearby
+    windows, unlike a whole-doc hash. Returns sorted ``array<string>``.
+    """
     n_windows = F.size(hashes) - (window - 1)
     mins = F.when(F.size(hashes) < window, F.array_distinct(hashes)).otherwise(
         F.array_distinct(

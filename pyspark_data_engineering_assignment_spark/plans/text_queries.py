@@ -443,13 +443,19 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.functions.text import (
-        winnowing_fingerprints,
+        kgram_hashes,
+        winnow_minima,
     )
 
     d = _t(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(F.col("text"), k=3, window=4)
-    return d.select(
-        "doc_id",
-        fps.alias("fingerprints"),
-        F.size(fps).alias("n_fingerprints"),
+    # Two projection boundaries on purpose: the gram-hash array and the
+    # fingerprint array each materialize once per row. Collapsing either
+    # into its consumer would recompute it per window / per reference
+    # (the first version of this query cost 93s at sf0.1; this one 0.5s).
+    hashed = d.select("doc_id", kgram_hashes(F.col("text"), 3).alias("hs"))
+    winnowed = hashed.select(
+        "doc_id", winnow_minima(F.col("hs"), 4).alias("fingerprints")
+    )
+    return winnowed.select(
+        "doc_id", "fingerprints", F.size("fingerprints").alias("n_fingerprints")
     )
