@@ -228,6 +228,93 @@ def test_detection_files_have_exactly_n_rows(spark, tmp_path):
     assert sorted(before.values()) == sorted(after.values())
 
 
+def test_checkpoint_restart_resumes_without_double_count(spark, tmp_path):
+    """Stop-and-restart contract: a second run over the same checkpoint
+    processes ONLY newly arrived files, batch ids continue, state is not
+    double-counted, and earlier detection files are untouched."""
+    src = tmp_path / "transactions.csv"
+    pd.DataFrame(ROWS, columns=COLUMNS).to_csv(src, index=False)
+    imp_path = _write_importance_only(tmp_path)
+    input_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "checkpoint")
+
+    # split the feed: first two chunks now, last two after the restart
+    all_chunks = feed_chunks(str(src), str(tmp_path / "staged"), chunk_rows=4)
+    os.makedirs(input_dir)
+    import shutil
+
+    def arrive(paths):
+        for p in paths:
+            shutil.copy2(p, os.path.join(input_dir, os.path.basename(p)))
+
+    importance = read_importance(spark, imp_path)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    detections_dir = str(tmp_path / "detections")
+
+    arrive(all_chunks[:2])
+    pipe1 = DetectionPipeline(
+        spark, store, importance, detections_dir, config=EngineConfig(), clock=CLOCK
+    )
+    q1 = pipe1.run_stream(input_dir, ckpt)
+    q1.awaitTermination()
+    assert {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    } == {"M1": 4, "M2": 4}
+    first_wave = _read_detections(detections_dir)
+
+    # restart: a fresh pipeline + query over the same checkpoint and state
+    arrive(all_chunks[2:])
+    pipe2 = DetectionPipeline(
+        spark, store, importance, detections_dir, config=EngineConfig(), clock=CLOCK
+    )
+    q2 = pipe2.run_stream(input_dir, ckpt)
+    q2.awaitTermination()
+
+    got = _read_detections(detections_dir)
+    for bid, expected in EXPECTED.items():
+        assert got.get(bid, Counter()) == expected, f"batch {bid}"
+    # first-wave outputs untouched by the restart
+    for bid, keys in first_wave.items():
+        assert got[bid] == keys
+    # final state = whole-dataset aggregate (nothing replayed or lost)
+    assert {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    } == {"M1": 8, "M2": 7, "M3": 1}
+
+
+def test_processing_time_trigger(spark, tmp_path):
+    """T4 parity: the reference's processingTime trigger mode drains the
+    same files to the same detections (stopped explicitly once idle)."""
+    import time
+
+    input_dir, imp_path, _ = _write_inputs(tmp_path)
+    importance = read_importance(spark, imp_path)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    detections_dir = str(tmp_path / "detections")
+    pipe = DetectionPipeline(
+        spark, store, importance, detections_dir,
+        config=EngineConfig(trigger="1 seconds"), clock=CLOCK,
+    )
+    q = pipe.run_stream(input_dir, str(tmp_path / "checkpoint"))
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = {
+                p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0
+            }
+            if len(done) >= 4:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = _read_detections(detections_dir)
+    for bid, expected in EXPECTED.items():
+        assert got.get(bid, Counter()) == expected, f"batch {bid}"
+
+
 def test_pipeline_with_duckdb_state_backend(spark, tmp_path):
     """The pipeline is backend-agnostic: the reference-parity RDBMS
     UPSERT store yields the same per-batch detections as the parquet
