@@ -339,6 +339,44 @@ def test_pipeline_with_duckdb_state_backend(spark, tmp_path):
         assert got.get(bid, Counter()) == expected, f"batch {bid}"
 
 
+def test_pipeline_percentile_threshold_path(spark, tmp_path):
+    """use_percentile_thresholds=True: the pipeline derives the
+    per-(merchant, category) threshold table from the dimension at
+    startup (reference Mechanism Y.py:84-89) and PatId1 fires only for
+    weights strictly below it."""
+    imp = tmp_path / "importance.csv"
+    # M1/es_a weights 0.5 .. 9.0 -> percentile_approx(0.01) == 0.5:
+    # C2's 0.5 is NOT < 0.5, so the percentile path must stay quiet
+    # where the fallback (0.5 < 2.0) would have fired.
+    pd.DataFrame(
+        [("C2", "M1", "0.5", "es_a", 0), ("C1", "M1", "5.0", "es_a", 0),
+         ("C8", "M1", "9.0", "es_a", 0)],
+        columns=["Source", "Target", "Weight", "typeTrans", "fraud"],
+    ).to_csv(imp, index=False)
+    src = tmp_path / "tx.csv"
+    pd.DataFrame(ROWS, columns=COLUMNS).to_csv(src, index=False)
+    input_dir = str(tmp_path / "incoming")
+    chunk_paths = feed_chunks(str(src), input_dir, chunk_rows=4)
+
+    importance = read_importance(spark, str(imp))
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    detections_dir = str(tmp_path / "det")
+    pipe = DetectionPipeline(
+        spark, store, importance, detections_dir,
+        config=EngineConfig(), clock=CLOCK, use_percentile_thresholds=True,
+    )
+    for bid, path in enumerate(chunk_paths):
+        pipe.process_batch(read_csv(spark, path, TRANSACTION_SCHEMA), bid)
+
+    got = _read_detections(detections_dir)
+    # PatId2/PatId3 unaffected; PatId1 suppressed by the strict < on the
+    # exact-percentile threshold
+    assert got.get(2, Counter()) == Counter({("PatId2", "CHILD", "C1", "M1"): 1})
+    assert got.get(3, Counter()) == Counter(
+        {("PatId2", "CHILD", "C1", "M1"): 1, ("PatId3", "DEI-NEEDED", "", "M2"): 1}
+    )
+
+
 def test_empty_batch_short_circuit(spark, tmp_path):
     """T8: an empty micro-batch writes nothing and bumps no state."""
     importance = read_importance(
