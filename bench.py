@@ -5,19 +5,106 @@
 Execution is measured with the noop sink so the full plan runs (scan ->
 shuffle -> agg/join) without collect() or file-write overhead skewing the
 numbers. One warmup action amortizes JVM/codegen startup.
+
+Also measures the BASELINE.md binding number: end-to-end streaming
+throughput of the full detection pipeline (feeder -> file stream -> state
+merges -> enrich -> detect -> 50-row sink) against the reference's
+>=10,000 rows/s offered load. Reported under "streaming" without touching
+the registry totals.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 from pyspark_data_engineering_assignment_spark.plans import QUERIES
 from pyspark_data_engineering_assignment_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# 200k rows: large enough that the ~4s fixed streaming-query startup
+# doesn't dominate the sustained-throughput figure
+STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
+
+
+def bench_streaming(spark) -> dict:
+    """End-to-end pipeline throughput on a synthetic BankSim-shaped feed
+    (deterministic, seed 42). The trigger drains the whole backlog per
+    micro-batch (maxFilesPerTrigger=None): per-batch overhead is fixed,
+    so sustained throughput is set by batch size - the tuning a real
+    deployment makes against a 10k rows/s offered load."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_data_engineering_assignment_spark.config import EngineConfig
+    from pyspark_data_engineering_assignment_spark.patterns.detect import FixedClock
+    from pyspark_data_engineering_assignment_spark.sources.readers import read_importance
+    from pyspark_data_engineering_assignment_spark.state.store import ParquetStateStore
+    from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
+        DetectionPipeline,
+    )
+    from pyspark_data_engineering_assignment_spark.tools.feeder import feed_chunks
+
+    n = STREAM_ROWS
+    rng = np.random.default_rng(42)
+    tx = pd.DataFrame(
+        {
+            "step": np.repeat(np.arange(max(1, n // 10_000)), 10_000)[:n],
+            "customer": [f"C{i}" for i in rng.integers(0, 2000, n)],
+            "age": rng.integers(1, 7, n).astype(str),
+            "gender": rng.choice(["M", "F"], n, p=[0.55, 0.45]),
+            "zipcodeOri": "28007",
+            "merchant": [f"M{i}" for i in rng.integers(0, 100, n)],
+            "zipMerchant": "28007",
+            "category": rng.choice(["es_a", "es_b", "es_c"], n),
+            "amount": np.round(rng.exponential(35.0, n), 2),
+            "fraud": 0,
+        }
+    )
+    imp = pd.DataFrame(
+        {
+            "Source": [f"C{i}" for i in range(2000)],
+            "Target": [f"M{i % 100}" for i in range(2000)],
+            "Weight": np.round(rng.uniform(0.1, 9.9, 2000), 2),
+            "typeTrans": [["es_a", "es_b", "es_c"][i % 3] for i in range(2000)],
+            "fraud": 0,
+        }
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        src = os.path.join(tmp, "tx.csv")
+        tx.to_csv(src, index=False)
+        impp = os.path.join(tmp, "imp.csv")
+        imp.to_csv(impp, index=False)
+        indir = os.path.join(tmp, "incoming")
+        feed_chunks(src, indir, chunk_rows=10_000)  # reference chunk size
+
+        store = ParquetStateStore(spark, os.path.join(tmp, "state"))
+        pipe = DetectionPipeline(
+            spark,
+            store,
+            read_importance(spark, impp),
+            os.path.join(tmp, "detections"),
+            config=EngineConfig(max_files_per_trigger=None),
+            clock=FixedClock(),
+        )
+        t0 = time.perf_counter()
+        q = pipe.run_stream(indir, os.path.join(tmp, "checkpoint"))
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        return {
+            "rows": n,
+            "seconds": round(elapsed, 3),
+            "rows_per_sec": round(n / elapsed),
+            "chunk_rows": 10_000,
+            "baseline_offered_rows_per_sec": 10_000,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -35,6 +122,7 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     lineitem_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    streaming = bench_streaming(spark)
     out = {
         "metric": "registry_queries_total_time",
         "value": total,
@@ -46,6 +134,8 @@ def main() -> None:
         "rows_per_sec_pricing_summary": (
             round(lineitem_rows / times["pricing_summary"]) if times.get("pricing_summary") else None
         ),
+        "streaming": streaming,
+        "streaming_rows_per_sec": streaming["rows_per_sec"],
     }
     print(json.dumps(out))
 
