@@ -662,3 +662,71 @@ def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_value_cents"),
     )
+
+
+@register(
+    "events_props_json",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Semi-structured column handling: JSON path extraction from the "
+    "events.props string column (get_json_object / json_extract), typed "
+    "cast, aggregate. At scale the extraction is a codegen'd per-row "
+    "expression; no JSON parse crosses Python.",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select(k.alias("k_value"), "user_id")
+        .filter(F.col("k_value").isNotNull())
+        .groupBy("k_value")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "brand_type_revenue",
+    """
+    SELECT p.p_brand, p.p_type,
+           count(*) AS n_items,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+                AS BIGINT) AS revenue_e4,
+           CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_qty_e2
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 30
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q14/Q17 shape over the part dimension: selective dim "
+    "filter pushed to the part scan, broadcast fact-dim join, fixed-point "
+    "revenue aggregation. Covers the one driver table no other query "
+    "touched.",
+)
+def brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 30)
+    revenue_e4 = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount").cast(DEC))
+        * 10000
+    ).cast("long")
+    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue_e4).cast("long").alias("revenue_e4"),
+            F.sum(qty_e2).cast("long").alias("sum_qty_e2"),
+        )
+    )
