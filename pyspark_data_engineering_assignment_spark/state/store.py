@@ -24,8 +24,9 @@ On a real lakehouse this class is swapped for Delta ``MERGE INTO`` with the
 same interface; the pointer dance is what Delta's transaction log does for
 us there. State size scales with distinct keys, not rows, and the merge
 shuffles only O(|batch keys| + |touched-bucket state keys|) pre-aggregated
-rows. Old bucket versions accumulate like a transaction log; a real
-deployment vacuums them (Delta ``VACUUM``) - out of scope here.
+rows. Old bucket versions accumulate like a transaction log until
+``vacuum()`` removes the unreferenced snapshots (the Delta ``VACUUM``
+analog).
 """
 
 from __future__ import annotations
@@ -143,6 +144,31 @@ class ParquetStateStore:
         if not paths:
             return self.spark.createDataFrame([], spec.schema)
         return self.spark.read.schema(spec.schema).parquet(*paths)
+
+    def vacuum(self, spec: StateTableSpec) -> int:
+        """Delete bucket snapshots no longer referenced by the pointer
+        (the Delta ``VACUUM`` analog). Safe at any time: the pointer swap
+        is atomic, so every live reader resolves only referenced paths.
+        Returns the number of snapshot directories removed."""
+        import glob as _glob
+        import shutil
+
+        pointer = self._read_pointer(spec.name)
+        live = {
+            os.path.join(self.root, spec.name, f"v={v}", f"_bucket={b}")
+            for b, v in pointer["versions"].items()
+        }
+        removed = 0
+        for bdir in _glob.glob(
+            os.path.join(self.root, spec.name, "v=*", "_bucket=*")
+        ):
+            if bdir not in live:
+                shutil.rmtree(bdir, ignore_errors=True)
+                removed += 1
+        for vdir in _glob.glob(os.path.join(self.root, spec.name, "v=*")):
+            if not any(e.startswith("_bucket=") for e in os.listdir(vdir)):
+                shutil.rmtree(vdir, ignore_errors=True)
+        return removed
 
     def merge_batch(
         self,

@@ -186,6 +186,22 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert merchant_state(store)["M0"] == 6  # and the merge still added
 
 
+def test_vacuum_removes_only_unreferenced_snapshots(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    for bid in range(3):  # every merge touches M0's bucket -> 2 stale snapshots
+        store.merge_batch(
+            MERCHANT_SUMMARY,
+            spark.createDataFrame([("M0", 1)], MERCHANT_AGG_SCHEMA),
+            batch_id=bid,
+            now=NOW,
+        )
+    before = merchant_state(store)
+    removed = store.vacuum(MERCHANT_SUMMARY)
+    assert removed == 2
+    assert merchant_state(store) == before == {"M0": 3}
+    assert store.vacuum(MERCHANT_SUMMARY) == 0  # idempotent
+
+
 @pytest.mark.parametrize("backend", ["parquet", "duckdb"])
 def test_backends_agree(spark, tmp_path, backend):
     """Cross-backend contract: identical batch sequence -> identical
