@@ -730,3 +730,97 @@ def brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qty_e2).cast("long").alias("sum_qty_e2"),
         )
     )
+
+
+@register(
+    "urgent_and_high_value",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+    doc="INTERSECT set op (absent from the reference, survey §2.6): "
+    "customers with at least one urgent order AND at least one "
+    "high-value order. Plans as a left-semi join after distinct.",
+)
+def urgent_and_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return urgent.intersect(big)
+
+
+@register(
+    "urgent_never_big",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+    doc="EXCEPT set op (absent from the reference, survey §2.6): "
+    "urgent-order customers with no high-value order. Plans as a "
+    "left-anti join after distinct.",
+)
+def urgent_never_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return urgent.subtract(big)
+
+
+@register(
+    "shipmode_priority_matrix",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: conditional aggregation (CASE/FILTER inside "
+    "count) over a fact-fact join with a pushed date filter.",
+)
+def shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(is_high, 1)).alias("high_line_count"),
+            F.count(F.when(~is_high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "widget_parts_by_brand",
+    """
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_price_cents
+    FROM part
+    WHERE p_name LIKE '%widget%' AND p_type NOT LIKE 'PROMO%'
+    GROUP BY 1
+    """,
+    doc="String pattern filters (LIKE / NOT LIKE, survey §2.8 notes the "
+    "reference uses no string fns): contains + prefix predicates pushed "
+    "as parquet StringContains/StringStartsWith filters.",
+)
+def widget_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%widget%") & ~F.col("p_type").like("PROMO%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum((F.col("p_retailprice").cast(DEC) * 100).cast("long"))
+            .cast("long")
+            .alias("total_price_cents"),
+        )
+    )
