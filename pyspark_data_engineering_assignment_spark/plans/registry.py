@@ -824,3 +824,96 @@ def widget_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price_cents"),
         )
     )
+
+
+@register(
+    "nations_above_revenue_share",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                             * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT nation, revenue_e4
+    FROM rev
+    WHERE revenue_e4 * 100 > (SELECT sum(revenue_e4) FROM rev) * 5
+    """,
+    doc="Scalar-subquery share filter (TPC-H Q11 shape): nations holding "
+    ">5% of global revenue. The global total is a one-row aggregate "
+    "broadcast into the filter (crossJoin of an agg - no driver "
+    "round-trip); share compare is integer cross-multiplied.",
+)
+def nations_above_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    revenue_e4 = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount").cast(DEC))
+        * 10000
+    ).cast("long")
+    rev = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue_e4).cast("long").alias("revenue_e4"))
+    )
+    total = rev.agg(F.sum("revenue_e4").alias("_total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue_e4") * 100 > F.col("_total") * 5)
+        .select("nation", "revenue_e4")
+    )
+
+
+@register(
+    "corpus_curation_funnel",
+    """
+    WITH keepers AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+        GROUP BY fp
+    ),
+    gated AS (
+        SELECT d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+          AND d.n_chars >= 100
+          AND len(string_split(trim(d.text), ' ')) >= 20
+    )
+    SELECT lang, source, count(*) AS n_docs
+    FROM gated GROUP BY 1, 2
+    """,
+    doc="The LLM-data curation funnel composed end-to-end: exact dedup "
+    "(md5 keeper per fingerprint, semi join) -> quality gate (length + "
+    "token floor) -> corpus composition stats. One dedup shuffle, one "
+    "semi join, one aggregate - the shape of a production curation job.",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.text import (
+        md5_fingerprint,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    keepers = (
+        d.select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    gated = (
+        d.join(keepers, on="doc_id", how="left_semi")
+        .filter(
+            (F.col("n_chars") >= 100) & (F.size(tokens(F.col("text"))) >= 20)
+        )
+    )
+    return gated.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
