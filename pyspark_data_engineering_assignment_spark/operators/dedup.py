@@ -302,3 +302,65 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("inter_size") * 100 >= F.col("union_size") * threshold_pct)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc in a
+    duplicate cluster gets the cluster's minimum doc id as ``cluster_id``
+    (the canonical keeper). The step after pairwise candidate
+    generation in every real dedup pipeline - pairs alone can't answer
+    "keep one per group" when duplicates chain (a~b, b~c but not a~c).
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converged when no
+    label changes. Rounds needed = graph diameter (tiny for near-dup
+    clusters; ``max_iterations`` caps pathological chains). Each round
+    is one join + one aggregate on the edge list - all distributed, and
+    ``localCheckpoint`` cuts the growing lineage so round N's plan does
+    not replay rounds 0..N-1.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

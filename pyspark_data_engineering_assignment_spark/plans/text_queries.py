@@ -459,3 +459,49 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed.select(
         "doc_id", "fingerprints", F.size("fingerprints").alias("n_fingerprints")
     )
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id,
+                     list_distinct(string_split(trim(text), ' ')) AS toks,
+                     string_split(trim(text), ' ')[1] AS bucket
+              FROM documents) a
+        JOIN (SELECT doc_id,
+                     list_distinct(string_split(trim(text), ' ')) AS toks,
+                     string_split(trim(text), ' ')[1] AS bucket
+              FROM documents) b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE 100 * len(list_intersect(a.toks, b.toks))
+              >= 70 * len(list_distinct(a.toks || b.toks))
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY 1
+    """,
+    doc="Duplicate clustering: connected components over the exact-"
+    "Jaccard near-dup pairs (the green ngram_jaccard_neardup baseline). "
+    "Spark side is iterative min-label propagation with localCheckpoint "
+    "lineage cuts (operators/dedup.py duplicate_clusters); the oracle "
+    "computes the same components via a recursive CTE transitive "
+    "closure. cluster_id = min doc_id in the component.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)
+    return duplicate_clusters(pairs)

@@ -141,3 +141,25 @@ def test_ngram_jaccard_bucket_cap(spark):
     capped = ngram_jaccard_pairs(d, threshold_pct=70, max_bucket_size=3)
     assert uncapped.count() > 0
     assert capped.count() == 0
+
+
+def test_duplicate_clusters_chains_and_isolates(spark):
+    """a~b, b~c (no a~c edge) must land in ONE cluster labeled min(id);
+    disjoint pairs stay separate; the long chain needs multiple
+    propagation rounds."""
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,          # chained triple
+        10: 10, 11: 10,            # isolated pair
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,  # 5-chain (diameter 4)
+    }
