@@ -1,0 +1,46 @@
+"""Stream-stream joins with event-time bounds.
+
+Absent from the reference entirely (its one join is stream-to-static,
+survey §2.4); required for attribution-style questions ("purchase within
+an hour of the click"). The mechanics that make this safe unbounded:
+
+  * both sides carry watermarks, and the join condition bounds the
+    event-time distance between matching rows;
+  * Spark derives from (watermark, time bound) how long each side's rows
+    must stay in state, and evicts beyond it - state is
+    O(rows per watermark+bound window), not O(stream);
+  * without the time bound the state would grow forever (Spark rejects
+    some of those plans, silently hoards state in others - always bound).
+
+The same plan runs in batch mode (watermarks no-op), which is how the
+test pins streaming output to the batch join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Inner-join rows of ``left`` to ``right`` on ``key_cols`` where the
+    left event happens in the window ``(right_ts, right_ts + max_lag]``
+    - "left follows right within max_lag" (e.g. purchase after click).
+
+    Column names must be disjoint apart from ``key_cols``.
+    """
+    l = left.withWatermark(left_ts, watermark_delay) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark_delay) if right.isStreaming else right
+    cond = [l[k] == r[k] for k in key_cols] + [
+        l[left_ts] > r[right_ts],
+        l[left_ts] <= r[right_ts] + F.expr(f"INTERVAL {max_lag}"),
+    ]
+    return l.join(r, cond, "inner").drop(*[r[k] for k in key_cols])

@@ -1,0 +1,96 @@
+"""Stream-stream interval join: streaming output equals the batch join
+on the same files, and the time bound actually excludes out-of-window
+matches."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pyspark_data_engineering_assignment_spark.streaming.joins import (
+    interval_join_streams,
+)
+
+CLICK_SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("click_ts", TimestampType()),
+        StructField("click_id", LongType()),
+    ]
+)
+BUY_SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("buy_ts", TimestampType()),
+        StructField("amount", DoubleType()),
+    ]
+)
+
+CLICKS = [
+    ("u1", "2024-01-01 10:00:00", 1),
+    ("u1", "2024-01-01 12:00:00", 2),
+    ("u2", "2024-01-01 10:00:00", 3),
+]
+BUYS = [
+    ("u1", "2024-01-01 10:30:00", 5.0),   # within 1h of click 1
+    ("u1", "2024-01-01 11:30:00", 7.0),   # >1h after click 1, before click 2
+    ("u2", "2024-01-01 10:00:00", 9.0),   # exactly at click ts: excluded (>)
+    ("u2", "2024-01-01 11:00:00", 11.0),  # exactly +1h: included (<=)
+]
+# expected (click_id, amount) attribution pairs
+EXPECTED = {(1, 5.0), (3, 11.0)}
+
+
+def _write(dirpath, pdf):
+    os.makedirs(dirpath, exist_ok=True)
+    p = os.path.join(dirpath, "part0.csv")
+    pdf.to_csv(p, index=False)
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    _write(cdir, pd.DataFrame(CLICKS, columns=["user", "click_ts", "click_id"]))
+    _write(bdir, pd.DataFrame(BUYS, columns=["user", "buy_ts", "amount"]))
+
+    def run(streaming: bool):
+        if streaming:
+            clicks = (
+                spark.readStream.format("csv").option("header", "true")
+                .schema(CLICK_SCHEMA).load(cdir)
+            )
+            buys = (
+                spark.readStream.format("csv").option("header", "true")
+                .schema(BUY_SCHEMA).load(bdir)
+            )
+        else:
+            clicks = spark.read.csv(cdir, header=True, schema=CLICK_SCHEMA)
+            buys = spark.read.csv(bdir, header=True, schema=BUY_SCHEMA)
+        joined = interval_join_streams(
+            buys, clicks, ["user"], "buy_ts", "click_ts", max_lag="1 hour"
+        ).select("click_id", "amount")
+        if not streaming:
+            return {(r["click_id"], r["amount"]) for r in joined.collect()}
+        sink = f"ssj_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r["click_id"], r["amount"]) for r in spark.table(sink).collect()}
+
+    assert run(streaming=False) == EXPECTED
+    assert run(streaming=True) == EXPECTED
