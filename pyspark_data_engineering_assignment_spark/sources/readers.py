@@ -65,6 +65,15 @@ def read_importance(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines scan with an explicit schema. Schema inference over
+    JSON is a full extra pass at 100 TB AND type-unstable (a column that
+    is int in the sample and float later breaks the job) - so, like every
+    reader here, the schema is declared, never inferred. Corrupt lines
+    surface in ``_corrupt_record`` when the schema declares it."""
+    return spark.read.schema(schema).json(path)
+
+
 def empty_df(spark: SparkSession, schema: StructType) -> DataFrame:
     """Empty relation with a fixed schema (no ``sc.emptyRDD()`` detour)."""
     return spark.createDataFrame([], schema)

@@ -1,0 +1,70 @@
+"""IO helper tests: explicit-schema JSONL round-trip, partitioned writer
+layout (hive partitions, bounded file sizes, partition pruning)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyspark_data_engineering_assignment_spark.sources.readers import read_jsonl
+from pyspark_data_engineering_assignment_spark.sources.writers import (
+    write_partitioned_parquet,
+)
+
+JSONL_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def test_read_jsonl_explicit_schema(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "hello", "lang": "en"}\n'
+        '{"id": 2, "text": "hola", "lang": "es", "extra": "ignored"}\n'
+        '{"id": 3, "lang": "fr"}\n'   # missing field -> null, not failure
+    )
+    rows = {r["id"]: (r["text"], r["lang"]) for r in read_jsonl(spark, str(p), JSONL_SCHEMA).collect()}
+    assert rows == {1: ("hello", "en"), 2: ("hola", "es"), 3: (None, "fr")}
+
+
+def test_write_partitioned_layout_and_pruning(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("bucket4"),
+    )
+    out = str(tmp_path / "out")
+    write_partitioned_parquet(
+        df, out, partition_cols=["bucket4"], max_records_per_file=100
+    )
+    # hive layout with one dir per partition value
+    pdirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out, "bucket4=*")))
+    assert pdirs == ["bucket4=0", "bucket4=1", "bucket4=2", "bucket4=3"]
+    # bounded file sizes: 250 rows per partition / 100 -> >= 3 files each
+    for d in glob.glob(os.path.join(out, "bucket4=*")):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) >= 3
+        for f in files:
+            n = spark.read.parquet(f).count()
+            assert n <= 100
+
+    # partition pruning reaches the scan
+    back = spark.read.parquet(out).filter(F.col("bucket4") == "2")
+    assert back.count() == 250
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain()
+    assert "PartitionFilters" in buf.getvalue()
