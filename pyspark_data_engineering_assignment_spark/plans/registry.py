@@ -917,3 +917,51 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gated.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "user_reach_kmv",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ),
+    topk AS (
+        SELECT event_type, count(*) AS n_topk, max(h) AS kth
+        FROM ranked WHERE rn <= 256 GROUP BY 1
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT t.event_type,
+           CASE WHEN t.n_topk < 256 THEN t.n_topk
+                ELSE CAST(floor(255.0 * 4294967296.0 / t.kth) AS BIGINT)
+           END AS distinct_est,
+           e.exact_distinct
+    FROM topk t JOIN exact e ON t.event_type = e.event_type
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch, k=256: element "
+    "hash = md5 first-8-hex as int32 - the one hash both engines share - "
+    "so the APPROXIMATE estimate itself is bit-identical and "
+    "oracle-checked exactly (unlike approx_count_distinct's "
+    "engine-private HLL). Mergeable bottom-k, shuffle O(groups x k). "
+    "exact_distinct carried for visible error.",
+)
+def user_reach_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    est = kmv_distinct_estimate(e, ["event_type"], "user_id", k=256)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, on="event_type")
