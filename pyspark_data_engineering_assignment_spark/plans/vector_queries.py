@@ -148,3 +148,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "label_standardized_embeddings",
+    None,
+    doc="Per-label z-score whitening of embeddings via applyInPandas "
+    "(grouped-map: the normalization needs each label's full "
+    "distribution, inexpressible per-row). Rows-only check: FP "
+    "normalization isn't hash-stable across engines; numerics validated "
+    "against a pure-numpy reimplementation in tests/test_grouped.py "
+    "(zero mean / unit variance per label dimension, exact id/label "
+    "preservation).",
+)
+def label_standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.grouped import (
+        standardize_embeddings_by_label,
+    )
+
+    return standardize_embeddings_by_label(_t(spark, sf_dir, "embeddings"))

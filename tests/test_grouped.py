@@ -1,0 +1,59 @@
+"""Grouped-map applyInPandas tests: per-label standardization equals a
+pure-numpy reimplementation; output has zero mean / unit variance per
+(label, dimension)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql.types import ArrayType, FloatType, LongType, StringType, StructField, StructType
+
+from pyspark_data_engineering_assignment_spark.operators.grouped import (
+    standardize_embeddings_by_label,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("label", StringType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _data():
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(120):
+        label = f"L{i % 3}"
+        rows.append((i, label, [float(x) for x in rng.normal(i % 3, 2.0, 8)]))
+    return rows
+
+
+def test_standardization_matches_numpy(spark):
+    rows = _data()
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["vec_id"]: (r["label"], np.asarray(r["embedding_std"], dtype=np.float64))
+        for r in standardize_embeddings_by_label(df).collect()
+    }
+    assert len(got) == 120
+
+    by_label = {}
+    for i, label, v in rows:
+        by_label.setdefault(label, []).append(
+            (i, np.asarray(v, dtype=np.float32).astype(np.float64))
+        )
+    for label, members in by_label.items():
+        mat = np.stack([v for _, v in members])
+        mu, sd = mat.mean(axis=0), mat.std(axis=0)
+        for i, v in members:
+            want = (v - mu) / (sd + 1e-8)
+            assert got[i][0] == label
+            assert got[i][1] == pytest.approx(want, abs=1e-5), i
+
+    # per-(label, dim) moments of the OUTPUT: ~0 mean, ~1 std
+    for label in by_label:
+        out = np.stack([vec for lab, vec in got.values() if lab == label])
+        assert np.abs(out.mean(axis=0)).max() < 1e-5
+        assert np.abs(out.std(axis=0) - 1.0).max() < 1e-3
