@@ -22,7 +22,14 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 def _standardized_schema(embeddings: DataFrame, id_col: str, label_col: str) -> StructType:
     """Output schema mirrors the input's id/label types (label is int in
@@ -73,4 +80,57 @@ def standardize_embeddings_by_label(
         .applyInPandas(
             standardize, schema=_standardized_schema(embeddings, id_col, label_col)
         )
+    )
+
+
+LAG_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_purchases", LongType(), True),
+        StructField("n_attributed", LongType(), True),
+        StructField("median_lag_seconds", DoubleType(), True),
+    ]
+)
+
+
+def conversion_lag_stats(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user conversion-lag statistics via COGROUPED applyInPandas:
+    both sides of a key are delivered to Python together, one Arrow
+    batch pair per key - the shape for per-key sequence alignment that
+    would need N self-joins as expressions. For each purchase, the lag
+    to the user's latest prior click (numpy searchsorted over the sorted
+    click times); emits per-user counts and the median attributed lag.
+
+    Same bounded-group contract as grouped-map: one shuffle per side on
+    the key, a key's full history materializes in one worker.
+    """
+
+    def stats(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(columns=[f.name for f in LAG_SCHEMA.fields])
+        uid = p[key_col].iloc[0]
+        pt = np.sort(p[ts_col].values.astype("datetime64[us]").astype("int64"))
+        ct = np.sort(c[ts_col].values.astype("datetime64[us]").astype("int64")) if not c.empty else np.array([], dtype="int64")
+        idx = np.searchsorted(ct, pt, side="right") - 1
+        attributed = idx >= 0
+        lags = (pt[attributed] - ct[idx[attributed]]) / 1_000_000.0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(pt)],
+                "n_attributed": [int(attributed.sum())],
+                "median_lag_seconds": [float(np.median(lags)) if len(lags) else None],
+            }
+        )
+
+    return (
+        purchases.select(key_col, ts_col)
+        .groupBy(key_col)
+        .cogroup(clicks.select(key_col, ts_col).groupBy(key_col))
+        .applyInPandas(stats, schema=LAG_SCHEMA)
     )

@@ -167,3 +167,23 @@ def label_standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     return standardize_embeddings_by_label(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "conversion_lag_stats",
+    None,
+    doc="Per-user purchase-to-latest-prior-click lag statistics via "
+    "COGROUPED applyInPandas (both sides of a key delivered to Python "
+    "together - per-key sequence alignment). Rows-only check: the "
+    "median over FP lags isn't worth fighting for hash stability; "
+    "semantics hand-checked in tests/test_grouped.py.",
+)
+def conversion_lag_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.grouped import (
+        conversion_lag_stats,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    return conversion_lag_stats(purchases, clicks)

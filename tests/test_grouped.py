@@ -57,3 +57,39 @@ def test_standardization_matches_numpy(spark):
         out = np.stack([vec for lab, vec in got.values() if lab == label])
         assert np.abs(out.mean(axis=0)).max() < 1e-5
         assert np.abs(out.std(axis=0) - 1.0).max() < 1e-3
+
+
+def test_conversion_lag_cogroup(spark):
+    """Cogrouped applyInPandas: per-user purchase-to-latest-prior-click
+    lags, hand-checked."""
+    import datetime as dt
+
+    from pyspark_data_engineering_assignment_spark.operators.grouped import (
+        conversion_lag_stats,
+    )
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    purchases = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:30:00")),  # 30 min after u1's 10:00 click
+            (1, ts("2024-01-01 12:00:00")),  # 60 min after u1's 11:00 click
+            (2, ts("2024-01-01 09:00:00")),  # before any u2 click -> unattributed
+            (3, ts("2024-01-01 09:00:00")),  # u3 has no clicks at all
+        ],
+        ["user_id", "ts"],
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00")),
+            (1, ts("2024-01-01 11:00:00")),
+            (2, ts("2024-01-01 10:00:00")),
+        ],
+        ["user_id", "ts"],
+    )
+    got = {r["user_id"]: r for r in conversion_lag_stats(purchases, clicks).collect()}
+    assert got[1]["n_purchases"] == 2 and got[1]["n_attributed"] == 2
+    assert got[1]["median_lag_seconds"] == pytest.approx(2700.0)  # (1800+3600)/2
+    assert got[2]["n_attributed"] == 0 and got[2]["median_lag_seconds"] is None
+    assert got[3]["n_attributed"] == 0
