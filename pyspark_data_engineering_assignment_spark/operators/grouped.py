@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -115,7 +116,7 @@ def conversion_lag_stats(
             return pd.DataFrame(columns=[f.name for f in LAG_SCHEMA.fields])
         uid = p[key_col].iloc[0]
         pt = np.sort(p[ts_col].values.astype("datetime64[us]").astype("int64"))
-        ct = np.sort(c[ts_col].values.astype("datetime64[us]").astype("int64")) if not c.empty else np.array([], dtype="int64")
+        ct = np.sort(c["_right_ts"].values.astype("datetime64[us]").astype("int64")) if not c.empty else np.array([], dtype="int64")
         idx = np.searchsorted(ct, pt, side="right") - 1
         attributed = idx >= 0
         lags = (pt[attributed] - ct[idx[attributed]]) / 1_000_000.0
@@ -128,9 +129,16 @@ def conversion_lag_stats(
             }
         )
 
+    # The right side's time column is renamed before the cogroup: when
+    # both sides derive from the SAME scan, their identically-named
+    # columns share one attribute id, and Catalyst's attribute dedup
+    # prunes the right side's copy - the Python function would receive a
+    # click frame without its timestamp. Distinct names sidestep it.
     return (
         purchases.select(key_col, ts_col)
         .groupBy(key_col)
-        .cogroup(clicks.select(key_col, ts_col).groupBy(key_col))
+        .cogroup(
+            clicks.select(key_col, F.col(ts_col).alias("_right_ts")).groupBy(key_col)
+        )
         .applyInPandas(stats, schema=LAG_SCHEMA)
     )

@@ -93,3 +93,30 @@ def test_conversion_lag_cogroup(spark):
     assert got[1]["median_lag_seconds"] == pytest.approx(2700.0)  # (1800+3600)/2
     assert got[2]["n_attributed"] == 0 and got[2]["median_lag_seconds"] is None
     assert got[3]["n_attributed"] == 0
+
+
+def test_conversion_lag_cogroup_same_source(spark):
+    """Regression: when both cogroup sides derive from the SAME scan,
+    their identically-named columns share an attribute id and Catalyst
+    prunes the right side's copy - the operator must rename internally.
+    (Crafted independent frames never trigger this; a shared parent
+    does.)"""
+    import datetime as dt
+
+    from pyspark_data_engineering_assignment_spark.operators.grouped import (
+        conversion_lag_stats,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "purchase", dt.datetime.fromisoformat("2024-01-01 10:30:00")),
+            (1, "click", dt.datetime.fromisoformat("2024-01-01 10:00:00")),
+        ],
+        ["user_id", "event_type", "ts"],
+    )
+    purchases = events.filter("event_type = 'purchase'")
+    clicks = events.filter("event_type = 'click'")
+    got = conversion_lag_stats(purchases, clicks).collect()
+    assert len(got) == 1
+    assert got[0]["n_attributed"] == 1
+    assert got[0]["median_lag_seconds"] == 1800.0
