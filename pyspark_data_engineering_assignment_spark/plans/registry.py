@@ -965,3 +965,74 @@ def user_reach_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, on="event_type")
+
+
+@register(
+    "value_quantiles_by_type",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)
+               AS median_cents,
+           quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9)
+               AS p90_cents,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Exact interpolated quantiles (median/p90) per group: inputs "
+    "fixed-pointed to integer cents first, so both engines interpolate "
+    "between the same exact integers with the same (n-1)*p linear rule - "
+    "the only FP op is the final interpolation, identical IEEE on both "
+    "sides. Spark F.percentile == DuckDB quantile_cont.",
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    return e.groupBy("event_type").agg(
+        F.percentile(cents, F.lit(0.5)).alias("median_cents"),
+        F.percentile(cents, F.lit(0.9)).alias("p90_cents"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "user_running_spend",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(cents) OVER w AS BIGINT) AS running_cents,
+           cents - coalesce(lag(cents) OVER w, 0) AS delta_vs_prev_cents,
+           row_number() OVER w AS event_seq
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Running-window analytics per user: cumulative sum, lag delta, "
+    "sequence number over a TOTAL order (ts, event_id tie-break - "
+    "without it retries reorder equal timestamps). Integer-cents "
+    "arithmetic keeps the running sum exact and hash-stable.",
+)
+def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        cents.alias("cents"),
+        "ts",
+    ).select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w).alias("running_cents"),
+        (F.col("cents") - F.coalesce(F.lag("cents").over(wo), F.lit(0))).alias(
+            "delta_vs_prev_cents"
+        ),
+        F.row_number().over(wo).alias("event_seq"),
+    )
