@@ -1036,3 +1036,76 @@ def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(wo).alias("event_seq"),
     )
+
+
+@register(
+    "orders_status_priority_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (completes the hierarchy-aggregate family "
+    "next to rollup_lineitem_status): all four grouping combinations in "
+    "one pass, money fixed-pointed per row.",
+)
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+@register(
+    "customer_order_gaps",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_date
+        FROM orders
+    )
+    SELECT o_custkey,
+           count(*) AS n_gaps,
+           CAST(min(date_diff('day', prev_date, o_orderdate)) AS BIGINT) AS min_gap_days,
+           CAST(max(date_diff('day', prev_date, o_orderdate)) AS BIGINT) AS max_gap_days,
+           CAST(sum(date_diff('day', prev_date, o_orderdate)) AS BIGINT) AS total_gap_days
+    FROM seq WHERE prev_date IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Inter-order gap statistics per customer: lag over a total "
+    "(date, key) order + integer day arithmetic (datediff) - the "
+    "re-engagement-analysis shape; all outputs integral, hash-stable.",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date")).cast("long"),
+        )
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.sum("gap_days").cast("long").alias("total_gap_days"),
+    )
