@@ -144,6 +144,40 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_neardup_capped",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(text), ' ')) AS toks,
+               string_split(trim(text), ' ')[1] AS bucket
+        FROM documents
+    ),
+    capped AS (
+        SELECT doc_id, toks, bucket FROM d
+        QUALIFY count(*) OVER (PARTITION BY bucket) <= 64
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.toks, b.toks)) AS inter_size,
+           len(list_distinct(a.toks || b.toks)) AS union_size
+    FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE 100 * len(list_intersect(a.toks, b.toks))
+          >= 70 * len(list_distinct(a.toks || b.toks))
+    """,
+    doc="PRODUCTION variant of ngram_jaccard_neardup: buckets larger "
+    "than max_bucket_size=64 are dropped before the self-join, so the "
+    "within-bucket blow-up is hard-capped at 64^2 pairs per bucket "
+    "regardless of corpus size (the uncapped query goes quadratic in "
+    "the most common first token's bucket). Recall traded for a "
+    "bounded join; for full recall at scale use minhash_lsh_neardup. "
+    "Oracle mirrors the cap with QUALIFY count(*) OVER bucket <= 64.",
+)
+def ngram_jaccard_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_pct=70, max_bucket_size=64
+    )
+
+
+@register(
     "lang_stats",
     """
     SELECT lang, source, count(*) AS n_docs,
@@ -423,11 +457,12 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     )
     SELECT doc_id,
-           list_sort(CASE WHEN len(hs) < 4 THEN list_distinct(hs)
-                          ELSE list_distinct(list_transform(
-                                   range(1, len(hs) - 4 + 2),
-                                   i -> list_min(hs[i:i+3])))
-                     END) AS fingerprints,
+           array_to_string(
+               list_sort(CASE WHEN len(hs) < 4 THEN list_distinct(hs)
+                              ELSE list_distinct(list_transform(
+                                       range(1, len(hs) - 4 + 2),
+                                       i -> list_min(hs[i:i+3])))
+                         END), ' ') AS fingerprints,
            len(list_sort(CASE WHEN len(hs) < 4 THEN list_distinct(hs)
                               ELSE list_distinct(list_transform(
                                        range(1, len(hs) - 4 + 2),
@@ -439,7 +474,11 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "3-gram md5 hashes, sliding window of 4, per-window minimum, dedup, "
     "sort. Local edits disturb only nearby windows - the rolling-hash "
     "fingerprint for partial-overlap detection. md5-hex ordering keeps "
-    "both engines bit-identical (neither shares an integer hash fn).",
+    "both engines bit-identical (neither shares an integer hash fn). "
+    "Fingerprints are emitted as a space-joined string (the array is "
+    "already sorted, so the join is deterministic) because the driver's "
+    "cross-engine canonicalizer sorts rows with pandas and cannot hash "
+    "an array<string> column.",
 )
 def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.functions.text import (
@@ -457,7 +496,9 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", winnow_minima(F.col("hs"), 4).alias("fingerprints")
     )
     return winnowed.select(
-        "doc_id", "fingerprints", F.size("fingerprints").alias("n_fingerprints")
+        "doc_id",
+        F.array_join("fingerprints", " ").alias("fingerprints"),
+        F.size("fingerprints").alias("n_fingerprints"),
     )
 
 
