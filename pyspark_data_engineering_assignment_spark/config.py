@@ -42,6 +42,18 @@ class EngineConfig:
     # streaming (``Mechanism Y.py:104``, ``:309``)
     max_files_per_trigger: int = 1
     trigger: str | None = None  # None => availableNow in tests
+    # T6: post-processing disposition of consumed source files. The
+    # reference attempted and disabled this (``Mechanism Y.py:106-107``);
+    # here it is a working knob: None/"off" (default), "archive" (move
+    # committed files to ``source_archive_dir``), or "delete". Archival
+    # is asynchronous - Spark moves a file when the batch that read it
+    # is committed, i.e. as a later batch starts.
+    clean_source: str | None = None
+    source_archive_dir: str | None = None
+    # vacuum unreferenced state-store snapshot versions every N committed
+    # batches (0 disables). Long-running streams otherwise accumulate one
+    # snapshot dir per touched bucket per batch.
+    vacuum_every_n_batches: int = 0
     # when True, PatId2/PatId3 re-emit every batch while the condition holds
     # (reference parity, survey §2.12); False dedups against prior detections.
     refire_stateful_patterns: bool = True

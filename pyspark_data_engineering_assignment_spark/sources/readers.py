@@ -36,9 +36,20 @@ def read_csv_stream(
     path: str,
     schema: StructType,
     max_files_per_trigger: int | None = 1,
+    clean_source: str | None = None,
+    source_archive_dir: str | None = None,
 ) -> DataFrame:
     """Streaming file source tailing a directory (local stand-in for the
-    reference's S3 prefix, ``Mechanism Y.py:100-105``)."""
+    reference's S3 prefix, ``Mechanism Y.py:100-105``).
+
+    ``clean_source`` (T6) is the reference's abandoned
+    ``cleanSource=archive`` option (``Mechanism Y.py:106-107``), working
+    here: "archive" moves each consumed file to ``source_archive_dir``
+    once the batch that read it commits; "delete" removes it. The
+    archive dir must live OUTSIDE the source glob (Spark refuses
+    self-overlapping archives); cleaning is best-effort and lags one
+    batch behind consumption by design.
+    """
     reader = (
         spark.readStream.format("csv")
         .option("header", "true")
@@ -46,6 +57,12 @@ def read_csv_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+        if clean_source == "archive":
+            if not source_archive_dir:
+                raise ValueError("cleanSource=archive requires source_archive_dir")
+            reader = reader.option("sourceArchiveDir", source_archive_dir)
     return reader.load(path)
 
 

@@ -153,6 +153,19 @@ class DetectionPipeline:
                 self.clock,
                 y_start,
             )
+            # Periodic snapshot GC (config knob): a long-running stream
+            # otherwise accumulates one snapshot dir per touched bucket
+            # per batch. vacuum() only removes versions the (atomic)
+            # pointer no longer references, so it is safe mid-stream.
+            every = self.config.vacuum_every_n_batches
+            if every and batch_id > 0 and batch_id % every == 0:
+                for spec in (
+                    MERCHANT_SUMMARY,
+                    CUSTOMER_MERCHANT_SUMMARY,
+                    MERCHANT_GENDER_SUMMARY,
+                    SEEN_DETECTIONS,
+                ):
+                    self.store.vacuum(spec)
             if not self.config.refire_stateful_patterns:
                 seen = self.store.read_state(SEEN_DETECTIONS).select(
                     *SEEN_DETECTIONS.key_cols
@@ -203,6 +216,8 @@ class DetectionPipeline:
             input_dir,
             TRANSACTION_SCHEMA,
             self.config.max_files_per_trigger,
+            clean_source=self.config.clean_source,
+            source_archive_dir=self.config.source_archive_dir,
         )
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)

@@ -392,6 +392,64 @@ def test_empty_batch_short_circuit(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "det"))
 
 
+def test_clean_source_archive(spark, tmp_path):
+    """T6: cleanSource=archive moves consumed chunk files into the
+    archive dir once their batch commits (the option the reference
+    attempted and disabled, ``Mechanism Y.py:106-107``). Archival lags
+    consumption by one batch, so with 4 files the first 3 are
+    guaranteed archived; detections are unaffected."""
+    import time
+
+    archive_dir = str(tmp_path / "archive")
+    config = EngineConfig(
+        clean_source="archive", source_archive_dir=archive_dir
+    )
+    _, store, detections_dir, chunk_paths = _run(spark, tmp_path, config)
+
+    got = _read_detections(detections_dir)
+    for bid, expected in EXPECTED.items():
+        assert got.get(bid, Counter()) == expected, f"batch {bid}"
+
+    # the cleaner thread is async; give it a moment after query stop
+    def archived():
+        return glob.glob(os.path.join(archive_dir, "**", "*.csv"), recursive=True)
+
+    deadline = time.time() + 30
+    while time.time() < deadline and len(archived()) < len(chunk_paths) - 1:
+        time.sleep(0.5)
+    names = {os.path.basename(p) for p in archived()}
+    expected_names = {os.path.basename(p) for p in chunk_paths}
+    assert len(names & expected_names) >= len(chunk_paths) - 1, names
+    # archived files are MOVED, not copied
+    input_dir = str(tmp_path / "incoming")
+    remaining = {os.path.basename(p) for p in glob.glob(os.path.join(input_dir, "*.csv"))}
+    assert not (remaining & names)
+
+
+def test_vacuum_every_n_batches(spark, tmp_path):
+    """Config-driven snapshot GC: with vacuum_every_n_batches=2 the
+    pipeline prunes unreferenced state snapshot versions mid-stream, so
+    a long run does not accumulate one version dir per batch. State
+    contents and detections are unchanged by the sweep."""
+    config = EngineConfig(vacuum_every_n_batches=2)
+    _, store, detections_dir, _ = _run(spark, tmp_path, config)
+
+    got = _read_detections(detections_dir)
+    for bid, expected in EXPECTED.items():
+        assert got.get(bid, Counter()) == expected, f"batch {bid}"
+    assert {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    } == {"M1": 8, "M2": 7, "M3": 1}
+
+    # 4 batches each touch merchant buckets -> unvacuumed would leave 4
+    # version dirs; the sweep at batch 2 pruned the superseded ones.
+    vdirs = glob.glob(os.path.join(str(tmp_path / "state"), "merchant_summary", "v=*"))
+    assert len(vdirs) < 4, vdirs
+    # residue is only what accrued after the last sweep (batch 3)
+    assert store.vacuum(MERCHANT_SUMMARY) <= 2
+
+
 def _write_importance_only(tmp_path) -> str:
     imp = tmp_path / "importance.csv"
     pd.DataFrame(
