@@ -323,6 +323,10 @@ def duplicate_clusters(
     is one join + one aggregate on the edge list - all distributed, and
     ``localCheckpoint`` cuts the growing lineage so round N's plan does
     not replay rounds 0..N-1.
+
+    Raises ``RuntimeError`` if labels are still changing when
+    ``max_iterations`` runs out - a partially-merged labeling would
+    silently report one duplicate cluster as several.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -337,6 +341,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -363,4 +368,10 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

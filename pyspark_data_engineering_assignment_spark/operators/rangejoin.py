@@ -38,10 +38,10 @@ def bucketed_range_join(
     """Inner-join each point row to every interval row whose half-open
     ``[lo_col, hi_col)`` contains ``point_col``. Column sets must be
     disjoint apart from the join artifacts."""
-    clash = (set(points.columns) & set(intervals.columns)) | {"_bucket"} & set(
-        points.columns
+    clash = (set(points.columns) & set(intervals.columns)) | (
+        {"_bucket"} & (set(points.columns) | set(intervals.columns))
     )
-    if set(points.columns) & set(intervals.columns):
+    if clash:
         raise ValueError(f"column clash: {sorted(clash)}")
 
     p = points.withColumn(

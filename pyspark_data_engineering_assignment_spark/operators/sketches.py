@@ -15,9 +15,14 @@ exactly:
   * estimator = (k-1) * 2^32 / h_k, the classic KMV/bottom-k estimate
     (Bar-Yossef et al.); floor'd to BIGINT in both engines.
 
-Standard error ~ 1/sqrt(k-2): k=256 gives ~6%. At 100 TB the sketch is
-mergeable (union the bottom-k sets, keep the k smallest), and the
-shuffle carries O(groups x k), independent of row count.
+Standard error ~ 1/sqrt(k-2): k=256 gives ~6%. That bound assumes a
+collision-free hash; truncating md5 to 32 bits adds a collision floor -
+beyond ~2^16 distinct values per group birthday collisions bias the
+estimate low, and the sketch cannot distinguish cardinalities at all
+above 2^32. Widen the substring to 16 hex chars (64-bit domain) if
+groups approach that range. At 100 TB the sketch is mergeable (union
+the bottom-k sets, keep the k smallest), and the shuffle carries
+O(groups x k), independent of row count.
 """
 
 from __future__ import annotations
@@ -29,9 +34,13 @@ HASH_SPACE = 1 << 32
 
 
 def kmv_hash(col) -> "F.Column":
-    """Uniform 32-bit integer hash reproducible in any engine with md5:
-    first 8 hex chars parsed as an integer."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    """Uniform integer hash in 1..2^32, reproducible in any engine with
+    md5: first 8 hex chars parsed as an integer, plus one. The +1 keeps
+    the hash strictly positive so the k-th minimum can never be 0 (KMV's
+    estimator divides by it)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") + 1
+    )
 
 
 def kmv_distinct_estimate(

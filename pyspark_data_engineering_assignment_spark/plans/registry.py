@@ -924,7 +924,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
         SELECT DISTINCT event_type,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS h
         FROM events
     ),
     ranked AS (

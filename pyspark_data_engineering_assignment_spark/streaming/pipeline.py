@@ -57,7 +57,10 @@ from pyspark_data_engineering_assignment_spark.state.store import (
     ParquetStateStore,
     StateTableSpec,
 )
-from pyspark_data_engineering_assignment_spark.streaming.sink import write_detections
+from pyspark_data_engineering_assignment_spark.streaming.sink import (
+    count_detections,
+    write_detections,
+)
 
 # Cumulative set of already-emitted detection keys, used only when
 # refire_stateful_patterns=False. Reuses the state store, so the dedup is
@@ -167,6 +170,14 @@ class DetectionPipeline:
                 ):
                     self.store.vacuum(spec)
             if not self.config.refire_stateful_patterns:
+                if batch_id <= self.store.last_batch_id(SEEN_DETECTIONS):
+                    # Replay after a crash between the seen-merge and the
+                    # stream checkpoint commit: the first attempt's files
+                    # are already on disk (sink runs before the merge) and
+                    # this batch's keys are already in SEEN_DETECTIONS, so
+                    # the anti-join below would drop them and report 0.
+                    # Report the original count from the sunk files instead.
+                    return count_detections(self.detections_dir, batch_id)
                 seen = self.store.read_state(SEEN_DETECTIONS).select(
                     *SEEN_DETECTIONS.key_cols
                 )

@@ -42,6 +42,23 @@ DETECTION_COLS = (
 )
 
 
+def count_detections(out_dir: str, batch_id: int) -> int:
+    """Count rows already sunk for ``batch_id`` (replay recovery: lets a
+    replayed batch report its original detection count without
+    rewriting). Driver-side file read, but detection files are output-
+    sized, not input-sized - and replays are rare by construction."""
+    import glob as _glob
+
+    import pandas as pd
+
+    total = 0
+    for f in _glob.glob(
+        os.path.join(out_dir, f"batch_id={batch_id}", "bucket=*", "*.csv")
+    ):
+        total += len(pd.read_csv(f, dtype=str, keep_default_na=False))
+    return total
+
+
 def write_detections(
     detections: DataFrame,
     out_dir: str,

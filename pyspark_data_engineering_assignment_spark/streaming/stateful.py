@@ -71,8 +71,12 @@ def running_pair_counters(
         count, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             count += len(pdf)
-            # float32 amounts -> exact cents; vectorized, no row loop
-            cents += int(round(float(pdf["amount"].astype("float64").sum()) * 100))
+            # float32 amounts -> exact cents PER ROW before summing
+            # (vectorized): rounding a chunk's float sum once would
+            # drift up to 0.5 cent per chunk for hot keys.
+            cents += int(
+                pdf["amount"].astype("float64").mul(100).round().astype("int64").sum()
+            )
         state.update((count, cents))
         if count >= emit_min_count:
             yield pd.DataFrame(

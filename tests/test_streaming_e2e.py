@@ -392,6 +392,36 @@ def test_empty_batch_short_circuit(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "det"))
 
 
+def test_dedup_mode_replay_reports_original_count(spark, tmp_path):
+    """Crash-replay contract in refire-suppression mode: a replayed
+    batch whose keys already landed in SEEN_DETECTIONS (crash between
+    the seen-merge and the checkpoint commit) must report the original
+    detection count from the sunk files, not 0, and leave files and
+    state untouched."""
+    input_dir, imp_path, chunk_paths = _write_inputs(tmp_path)
+    importance = read_importance(spark, imp_path)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    detections_dir = str(tmp_path / "detections")
+    pipe = DetectionPipeline(
+        spark, store, importance, detections_dir,
+        config=EngineConfig(refire_stateful_patterns=False), clock=CLOCK,
+    )
+    counts = [
+        pipe.process_batch(read_csv(spark, p, TRANSACTION_SCHEMA), bid)
+        for bid, p in enumerate(chunk_paths)
+    ]
+    assert counts == [0, 0, 2, 1]
+    before = _read_detections(detections_dir)
+
+    # replay the last two batches: same counts, same files
+    for bid in (2, 3):
+        n = pipe.process_batch(
+            read_csv(spark, chunk_paths[bid], TRANSACTION_SCHEMA), bid
+        )
+        assert n == counts[bid], f"replayed batch {bid}"
+    assert _read_detections(detections_dir) == before
+
+
 def test_clean_source_archive(spark, tmp_path):
     """T6: cleanSource=archive moves consumed chunk files into the
     archive dir once their batch commits (the option the reference
