@@ -8,21 +8,31 @@ other way around: every ingredient is available and bit-identical in
 both Spark and DuckDB, so even the *estimate* is oracle-checkable
 exactly:
 
-  * element hash = first 8 hex chars of md5 -> uniform 32-bit integer
+  * element hash = leading hex chars of md5 -> uniform integer
     (md5 is the one hash function both engines share);
   * sketch = the k smallest distinct hashes per group (one hash-agg
     shuffle, carrying at most k values per group);
-  * estimator = (k-1) * 2^32 / h_k, the classic KMV/bottom-k estimate
-    (Bar-Yossef et al.); floor'd to BIGINT in both engines.
+  * estimator = (k-1) * |hash space| / h_k, the classic KMV/bottom-k
+    estimate (Bar-Yossef et al.); floor'd to BIGINT in both engines.
 
 Standard error ~ 1/sqrt(k-2): k=256 gives ~6%. That bound assumes a
-collision-free hash; truncating md5 to 32 bits adds a collision floor -
-beyond ~2^16 distinct values per group birthday collisions bias the
-estimate low, and the sketch cannot distinguish cardinalities at all
-above 2^32. Widen the substring to 16 hex chars (64-bit domain) if
-groups approach that range. At 100 TB the sketch is mergeable (union
-the bottom-k sets, keep the k smallest), and the shuffle carries
-O(groups x k), independent of row count.
+collision-free hash, so the hash WIDTH is the sketch's real capacity
+knob:
+
+  * ``hex_chars=8`` (32-bit domain): birthday collisions appear around
+    2^16 distinct values per group and bias the estimate low; above
+    2^32 the sketch cannot distinguish cardinalities at all. Kept only
+    for the width-bias regression test (tests/test_sketches.py).
+  * ``hex_chars=15`` (60-bit domain, the default): the widest md5
+    prefix whose value fits a SIGNED 64-bit integer in BOTH engines
+    (16 hex chars can set the sign bit: Spark's conv()->long overflows
+    to null past 2^63, DuckDB's ::BIGINT raises). Collision floor moves
+    to ~2^30 distinct per group - beyond any per-group cardinality the
+    k=256 error bound is useful for anyway.
+
+At 100 TB the sketch is mergeable (union the bottom-k sets, keep the k
+smallest), and the shuffle carries O(groups x k), independent of row
+count.
 """
 
 from __future__ import annotations
@@ -30,16 +40,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-HASH_SPACE = 1 << 32
+# Default hash width: 15 hex chars = 60 bits, the widest md5 prefix that
+# stays non-negative in a signed BIGINT in both Spark and DuckDB.
+HEX_CHARS = 15
 
 
-def kmv_hash(col) -> "F.Column":
-    """Uniform integer hash in 1..2^32, reproducible in any engine with
-    md5: first 8 hex chars parsed as an integer, plus one. The +1 keeps
-    the hash strictly positive so the k-th minimum can never be 0 (KMV's
-    estimator divides by it)."""
+def hash_space(hex_chars: int = HEX_CHARS) -> int:
+    return 1 << (4 * hex_chars)
+
+
+def kmv_hash(col, hex_chars: int = HEX_CHARS) -> "F.Column":
+    """Uniform integer hash in 1..16^hex_chars, reproducible in any
+    engine with md5: the first ``hex_chars`` hex chars parsed as an
+    integer, plus one. The +1 keeps the hash strictly positive so the
+    k-th minimum can never be 0 (KMV's estimator divides by it).
+    ``hex_chars`` must be <= 15: the 16th char can set bit 63, and the
+    signed-BIGINT parse overflows differently per engine."""
+    if not 1 <= hex_chars <= 15:
+        raise ValueError("hex_chars must be in 1..15 (signed-BIGINT safe)")
     return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") + 1
+        F.conv(F.substring(F.md5(col.cast("string")), 1, hex_chars), 16, 10).cast(
+            "long"
+        )
+        + 1
     )
 
 
@@ -48,6 +71,7 @@ def kmv_distinct_estimate(
     group_cols: list[str],
     value_col: str,
     k: int = 256,
+    hex_chars: int = HEX_CHARS,
 ) -> DataFrame:
     """Per-group approximate distinct count of ``value_col``.
 
@@ -59,8 +83,15 @@ def kmv_distinct_estimate(
     (spill-safe per-group sort) -> filter rank <= k -> final agg. No
     stage ever carries more than k rows per group out of the rank
     filter; never an unbounded collect_set.
+
+    The estimator multiplies (k-1) by ``hash_space(hex_chars)`` in
+    DOUBLE domain; the product may round (2^60 * 255 needs 68 bits) but
+    rounds identically in any IEEE-754 engine, so the floor'd BIGINT
+    stays oracle-exact.
     """
-    hashed = df.select(*group_cols, kmv_hash(F.col(value_col)).alias("h")).distinct()
+    hashed = df.select(
+        *group_cols, kmv_hash(F.col(value_col), hex_chars).alias("h")
+    ).distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
     topk = (
         hashed.withColumn("rn", F.row_number().over(w))
@@ -70,7 +101,7 @@ def kmv_distinct_estimate(
     )
     est = F.when(F.col("n_topk") < k, F.col("n_topk").cast("long")).otherwise(
         F.floor(
-            F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("kth")
+            F.lit(float(k - 1)) * F.lit(float(hash_space(hex_chars))) / F.col("kth")
         ).cast("long")
     )
     return topk.select(*group_cols, est.alias("distinct_est"))

@@ -924,7 +924,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
         SELECT DISTINCT event_type,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS h
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS h
         FROM events
     ),
     ranked AS (
@@ -942,16 +942,20 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.event_type,
            CASE WHEN t.n_topk < 256 THEN t.n_topk
-                ELSE CAST(floor(255.0 * 4294967296.0 / t.kth) AS BIGINT)
+                ELSE CAST(floor(255.0 * 1152921504606846976.0 / t.kth) AS BIGINT)
            END AS distinct_est,
            e.exact_distinct
     FROM topk t JOIN exact e ON t.event_type = e.event_type
     """,
     doc="KMV (k-minimum-values) distinct-count sketch, k=256: element "
-    "hash = md5 first-8-hex as int32 - the one hash both engines share - "
-    "so the APPROXIMATE estimate itself is bit-identical and "
-    "oracle-checked exactly (unlike approx_count_distinct's "
-    "engine-private HLL). Mergeable bottom-k, shuffle O(groups x k). "
+    "hash = md5 first-15-hex as a 60-bit integer - md5 is the one hash "
+    "both engines share, and 15 hex chars is the widest prefix that "
+    "stays non-negative in a signed BIGINT on both sides - so the "
+    "APPROXIMATE estimate itself is bit-identical and oracle-checked "
+    "exactly (unlike approx_count_distinct's engine-private HLL). The "
+    "60-bit domain moves the birthday-collision floor from ~2^16 to "
+    "~2^30 distinct/group (tests/test_sketches.py demonstrates the "
+    "32-bit bias). Mergeable bottom-k, shuffle O(groups x k). "
     "exact_distinct carried for visible error.",
 )
 def user_reach_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,6 +969,62 @@ def user_reach_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, on="event_type")
+
+
+@register(
+    "event_class_totals_salted",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                    ELSE 'engagement' END AS type_class
+        FROM events
+    )
+    SELECT d.type_class,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+    doc="Skew-salted join (operators/skew.py salted_join): events carry "
+    "only 5 distinct event_type values - the worst-case hot-key join "
+    "shape, where an unsalted shuffle sends ~1/5 of the fact table to "
+    "each of 5 tasks regardless of cluster size. The large side is "
+    "salted into (event_type, salt % 8) via a deterministic row hash "
+    "(retry-safe, no rand()); the dim side replicates 8x; the aggregate "
+    "after the join is key-only so salting stays semantics-neutral - "
+    "which is exactly why the oracle is the PLAIN unsalted SQL join. "
+    "Equivalence against the unsalted Spark plan is also pinned in "
+    "tests/test_skew.py. (At this dim size AQE would broadcast and the "
+    "salt is belt-and-braces; the plan shape is the one that matters "
+    "when the dim side is too large to broadcast.)",
+)
+def event_class_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_class",
+            F.when(
+                F.col("event_type").isin("purchase", "signup"), "conversion"
+            ).otherwise("engagement"),
+        )
+    )
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    return (
+        salted_join(e, dim, ["event_type"], n_salts=8)
+        .groupBy("type_class")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(cents).cast("long").alias("total_value_cents"),
+        )
+    )
 
 
 @register(

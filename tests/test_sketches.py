@@ -33,3 +33,29 @@ def test_kmv_insensitive_to_duplication(spark):
     a = kmv_distinct_estimate(base, ["g"], "v").collect()[0]["distinct_est"]
     b = kmv_distinct_estimate(dup, ["g"], "v").collect()[0]["distinct_est"]
     assert a == b
+
+
+def test_kmv_hash_width_collision_floor(spark):
+    """Demonstrate WHY the default hash widened from 8 to 15 hex chars:
+    200k distinct values already collide in the 32-bit md5-prefix domain
+    (deterministically - md5 of fixed strings - distinct hashes < n, so
+    the sketch estimates distinct HASHES and biases low), while the
+    60-bit domain is collision-free far beyond any group cardinality the
+    k=256 error bound is useful for. Expected counts precomputed with
+    hashlib: 199,996 distinct 8-char prefixes vs 200,000 15-char ones."""
+    from pyspark_data_engineering_assignment_spark.operators.sketches import kmv_hash
+
+    n = 200_000
+    df = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    d32 = df.select(kmv_hash(F.col("v"), hex_chars=8).alias("h")).distinct().count()
+    d60 = df.select(kmv_hash(F.col("v"), hex_chars=15).alias("h")).distinct().count()
+    assert d32 == 199_996, d32  # 4 birthday collisions at n^2/2^33 ~ 4.7
+    assert d60 == n, d60
+
+
+def test_kmv_widened_estimate_still_bounded(spark):
+    # the 60-bit estimator keeps the k=256 error bound on a 50k-distinct group
+    df = spark.range(50_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    got = kmv_distinct_estimate(df, ["g"], "v", k=256, hex_chars=15).collect()[0]
+    rel_err = abs(got["distinct_est"] - 50_000) / 50_000
+    assert rel_err < 0.2, f"estimate {got['distinct_est']} rel_err {rel_err:.3f}"
