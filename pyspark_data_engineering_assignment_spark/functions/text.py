@@ -96,15 +96,29 @@ def md5_fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(i, shingle). Salting via a literal first argument gives
-    ``num_hashes`` independent hash families from one built-in hash fn.
-    Returns ``array<bigint>`` of length ``num_hashes``."""
+def shingle_hashes(shingles: Column) -> Column:
+    """One xxhash64 pass over the shingle strings -> ``array<bigint>``.
+
+    MUST be materialized as its own projection (``.select(...alias())``)
+    before ``minhash_signature`` consumes it - same CollapseProject
+    hazard as ``kgram_hashes``: inlined, the string-hash pass would be
+    recomputed once per hash family (64x the string hashing).
+    """
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashed_shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature over PRE-HASHED shingles (``shingle_hashes``):
+    for seed i, min over shingles of xxhash64(i, h). Salting via a
+    literal first argument gives ``num_hashes`` independent hash
+    families from one built-in hash fn; rehashing the 8-byte precomputed
+    hash instead of the shingle string keeps the per-family pass
+    fixed-width (the strings are hashed exactly once, not once per
+    family). Returns ``array<bigint>`` of length ``num_hashes``."""
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
+                F.transform(hashed_shingles, lambda h, i=i: F.xxhash64(F.lit(i), h))
             )
             for i in range(num_hashes)
         ]

@@ -163,3 +163,22 @@ def test_duplicate_clusters_chains_and_isolates(spark):
         10: 10, 11: 10,            # isolated pair
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20,  # 5-chain (diameter 4)
     }
+
+
+def test_duplicate_clusters_converges_at_diameter_equal_cap(spark):
+    """Regression: a path graph whose diameter EQUALS max_iterations makes
+    its last label change on the final allowed propagation round; the
+    convergence check needs one extra no-op round and must not raise."""
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    # path 0-1-2-3-4: min-label 0 reaches node 4 on round 4
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, max_iterations=4).collect()
+    }
+    assert got == {i: 0 for i in range(5)}, got
