@@ -48,14 +48,33 @@ def _ddl_type(dt: DataType) -> str:
 
 
 class DuckDBStateStore:
-    """``StateStore`` backed by an embedded SQL database file."""
+    """``StateStore`` backed by an embedded SQL database file.
 
-    def __init__(self, spark: SparkSession, db_path: str) -> None:
+    ``max_batch_rows`` guards the driver boundary: per-batch aggregates
+    cross the driver here (``toPandas``), which is correct for this
+    backend's dimension-sized parity role but silently wrong for
+    fact-sized frames - a misrouted 100 TB aggregate would OOM the
+    driver long after the design review that approved this class. The
+    guard turns that misuse into an immediate, explainable error.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        db_path: str,
+        max_batch_rows: int = 5_000_000,
+    ) -> None:
         self.spark = spark
+        self.max_batch_rows = max_batch_rows
         self.con = duckdb.connect(db_path)
         self.con.execute(
             "CREATE TABLE IF NOT EXISTS _applied_batches ("
-            "table_name VARCHAR, batch_id BIGINT, PRIMARY KEY (table_name))"
+            "table_name VARCHAR, batch_id BIGINT, meta VARCHAR, "
+            "PRIMARY KEY (table_name))"
+        )
+        # databases created before the meta column existed
+        self.con.execute(
+            "ALTER TABLE _applied_batches ADD COLUMN IF NOT EXISTS meta VARCHAR"
         )
         self._created: set[str] = set()
 
@@ -78,6 +97,25 @@ class DuckDBStateStore:
         ).fetchone()
         return row[0] if row else -1
 
+    def batch_meta(self, spec: StateTableSpec, batch_id: int) -> dict | None:
+        """Metadata recorded with the latest merge for ``batch_id``, or
+        None (mirrors ``ParquetStateStore.batch_meta``: one entry, the
+        latest - a restart replays exactly the last uncommitted batch)."""
+        import json
+
+        row = self.con.execute(
+            "SELECT batch_id, meta FROM _applied_batches WHERE table_name = ?",
+            [spec.name],
+        ).fetchone()
+        if row and row[0] == batch_id and row[1] is not None:
+            return json.loads(row[1])
+        return None
+
+    def vacuum(self, spec: StateTableSpec) -> int:
+        """No-op for Protocol parity: the embedded database updates rows
+        in place, there are no orphaned snapshot files to collect."""
+        return 0
+
     def read_state(self, spec: StateTableSpec) -> DataFrame:
         self._ensure_table(spec)
         cols = ", ".join(spec.schema.fieldNames())
@@ -90,15 +128,30 @@ class DuckDBStateStore:
         batch_agg: DataFrame,
         batch_id: int,
         now: str | None = None,
+        meta: dict | None = None,
     ) -> None:
         """The reference UPSERT, transactionally paired with the batch-id
-        ledger so a replayed micro-batch is a no-op."""
+        ledger so a replayed micro-batch is a no-op.
+
+        Raises ``ValueError`` when the batch exceeds ``max_batch_rows``:
+        the ``limit(n+1)`` fetch bounds what can ever reach the driver,
+        so even the failing call stays memory-safe."""
         self._ensure_table(spec)
         if batch_id <= self.last_batch_id(spec):
             return
 
         in_cols = list(spec.key_cols) + list(spec.sum_cols)
-        pdf = batch_agg.select(*in_cols).toPandas()
+        # One pass, bounded: fetch at most ceiling+1 rows; seeing the +1
+        # row proves the batch is over the ceiling without counting (or
+        # materializing) the rest of it.
+        pdf = batch_agg.select(*in_cols).limit(self.max_batch_rows + 1).toPandas()
+        if len(pdf) > self.max_batch_rows:
+            raise ValueError(
+                f"batch for {spec.name} exceeds max_batch_rows="
+                f"{self.max_batch_rows}: this driver-side backend is for "
+                "dimension-sized state parity; route fact-sized merges "
+                "through ParquetStateStore (distributed merge)"
+            )
         # Decimal columns cross pandas as objects; stringify (exact) and
         # let SQL CAST restore the declared DECIMAL type.
         agg_exprs = []
@@ -135,12 +188,15 @@ class DuckDBStateStore:
         )
         self.con.register("batch_view", pdf)
         try:
+            import json as _json
+
             self.con.execute("BEGIN")
             self.con.execute(sql, [now] if now else [])
             self.con.execute(
-                "INSERT INTO _applied_batches VALUES (?, ?) "
-                "ON CONFLICT (table_name) DO UPDATE SET batch_id = EXCLUDED.batch_id",
-                [spec.name, batch_id],
+                "INSERT INTO _applied_batches VALUES (?, ?, ?) "
+                "ON CONFLICT (table_name) DO UPDATE SET "
+                "batch_id = EXCLUDED.batch_id, meta = EXCLUDED.meta",
+                [spec.name, batch_id, None if meta is None else _json.dumps(meta)],
             )
             self.con.execute("COMMIT")
         except Exception:

@@ -77,9 +77,29 @@ REFERENCE_TABLES = (MERCHANT_SUMMARY, CUSTOMER_MERCHANT_SUMMARY, MERCHANT_GENDER
 
 
 class StateStore(Protocol):
+    """What ``DetectionPipeline`` requires of a state backend. The full
+    surface is declared here - the pipeline calls ``last_batch_id`` (replay
+    guard), ``vacuum`` (periodic snapshot GC), and ``batch_meta`` (replayed
+    batches report their original sink count) in addition to the
+    read/merge pair, so an alternative backend that satisfies this
+    Protocol is guaranteed to work at runtime."""
+
     def read_state(self, spec: StateTableSpec) -> DataFrame: ...
 
-    def merge_batch(self, spec: StateTableSpec, batch_agg: DataFrame, batch_id: int) -> None: ...
+    def merge_batch(
+        self,
+        spec: StateTableSpec,
+        batch_agg: DataFrame,
+        batch_id: int,
+        now: str | None = None,
+        meta: dict | None = None,
+    ) -> None: ...
+
+    def last_batch_id(self, spec: StateTableSpec) -> int: ...
+
+    def batch_meta(self, spec: StateTableSpec, batch_id: int) -> dict | None: ...
+
+    def vacuum(self, spec: StateTableSpec) -> int: ...
 
 
 class ParquetStateStore:
@@ -133,6 +153,18 @@ class ParquetStateStore:
     def last_batch_id(self, spec: StateTableSpec) -> int:
         return self._read_pointer(spec.name)["last_batch_id"]
 
+    def batch_meta(self, spec: StateTableSpec, batch_id: int) -> dict | None:
+        """Caller-supplied metadata recorded with the LATEST merge (e.g.
+        the sink's emitted-row count), or None for any other batch. One
+        entry only, by design: a stream restart replays exactly the last
+        uncommitted micro-batch, and the pointer stays O(1) regardless of
+        stream length; callers keep a slow-path fallback for older ids."""
+        pointer = self._read_pointer(spec.name)
+        bm = pointer.get("batch_meta")
+        if bm and bm.get("batch_id") == batch_id:
+            return bm.get("meta")
+        return None
+
     def bucket_versions(self, spec: StateTableSpec) -> dict:
         """bucket -> version map (introspection; tests use it to prove
         untouched buckets are not rewritten)."""
@@ -176,6 +208,7 @@ class ParquetStateStore:
         batch_agg: DataFrame,
         batch_id: int,
         now: str | None = None,
+        meta: dict | None = None,
     ) -> None:
         """Additively merge one batch's aggregates into cumulative state.
 
@@ -183,6 +216,11 @@ class ParquetStateStore:
         new keys insert; existing keys add counters; ``last_updated`` is
         refreshed for touched keys. Null counters coalesce to 0
         (``Mechanism Y.py:178``). Skips already-applied batch_ids.
+
+        ``meta`` (small JSON-serializable dict) is recorded in the pointer
+        atomically with the merge and readable back via ``batch_meta`` -
+        the crash-safe channel for per-batch facts like the sink's
+        emitted-row count.
 
         I/O: reads and rewrites only the hash buckets that contain keys
         present in the batch; every other bucket keeps its current
@@ -192,6 +230,7 @@ class ParquetStateStore:
         if batch_id <= pointer["last_batch_id"]:
             return  # replayed batch: already merged, keep idempotent
         n_buckets = pointer["n_buckets"]
+        batch_meta = {"batch_id": batch_id, "meta": meta} if meta is not None else None
 
         ts = F.to_timestamp(F.lit(now)) if now else F.current_timestamp()
         batch_side = (
@@ -206,7 +245,14 @@ class ParquetStateStore:
                 for r in batch_side.select("_bucket").distinct().collect()
             }
             if not touched:
-                self._write_pointer(spec.name, {**pointer, "last_batch_id": batch_id})
+                self._write_pointer(
+                    spec.name,
+                    {
+                        **pointer,
+                        "last_batch_id": batch_id,
+                        "batch_meta": batch_meta,
+                    },
+                )
                 return
 
             current = self.read_state(spec, buckets=touched)
@@ -241,6 +287,7 @@ class ParquetStateStore:
                     "last_batch_id": batch_id,
                     "next_version": version + 1,
                     "n_buckets": n_buckets,
+                    "batch_meta": batch_meta,
                 },
             )
         finally:

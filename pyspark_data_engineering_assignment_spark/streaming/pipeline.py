@@ -176,7 +176,15 @@ class DetectionPipeline:
                     # are already on disk (sink runs before the merge) and
                     # this batch's keys are already in SEEN_DETECTIONS, so
                     # the anti-join below would drop them and report 0.
-                    # Report the original count from the sunk files instead.
+                    # The original count was recorded in the seen-merge's
+                    # batch metadata (atomic with the merge), so the
+                    # replay does not depend on the sunk files still
+                    # being in place - a downstream consumer may have
+                    # moved them. Re-counting files is the fallback for
+                    # batches older than the latest merge.
+                    meta = self.store.batch_meta(SEEN_DETECTIONS, batch_id)
+                    if meta is not None and "n_detections" in meta:
+                        return int(meta["n_detections"])
                     return count_detections(self.detections_dir, batch_id)
                 seen = self.store.read_state(SEEN_DETECTIONS).select(
                     *SEEN_DETECTIONS.key_cols
@@ -200,6 +208,7 @@ class DetectionPipeline:
                     ),
                     batch_id,
                     now=y_start,
+                    meta={"n_detections": n},
                 )
                 return n
             # 5. idempotent 50-row-file sink.

@@ -221,3 +221,66 @@ def test_backends_agree(spark, tmp_path, backend):
                 now=NOW,
             )
     assert cm_state(ref) == cm_state(other)
+
+
+def test_batch_meta_roundtrip_both_backends(spark, store):
+    """merge_batch(meta=...) is recorded atomically with the merge and
+    readable back for the SAME batch id only - the crash-safe channel a
+    replayed micro-batch uses to report its original sink count."""
+    b0 = spark.createDataFrame([("M1", 3)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b0, batch_id=0, now=NOW, meta={"n": 7})
+    assert store.batch_meta(MERCHANT_SUMMARY, 0) == {"n": 7}
+    assert store.batch_meta(MERCHANT_SUMMARY, 1) is None
+    # the next merge's meta supersedes (one latest entry by design)
+    b1 = spark.createDataFrame([("M2", 1)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b1, batch_id=1, now=NOW, meta={"n": 2})
+    assert store.batch_meta(MERCHANT_SUMMARY, 1) == {"n": 2}
+    assert store.batch_meta(MERCHANT_SUMMARY, 0) is None
+
+
+def test_merge_without_meta_clears_stale_meta(spark, store):
+    b0 = spark.createDataFrame([("M1", 3)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b0, batch_id=0, now=NOW, meta={"n": 7})
+    b1 = spark.createDataFrame([("M2", 1)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b1, batch_id=1, now=NOW)
+    assert store.batch_meta(MERCHANT_SUMMARY, 0) is None
+    assert store.batch_meta(MERCHANT_SUMMARY, 1) is None
+
+
+def test_duckdb_driver_boundary_guard(spark, tmp_path):
+    """The embedded backend tops out at max_batch_rows: a fact-sized
+    frame routed at it raises instead of OOMing the driver, and the
+    over-limit batch is NOT applied (transactional no-op)."""
+    from pyspark_data_engineering_assignment_spark.state.duckdb_store import (
+        DuckDBStateStore,
+    )
+    from pyspark.sql import functions as F
+
+    store = DuckDBStateStore(spark, str(tmp_path / "guard.duckdb"), max_batch_rows=10)
+    big = spark.range(11).select(
+        F.concat(F.lit("M"), F.col("id")).alias("merchant_id"),
+        F.lit(1).cast("long").alias("total_transactions"),
+    )
+    with pytest.raises(ValueError, match="max_batch_rows"):
+        store.merge_batch(MERCHANT_SUMMARY, big, batch_id=0, now=NOW)
+    assert store.last_batch_id(MERCHANT_SUMMARY) == -1
+    assert store.read_state(MERCHANT_SUMMARY).count() == 0
+    # at or under the ceiling passes
+    ok = big.limit(10)
+    store.merge_batch(MERCHANT_SUMMARY, ok, batch_id=0, now=NOW)
+    assert store.read_state(MERCHANT_SUMMARY).count() == 10
+
+
+def test_state_store_protocol_is_satisfied():
+    """The Protocol declares everything DetectionPipeline calls
+    (read_state/merge_batch/last_batch_id/batch_meta/vacuum); both
+    backends must structurally provide the full surface."""
+    from pyspark_data_engineering_assignment_spark.state.duckdb_store import (
+        DuckDBStateStore,
+    )
+    from pyspark_data_engineering_assignment_spark.state.store import StateStore
+
+    for backend in (ParquetStateStore, DuckDBStateStore):
+        for method in ("read_state", "merge_batch", "last_batch_id",
+                       "batch_meta", "vacuum"):
+            assert callable(getattr(backend, method)), (backend, method)
