@@ -107,6 +107,27 @@ def bench_streaming(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_streaming_sf(spark) -> dict:
+    """Streaming flagship at the bench SF: the driver's events table
+    mapped onto the transaction feed (same mapping as the registry's
+    pattern queries) and drained through the full pipeline. The state
+    tables this produces are oracle-checked against DuckDB in
+    tests/test_streaming_e2e.py::test_streaming_flagship_sf_state_oracle;
+    here we report its throughput at sf0.1 scale."""
+    from pyspark_data_engineering_assignment_spark.tools.events_feed import (
+        run_events_flagship,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_sf_bench_")
+    try:
+        run = run_events_flagship(spark, SF_DIR, tmp)
+        return {
+            k: run[k] for k in ("rows", "seconds", "rows_per_sec", "chunk_rows")
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     # warmup: trigger JVM init + parquet footer reads
@@ -123,6 +144,7 @@ def main() -> None:
     lineitem_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     streaming = bench_streaming(spark)
+    streaming_sf = bench_streaming_sf(spark)
     out = {
         "metric": "registry_queries_total_time",
         "value": total,
@@ -136,6 +158,7 @@ def main() -> None:
         ),
         "streaming": streaming,
         "streaming_rows_per_sec": streaming["rows_per_sec"],
+        "streaming_sf": streaming_sf,
     }
     print(json.dumps(out))
 

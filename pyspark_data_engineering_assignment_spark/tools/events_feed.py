@@ -1,0 +1,130 @@
+"""Drive the streaming detection pipeline with the driver's events table.
+
+The registry re-expresses the reference's pattern queries over the
+driver tables with the mapping ``customer := user_id, merchant :=
+event_type, amount := value`` (``plans/registry.py`` module docstring).
+This tool applies the SAME mapping to produce a BankSim-shaped
+transaction feed from ``events.parquet``, so the full streaming engine
+(feeder -> file stream -> state merges -> enrich -> detect -> 50-row
+sink) can run against driver data at any SF - and the three final state
+tables can be oracle-checked against DuckDB groupBys over the exact
+chunk CSVs that were fed (``tests/test_streaming_e2e.py``), closing the
+loop between the streaming engine and the registry's state-shaped
+queries. ``bench.py`` reports the same run as the
+``streaming_sf`` throughput section.
+
+Driver-side honesty: the feed materializes through pandas like the
+reference's Mechanism X (a deliberately driver-side tool); the
+PIPELINE under test stays fully distributed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_as_transactions(events: DataFrame) -> DataFrame:
+    """Map the driver ``events`` table onto ``TRANSACTION_SCHEMA``.
+
+    * customer := 'U' || user_id, merchant := event_type,
+      amount := round(value, 2) - the registry's standard mapping, with
+      money pre-rounded to two decimals so the CSV round-trip through
+      FloatType -> DECIMAL(18,2) is exact in both engines;
+    * gender := 'F' for conversion events (purchase/signup), 'M'
+      otherwise - the same conversion-vs-engagement split patid3 uses.
+    """
+    return events.select(
+        F.lit(0).alias("step"),
+        F.concat(F.lit("U"), F.col("user_id")).alias("customer"),
+        F.lit("3").alias("age"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "F")
+        .otherwise("M")
+        .alias("gender"),
+        F.lit("28007").alias("zipcodeOri"),
+        F.col("event_type").alias("merchant"),
+        F.lit("28007").alias("zipMerchant"),
+        F.concat(F.lit("es_"), F.col("event_type")).alias("category"),
+        F.round(F.col("value"), 2).alias("amount"),
+        F.lit(0).alias("fraud"),
+    )
+
+
+def importance_for_events(tx) -> "pd.DataFrame":  # noqa: F821
+    """Deterministic importance dimension over the feed's (customer,
+    merchant) pairs: Weight cycles 0.5..9.9 by row order, typeTrans
+    mirrors the category. Shape = reference CustomerImportance CSV."""
+    import pandas as pd
+
+    pairs = tx[["customer", "merchant"]].drop_duplicates().reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "Source": pairs["customer"],
+            "Target": pairs["merchant"],
+            "Weight": [round(0.5 + (i % 95) / 10, 2) for i in range(len(pairs))],
+            "typeTrans": "es_" + pairs["merchant"],
+            "fraud": 0,
+        }
+    )
+
+
+def run_events_flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    chunk_rows: int = 10_000,
+) -> dict:
+    """Feed ``sf_dir``'s events (mapped to transactions) through the full
+    DetectionPipeline with availableNow and return run facts:
+    rows, elapsed seconds, rows/s, detections, state/detections dirs and
+    the fed chunk paths (for oracle checks)."""
+    from pyspark_data_engineering_assignment_spark.config import EngineConfig
+    from pyspark_data_engineering_assignment_spark.patterns.detect import FixedClock
+    from pyspark_data_engineering_assignment_spark.sources.readers import (
+        read_importance,
+    )
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+    from pyspark_data_engineering_assignment_spark.state.store import (
+        ParquetStateStore,
+    )
+    from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
+        DetectionPipeline,
+    )
+    from pyspark_data_engineering_assignment_spark.tools.feeder import feed_chunks
+
+    tx = events_as_transactions(load_table(spark, sf_dir, "events")).toPandas()
+    src = os.path.join(workdir, "transactions.csv")
+    tx.to_csv(src, index=False)
+    imp_path = os.path.join(workdir, "importance.csv")
+    importance_for_events(tx).to_csv(imp_path, index=False)
+
+    incoming = os.path.join(workdir, "incoming")
+    chunks = feed_chunks(src, incoming, chunk_rows=chunk_rows)
+
+    store = ParquetStateStore(spark, os.path.join(workdir, "state"))
+    pipe = DetectionPipeline(
+        spark,
+        store,
+        read_importance(spark, imp_path),
+        os.path.join(workdir, "detections"),
+        # drain the whole backlog per trigger: per-batch overhead is
+        # fixed, so sustained throughput is set by batch size
+        config=EngineConfig(max_files_per_trigger=None),
+        clock=FixedClock(),
+    )
+    t0 = time.perf_counter()
+    q = pipe.run_stream(incoming, os.path.join(workdir, "checkpoint"))
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    return {
+        "rows": len(tx),
+        "seconds": round(elapsed, 3),
+        "rows_per_sec": round(len(tx) / elapsed),
+        "chunk_rows": chunk_rows,
+        "chunks": chunks,
+        "store": store,
+        "detections_dir": os.path.join(workdir, "detections"),
+    }

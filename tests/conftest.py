@@ -17,3 +17,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-pipeline tests that run at driver SF scale"
+    )

@@ -522,3 +522,74 @@ def _write_importance_only(tmp_path) -> str:
         IMPORTANCE_ROWS, columns=["Source", "Target", "Weight", "typeTrans", "fraud"]
     ).to_csv(imp, index=False)
     return str(imp)
+
+
+@pytest.mark.slow
+def test_streaming_flagship_sf_state_oracle(spark, tmp_path):
+    """The streaming flagship at driver scale: feed the SF events table
+    (mapped to transactions exactly like the registry's pattern queries
+    map it) through the FULL pipeline with availableNow, then
+    oracle-check all three final state tables against DuckDB groupBys
+    over the exact chunk CSVs that were fed. This closes the loop
+    between the streaming engine and the registry's state-shaped
+    queries: the cumulative cross-batch merge must equal the one-shot
+    batch aggregate, penny-exactly, at any chunking.
+
+    Runs at sf0.01 (2.5s, 10k rows); bench.py runs the same flagship at
+    sf0.1 and reports throughput as the streaming_sf section.
+    """
+    import duckdb
+
+    from pyspark_data_engineering_assignment_spark.tools.events_feed import (
+        run_events_flagship,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    run = run_events_flagship(spark, sf_dir, str(tmp_path), chunk_rows=2_000)
+    store = run["store"]
+
+    con = duckdb.connect()
+    files = [p.replace("'", "''") for p in run["chunks"]]
+    con.execute(
+        "CREATE VIEW tx AS SELECT * FROM read_csv_auto(["
+        + ", ".join(f"'{p}'" for p in files)
+        + "], types={'amount': 'DECIMAL(18,2)', 'customer': 'VARCHAR', "
+        "'merchant': 'VARCHAR', 'gender': 'VARCHAR'})"
+    )
+
+    got_m = {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    }
+    want_m = dict(con.execute("SELECT merchant, count(*) FROM tx GROUP BY 1").fetchall())
+    assert got_m == want_m
+
+    got_cm = {
+        (r["customer_id"], r["merchant_id"]): (
+            r["transaction_count"],
+            r["total_amount_sum"],
+        )
+        for r in store.read_state(CUSTOMER_MERCHANT_SUMMARY).collect()
+    }
+    want_cm = {
+        (c, m): (n, s)
+        for c, m, n, s in con.execute(
+            "SELECT customer, merchant, count(*), "
+            "CAST(sum(amount) AS DECIMAL(18,2)) FROM tx GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert got_cm == want_cm
+
+    got_g = {
+        r["merchant_id"]: (r["male_transaction_count"], r["female_transaction_count"])
+        for r in store.read_state(MERCHANT_GENDER_SUMMARY).collect()
+    }
+    want_g = {
+        m: (mm, ff)
+        for m, mm, ff in con.execute(
+            "SELECT merchant, count(*) FILTER (WHERE gender = 'M'), "
+            "count(*) FILTER (WHERE gender = 'F') FROM tx GROUP BY 1"
+        ).fetchall()
+    }
+    assert got_g == want_g
+    assert run["rows"] == con.execute("SELECT count(*) FROM tx").fetchone()[0]
