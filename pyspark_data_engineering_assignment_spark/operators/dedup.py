@@ -105,7 +105,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_hash")
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash (not broadcast) on purpose, twice over: (1) a broadcast
+    # self-join materializes the build side SEPARATELY, so the whole
+    # signature/banding pipeline above would compute twice per run
+    # (measured ~2x the signature cost at sf0.1); a shuffled self-join's
+    # two sides canonicalize to the same exchange and compute once.
+    # (2) the banded frame is corpus x bands rows - never broadcastable
+    # at real scale; the hint pins the plan shape that survives 100 TB.
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -248,7 +255,14 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash (not broadcast) on purpose, twice over: (1) a broadcast
+    # self-join materializes the build side SEPARATELY, so the whole
+    # signature/banding pipeline above would compute twice per run
+    # (measured ~2x the signature cost at sf0.1); a shuffled self-join's
+    # two sides canonicalize to the same exchange and compute once.
+    # (2) the banded frame is corpus x bands rows - never broadcastable
+    # at real scale; the hint pins the plan shape that survives 100 TB.
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
