@@ -972,6 +972,51 @@ def user_reach_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_cohort_retention",
+    """
+    WITH w AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+        FROM events
+    )
+    SELECT strftime(date_trunc('week', first_day), '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', first_day, day) // 7 AS INT) AS weeks_since,
+           count(DISTINCT user_id) AS n_active
+    FROM w GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen week, "
+    "activity counted per week-offset since first seen - the funnel "
+    "shape behind every retention dashboard. The per-user first_day "
+    "comes from a WINDOW min (one shuffle on user_id), not a "
+    "self-join + re-join (two shuffles of the fact table); the final "
+    "agg is a second hash shuffle on the (cohort, offset) key. "
+    "Integer day arithmetic + ISO Monday week truncation in both "
+    "engines keeps the matrix hash-exact; the cohort label is emitted "
+    "as an ISO date STRING because the cross-engine canonicalizer "
+    "widens DuckDB DATEs to midnight timestamps.",
+)
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    cohorts = e.withColumn("first_day", F.min("day").over(w))
+    return (
+        cohorts.select(
+            F.date_format(
+                F.date_trunc("week", F.col("first_day")), "yyyy-MM-dd"
+            ).alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
     "event_class_totals_salted",
     """
     WITH dim AS (
