@@ -260,7 +260,12 @@ def embedding_near_duplicates(
     a = d.select(
         "vid", "vec", F.explode(_probe_buckets(F.col("bucket"), n_planes, probe_bits)).alias("bucket")
     ).alias("a")
-    b = d.alias("b")
+    # shuffle_hash (not broadcast): a broadcast self-join materializes the
+    # build side separately, recomputing every row's hyperplane signature;
+    # shuffled, the two sides share one exchange - and the corpus side
+    # could never broadcast at real scale anyway (same reasoning as the
+    # MinHash band join, operators/dedup.py).
+    b = d.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
