@@ -320,7 +320,10 @@ def ngram_jaccard_pairs(
             .select("bucket")
         )
         d = d.join(F.broadcast(small_buckets), on="bucket", how="left_semi")
-    a, b = d.alias("a"), d.alias("b")
+    # shuffle_hash: same self-join rule as the LSH band joins - broadcast
+    # would tokenize the corpus twice (separate build side) and could
+    # never hold the bucketed corpus at real scale.
+    a, b = d.alias("a"), d.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
