@@ -153,6 +153,15 @@ def minhash_lsh_near_duplicates(
     corpus text volume (at 100 TB each removed pass is a full-corpus
     read). Jaccard compare is integer cross-multiplied (no FP
     division).
+
+    CALLER CONTRACT (cache lifetime): two intermediates (the candidate
+    pairs and the candidate-sized shingle frame) are persisted so the
+    verify join's two sides share one computation; a lazy return value
+    cannot unpersist them itself. Long-lived sessions that call this
+    repeatedly should ``spark.catalog.clearCache()`` (or track and
+    unpersist) after materializing the result - otherwise cached blocks
+    accumulate until executor storage evicts them (bench.py does exactly
+    this between registry queries).
     """
     cands = minhash_lsh_candidates(
         docs, id_col, text_col, shingle_len, num_hashes, bands
@@ -160,12 +169,15 @@ def minhash_lsh_near_duplicates(
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias("_cid")).distinct()
     )
-    # Broadcast the candidate ids (output-sized) so the corpus is FILTERED
-    # in place - a shuffle-free broadcast semi-join - instead of shuffling
-    # every (id, text) row; then persist the candidate-sized shingle frame
-    # so the two verify sides share one computation.
+    # No explicit broadcast hint: candidate-pair volume is bounded by
+    # bucket sizes but NOT by a constant - a duplicate-heavy corpus can
+    # produce near-corpus-scale candidate sets, and a forced broadcast of
+    # that would blow the driver at 100 TB. cand_ids derives from the
+    # persisted cands, so AQE sees its ACTUAL runtime size and picks the
+    # broadcast semi-join exactly when it fits the threshold, falling
+    # back to a shuffled semi-join when it doesn't.
     relevant = docs.join(
-        F.broadcast(cand_ids), on=F.col(id_col) == F.col("_cid"), how="semi"
+        cand_ids, on=F.col(id_col) == F.col("_cid"), how="semi"
     )
     shingle_sets = relevant.select(
         F.col(id_col).alias("doc_id"),

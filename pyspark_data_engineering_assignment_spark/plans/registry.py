@@ -65,6 +65,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """CPU-spread table load (sources.tables.spread_cpu_scan): for plans
+    whose per-row expression cost dwarfs one small exchange - a no-op on
+    any table big enough to split its own scan. Opt-in per query, only
+    where an interleaved warm A/B at sf0.1 measured a win; groupBy/join-
+    rooted plans redistribute anyway and regress under it."""
+    return load_table(spark, sf_dir, name, spread_cpu=True)
+
+
 DEC = "decimal(18,2)"
 
 

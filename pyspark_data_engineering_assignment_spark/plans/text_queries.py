@@ -32,7 +32,7 @@ from pyspark_data_engineering_assignment_spark.operators.textstats import (
     language_id,
     quality_features,
 )
-from pyspark_data_engineering_assignment_spark.plans.registry import register, _t
+from pyspark_data_engineering_assignment_spark.plans.registry import register, _t, _ts
 
 
 def _sql_vocab(lang: str) -> str:
@@ -285,7 +285,7 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_near_duplicates(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.7
+        _ts(spark, sf_dir, "documents"), jaccard_threshold=0.7
     )
 
 
@@ -357,7 +357,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "truncates, DuckDB's rounds).",
 )
 def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return quality_features(d).select(
         "doc_id",
         "q_chars",
@@ -474,7 +474,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_minima,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     # Two projection boundaries on purpose: the gram-hash array and the
     # fingerprint array each materialize once per row. Collapsing either
     # into its consumer would recompute it per window / per reference

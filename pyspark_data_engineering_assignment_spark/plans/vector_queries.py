@@ -17,7 +17,7 @@ from pyspark_data_engineering_assignment_spark.operators.similarity import (
     embedding_near_duplicates,
     lsh_bucketed_topk,
 )
-from pyspark_data_engineering_assignment_spark.plans.registry import register, _t
+from pyspark_data_engineering_assignment_spark.plans.registry import register, _t, _ts
 
 # DuckDB double-domain cosine, bit-identical to functions.vectors.cosine
 _DUCK_COS = """
@@ -50,7 +50,7 @@ _DUCK_COS = """
     "baseline for the LSH variant.",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -141,13 +141,17 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(pyspark.ml, seed=42), corpus partitioned by nearest cell, queries "
     "probe their 4 nearest of 16 cells. Data-adaptive counterpart to "
     "ann_lsh_topk. Rows-only check; recall@5 vs brute force measured in "
-    "tests/test_similarity.py.",
+    "tests/test_similarity.py. The shipped plan SAMPLE-trains the "
+    "centroids (train_fraction=0.2 at bench SF): coarse quantization "
+    "needs density-following cells, not a converged fit, so the k-means "
+    "pass must never scan the full corpus - at 100 TB you'd set the "
+    "fraction to yield ~1e6 training vectors.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    emb = _ts(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, train_fraction=0.2)
 
 
 @register(
