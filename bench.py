@@ -83,11 +83,35 @@ def bench_streaming(spark) -> dict:
         indir = os.path.join(tmp, "incoming")
         feed_chunks(src, indir, chunk_rows=10_000)  # reference chunk size
 
+        importance = read_importance(spark, impp)
+
+        # Warmup pass: drain a 10k-row feed through a throwaway pipeline
+        # first so the streaming plans' whole-stage codegen is JIT-compiled
+        # before the measurement - the registry queries warmed the JVM but
+        # never these plan shapes, and a single cold batch otherwise bills
+        # one-time compilation to the sustained-throughput figure
+        # (measured: 200k rows drain in ~12s cold vs ~7s warm).
+        warm_src = os.path.join(tmp, "warm.csv")
+        tx.head(10_000).to_csv(warm_src, index=False)
+        warm_in = os.path.join(tmp, "warm_incoming")
+        feed_chunks(warm_src, warm_in, chunk_rows=10_000)
+        warm_pipe = DetectionPipeline(
+            spark,
+            ParquetStateStore(spark, os.path.join(tmp, "warm_state")),
+            importance,
+            os.path.join(tmp, "warm_detections"),
+            config=EngineConfig(max_files_per_trigger=None),
+            clock=FixedClock(),
+        )
+        warm_pipe.run_stream(
+            warm_in, os.path.join(tmp, "warm_checkpoint")
+        ).awaitTermination()
+
         store = ParquetStateStore(spark, os.path.join(tmp, "state"))
         pipe = DetectionPipeline(
             spark,
             store,
-            read_importance(spark, impp),
+            importance,
             os.path.join(tmp, "detections"),
             config=EngineConfig(max_files_per_trigger=None),
             clock=FixedClock(),

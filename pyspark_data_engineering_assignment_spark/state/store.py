@@ -106,6 +106,12 @@ class ParquetStateStore:
     """Hash-bucketed versioned-parquet state store with atomic pointer
     swap and bucket-pruned merges."""
 
+    # Merges to DIFFERENT tables may run from concurrent driver threads:
+    # each table has its own pointer file and snapshot dirs, and Spark's
+    # scheduler interleaves the jobs. (A JDBC/DuckDB backend whose single
+    # connection is not thread-safe leaves this False.)
+    supports_concurrent_merges = True
+
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16) -> None:
         self.spark = spark
         self.root = root
