@@ -84,10 +84,12 @@ def kmv_distinct_estimate(
     stage ever carries more than k rows per group out of the rank
     filter; never an unbounded collect_set.
 
-    The estimator multiplies (k-1) by ``hash_space(hex_chars)`` in
-    DOUBLE domain; the product may round (2^60 * 255 needs 68 bits) but
-    rounds identically in any IEEE-754 engine, so the floor'd BIGINT
-    stays oracle-exact.
+    Cross-engine determinism of the estimate: (k-1) * hash_space is
+    EXACTLY representable in double (255 * 2^60 is 8 significant bits
+    times a power of two); the one lossy step is casting ``kth`` - a
+    60-bit BIGINT beyond double's 53-bit mantissa - to double for the
+    division, which IEEE-754 round-to-nearest performs identically in
+    Spark and DuckDB, so the floor'd BIGINT stays oracle-exact.
     """
     hashed = df.select(
         *group_cols, kmv_hash(F.col(value_col), hex_chars).alias("h")

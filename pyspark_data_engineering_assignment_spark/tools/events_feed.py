@@ -76,11 +76,17 @@ def run_events_flagship(
     sf_dir: str,
     workdir: str,
     chunk_rows: int = 10_000,
+    store_factory=None,
 ) -> dict:
     """Feed ``sf_dir``'s events (mapped to transactions) through the full
     DetectionPipeline with availableNow and return run facts:
     rows, elapsed seconds, rows/s, detections, state/detections dirs and
-    the fed chunk paths (for oracle checks)."""
+    the fed chunk paths (for oracle checks).
+
+    ``store_factory(spark, workdir) -> StateStore`` swaps the state
+    backend (default: ParquetStateStore under ``workdir/state``) - the
+    flagship-scale oracle test runs both it and the DuckDB RDBMS-UPSERT
+    backend through here."""
     from pyspark_data_engineering_assignment_spark.config import EngineConfig
     from pyspark_data_engineering_assignment_spark.patterns.detect import FixedClock
     from pyspark_data_engineering_assignment_spark.sources.readers import (
@@ -104,7 +110,10 @@ def run_events_flagship(
     incoming = os.path.join(workdir, "incoming")
     chunks = feed_chunks(src, incoming, chunk_rows=chunk_rows)
 
-    store = ParquetStateStore(spark, os.path.join(workdir, "state"))
+    if store_factory is None:
+        store = ParquetStateStore(spark, os.path.join(workdir, "state"))
+    else:
+        store = store_factory(spark, workdir)
     pipe = DetectionPipeline(
         spark,
         store,

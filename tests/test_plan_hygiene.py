@@ -107,6 +107,53 @@ def test_whole_stage_codegen_covers_relational_core(spark):
         assert "*(" in final, f"{name}: no WholeStageCodegen stage in final plan"
 
 
+def test_lsh_self_joins_stay_shuffled(spark):
+    """The three LSH-family self-joins carry shuffle_hash hints so the
+    two sides canonicalize to ONE exchange (computed once) and the plan
+    shape survives 100 TB, where the banded corpus could never broadcast.
+    Pin it: a Spark-version or AQE-heuristic change silently reverting to
+    BroadcastHashJoin would recompute the whole signature pipeline for
+    the build side AND ship a corpus-sized frame to every executor."""
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_duplicates,
+    )
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    for label, df in [
+        ("minhash_lsh_candidates", minhash_lsh_candidates(docs)),
+        ("simhash_near_duplicates", simhash_near_duplicates(docs)),
+        ("embedding_near_duplicates", embedding_near_duplicates(emb)),
+    ]:
+        p = plan_text(df, mode="simple")
+        assert "ShuffledHashJoin" in p, f"{label}: band self-join not shuffled"
+        assert "BroadcastHashJoin" not in p, f"{label}: self-join reverted to broadcast"
+        assert "SortMergeJoin" not in p, f"{label}: self-join fell back to sort-merge"
+
+
+def test_minhash_band_join_reuses_one_exchange(spark):
+    """Runtime half of the self-join pin: AQE must materialize the two
+    identical band-frame sides as ONE exchange + a ReusedExchange, not
+    compute the signature pipeline twice. (Static plans show two
+    exchanges; reuse is decided at runtime, so execute then inspect.)"""
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+    df = minhash_lsh_candidates(load_table(spark, SF, "documents"))
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, "band self-join computes both sides separately"
+    assert "BroadcastHashJoin" not in final
+
+
 def test_oracle_queries_fit_driver_sample_window():
     """The driver's correctness gate samples the FIRST 50 registry
     entries. Every oracle-bearing query must land in that window or it
