@@ -43,19 +43,31 @@ from pyspark_data_engineering_assignment_spark.sources.tables import load_table
 class QuerySpec:
     """One registered query: a Spark plan + its DuckDB oracle (None for
     ops whose semantics SQL can't express - driver then does a weaker
-    rows-only check)."""
+    rows-only check).
+
+    ``local_oracle`` holds the same strict DuckDB SQL for queries NOT
+    exported to the driver's oracle gate: the gate samples only the first
+    50 registry entries, so when the oracle-bearing set outgrew 50 the
+    most operator-redundant queries moved their SQL here. They keep the
+    full rows+schema+value-hash check in tests/test_oracle_parity.py;
+    only the driver-side slot is ceded to a non-redundant query."""
 
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    local_oracle: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(
+    name: str, oracle: str | None, doc: str = "", local_oracle: str | None = None
+):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        QUERIES[name] = QuerySpec(
+            fn=fn, oracle=oracle, doc=doc, local_oracle=local_oracle
+        )
         return fn
 
     return wrap
@@ -743,14 +755,18 @@ def brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "urgent_and_high_value",
-    """
+    None,
+    doc="INTERSECT set op (absent from the reference, survey §2.6): "
+    "customers with at least one urgent order AND at least one "
+    "high-value order. Plans as a left-semi join after distinct. "
+    "Driver slot ceded round 5 (semi-join + distinct evidence is "
+    "redundant with suppliers_with_shipments / distinct_supplier_flags); "
+    "strict parity retained via local_oracle.",
+    local_oracle="""
     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     INTERSECT
     SELECT o_custkey FROM orders WHERE o_totalprice > 300000
     """,
-    doc="INTERSECT set op (absent from the reference, survey §2.6): "
-    "customers with at least one urgent order AND at least one "
-    "high-value order. Plans as a left-semi join after distinct.",
 )
 def urgent_and_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -779,7 +795,12 @@ def urgent_never_big(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shipmode_priority_matrix",
-    """
+    None,
+    doc="TPC-H Q12 shape: conditional aggregation (CASE/FILTER inside "
+    "count) over a fact-fact join with a pushed date filter. Driver "
+    "slot ceded round 5 (conditional-agg evidence redundant with "
+    "returnflag_pivot / patid3_dei); strict parity via local_oracle.",
+    local_oracle="""
     SELECT l_linestatus,
            count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
                AS high_line_count,
@@ -789,8 +810,6 @@ def urgent_never_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
     GROUP BY 1
     """,
-    doc="TPC-H Q12 shape: conditional aggregation (CASE/FILTER inside "
-    "count) over a fact-fact join with a pushed date filter.",
 )
 def shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -809,7 +828,14 @@ def shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "widget_parts_by_brand",
-    """
+    None,
+    doc="String pattern filters (LIKE / NOT LIKE, survey §2.8 notes the "
+    "reference uses no string fns): contains + prefix predicates pushed "
+    "as parquet StringContains/StringStartsWith filters. Driver slot "
+    "ceded round 5 (pushdown is pinned by plan-hygiene tests; groupBy "
+    "evidence redundant with brand_type_revenue); strict parity via "
+    "local_oracle.",
+    local_oracle="""
     SELECT p_brand, count(*) AS n_parts,
            CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS total_price_cents
@@ -817,9 +843,6 @@ def shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_name LIKE '%widget%' AND p_type NOT LIKE 'PROMO%'
     GROUP BY 1
     """,
-    doc="String pattern filters (LIKE / NOT LIKE, survey §2.8 notes the "
-    "reference uses no string fns): contains + prefix predicates pushed "
-    "as parquet StringContains/StringStartsWith filters.",
 )
 def widget_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")

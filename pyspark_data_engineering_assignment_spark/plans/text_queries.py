@@ -94,7 +94,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_prefix_groups",
-    """
+    None,
+    doc="Prefix-key near-dedup: groups sharing the first 2 tokens - the "
+    "cheap bucketing key pattern used before pairwise verification. "
+    "Driver slot ceded round 5 (exact-dedup evidence redundant with "
+    "dedup_exact); strict parity via local_oracle.",
+    local_oracle="""
     SELECT prefix, count(*) AS n_docs, min(doc_id) AS keeper_id
     FROM (SELECT doc_id,
                  array_to_string(list_slice(string_split(trim(text), ' '), 1, 2), ' ')
@@ -102,8 +107,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents)
     GROUP BY 1 HAVING count(*) > 1
     """,
-    doc="Prefix-key near-dedup: groups sharing the first 2 tokens - the "
-    "cheap bucketing key pattern used before pairwise verification.",
 )
 def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")

@@ -56,7 +56,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_norms",
-    f"""
+    None,
+    doc="Vector column hygiene: per-row L2 norm + dimension check, "
+    "pure map work. Driver slot ceded round 5 (vector-math evidence "
+    "redundant with label_centroid_dims); strict parity via "
+    "local_oracle.",
+    local_oracle="""
     SELECT vec_id, label,
            sqrt(list_reduce(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
@@ -64,8 +69,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(embedding) AS dim
     FROM embeddings
     """,
-    doc="Vector column hygiene: per-row L2 norm + dimension check, "
-    "pure map work.",
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

@@ -10,7 +10,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from pyspark_data_engineering_assignment_spark.session import ensure_session_confs
 
@@ -86,14 +86,22 @@ def load_table(
             f"{sf_dir}/{name}.parquet",
         )
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), read as long under
-        # nanosAsLong, truncated to micros - matching DuckDB's microsecond
-        # TIMESTAMP. `div` is integer division: epoch-nanos ~1.7e18 exceed
-        # double's 2^53 exact range, so float division could skew the
-        # result by +/-1 microsecond.
+        # Normalize events.ts to TIMESTAMP (LTZ, session tz pinned UTC)
+        # across the physical encodings the generator has used:
+        #   * TIMESTAMP(NANOS) -> read as long under nanosAsLong, truncate
+        #     to micros. `div` is integer division: epoch-nanos ~1.7e18
+        #     exceed double's 2^53 exact range, so float division could
+        #     skew the result by +/-1 microsecond.
+        #   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> Spark 4 infers
+        #     TIMESTAMP_NTZ; cast reinterprets the naive value in the UTC
+        #     session tz, preserving wall-clock values (what the naive
+        #     DuckDB oracle sees).
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
+        t = df.schema["ts"].dataType
+        if isinstance(t, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(t, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

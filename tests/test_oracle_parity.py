@@ -21,11 +21,14 @@ def con():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, con, name):
     spec = QUERIES[name]
-    if spec.oracle is None:
+    # local_oracle: queries that ceded their driver-gate slot still get
+    # the full rows+schema+value-hash check here (see QuerySpec docstring)
+    sql = spec.oracle or spec.local_oracle
+    if sql is None:
         df = spec.fn(spark, SF)
         assert df.count() >= 0  # rows-only check, like the driver
         return
-    ok, msg = compare_query(spark, con, spec.fn, spec.oracle, SF)
+    ok, msg = compare_query(spark, con, spec.fn, sql, SF)
     assert ok, f"{name}: {msg}"
 
 
