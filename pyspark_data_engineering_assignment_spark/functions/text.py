@@ -128,3 +128,42 @@ def minhash_signature(hashed_shingles: Column, num_hashes: int) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Pattern scrubbing / PII redaction
+# ---------------------------------------------------------------------------
+
+# Default PII patterns, written in the Java-regex/RE2 common subset
+# (character classes, bounded repetition, \b word boundaries - no
+# lookaround) so the SAME pattern string drives Spark, the DuckDB
+# oracle, and any downstream engine.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "[EMAIL]"),
+    "phone": (r"\+?[0-9][0-9()\-. ]{6,}[0-9]\b", "[PHONE]"),
+    "url": (r"https?://[^\s]+", "[URL]"),
+}
+
+
+def match_count(text: Column, pattern: str) -> Column:
+    """Non-overlapping match count of ``pattern`` (BIGINT). Pure
+    expression (regexp_count), JVM-side; DuckDB mirror is
+    ``len(regexp_extract_all(text, pattern))``."""
+    return F.regexp_count(text, F.lit(pattern)).cast("long")
+
+
+def scrub(text: Column, patterns: dict[str, tuple[str, str]]) -> Column:
+    """Replace every match of every pattern with its replacement token,
+    applied in dict order (order matters when patterns overlap - e.g.
+    scrub emails before bare domains). One chained regexp_replace
+    pipeline: per-row map work, no shuffle, linear in input bytes at
+    any scale."""
+    out = text
+    for regex, replacement in patterns.values():
+        out = F.regexp_replace(out, regex, replacement)
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub the default email/phone/url PII classes."""
+    return scrub(text, PII_PATTERNS)

@@ -1,0 +1,109 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+``df.sample()`` / ``sampleBy()`` draw from Spark's per-partition RNG:
+the result changes with partitioning, task retries at 100 TB can
+double-draw rows, and no other engine can reproduce the selection. A
+training pipeline needs the opposite: a row's split assignment must be
+a PURE FUNCTION of its id - stable across runs, engines, repartitions,
+and incremental reprocessing (a new shard of documents lands in the
+same train/val/test proportions without reshuffling old ones).
+
+The assignment here is the standard salted-hash bucket:
+
+    bucket(id) = md5(id || '|' || salt) mod buckets
+
+md5 is the one hash both Spark and DuckDB share bit-for-bit (the same
+idiom as the KMV sketch, operators/sketches.py), so the exact membership
+of every split is oracle-checkable, not just its size. Changing the
+salt re-draws every assignment; keeping it pins the dataset forever.
+
+Scale: pure per-row map work - no shuffle, no state, trivially
+parallel; the filter for one split pushes nothing to the scan (the
+hash must be computed) but costs one md5 per row, vectorized JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: the widest md5 prefix that parses into a
+# signed BIGINT identically in Spark and DuckDB (see operators/sketches).
+_HEX_CHARS = 15
+DEFAULT_SALT = "split-v1"
+
+
+def hash_bucket(
+    id_col: Column, buckets: int = 100, salt: str = DEFAULT_SALT
+) -> Column:
+    """Uniform bucket in [0, buckets) as a pure function of (id, salt)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", id_col.cast("string"), F.lit(salt))),
+            1,
+            _HEX_CHARS,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def split_assignment(
+    id_col: Column,
+    splits: dict[str, int] | None = None,
+    salt: str = DEFAULT_SALT,
+) -> Column:
+    """Map an id column to a split label by cumulative bucket ranges.
+
+    ``splits`` maps label -> weight (integers summing to <= 100, in
+    iteration order); the remainder (if any) falls into the LAST label.
+    Default: train/val/test = 80/10/10.
+    """
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if not splits or any(w <= 0 for w in splits.values()):
+        raise ValueError("splits must be positive weights")
+    total = sum(splits.values())
+    if total > 100:
+        raise ValueError(f"split weights sum to {total} > 100")
+    b = hash_bucket(id_col, buckets=100, salt=salt)
+    labels = list(splits)
+    expr = None
+    cum = 0
+    for label in labels[:-1]:
+        cum += splits[label]
+        expr = (
+            F.when(b < cum, label) if expr is None else expr.when(b < cum, label)
+        )
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+    salt: str = DEFAULT_SALT,
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split label column to ``df``."""
+    return df.withColumn(out_col, split_assignment(F.col(id_col), splits, salt))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = DEFAULT_SALT,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership a pure function of the id.
+
+    Unlike ``df.sample``, re-running (or re-partitioning, or resuming a
+    failed job) selects exactly the same rows, and appending new data
+    samples it at the same rate without disturbing prior selections.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(round(fraction * buckets))
+    return df.filter(hash_bucket(F.col(id_col), buckets, salt) < threshold)

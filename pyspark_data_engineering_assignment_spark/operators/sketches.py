@@ -107,3 +107,118 @@ def kmv_distinct_estimate(
         ).cast("long")
     )
     return topk.select(*group_cols, est.alias("distinct_est"))
+
+
+def kmv_set_cardinality(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    hex_chars: int = HEX_CHARS,
+) -> DataFrame:
+    """Distinct-count set algebra across group pairs from MERGED sketches:
+    for every unordered pair (a, b) of ``group_col`` values, estimate
+    |A|, |B|, |A union B| and |A intersect B| without ever touching the
+    raw sets a second time.
+
+    The KMV property doing the work: bottom-k(A union B) over the FULL
+    sets equals bottom-k(sketch(A) union sketch(B)) - the k smallest of
+    a union can only come from the k smallest of each side. So the
+    union estimate needs only the two k-row sketches, and intersection
+    follows by inclusion-exclusion (clamped at 0; like every KMV
+    estimate it inherits ~1/sqrt(k-2) relative error, amplified for
+    small intersections of large sets).
+
+    Scale: the per-group sketch build is the same O(groups x k) shuffle
+    as kmv_distinct_estimate; the pairing stage operates on sketches
+    only - O(pairs x k) rows, independent of raw cardinality. With G
+    groups there are G(G-1)/2 pairs: fine for enum-like group columns
+    (the use case); an unbounded group domain should pre-filter pairs.
+
+    Groups with fewer than k distinct hashes carry their exact set, so
+    small-range pairs degrade gracefully to near-exact answers (same
+    small-range fix as kmv_distinct_estimate).
+
+    CALLER CONTRACT (cache lifetime): the per-group sketch is persisted
+    - the downstream DAG references it from four subtrees (pair
+    enumeration, both per-group stats joins, the merged-union stack),
+    and without the persist each reference would re-scan and re-shuffle
+    the RAW table (observed: 10 parquet scans in one plan). The sketch
+    is O(groups x k) rows, trivially cacheable at any corpus size. A
+    long-lived session should ``spark.catalog.clearCache()`` (or
+    unpersist) after materializing the result, as bench.py does.
+    """
+    from pyspark import StorageLevel
+
+    hashed = df.select(
+        group_col, kmv_hash(F.col(value_col), hex_chars).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    ).select(group_col, "h").persist(StorageLevel.MEMORY_AND_DISK)
+
+    def estimate(n_topk, kth):
+        return F.when(n_topk < k, n_topk.cast("long")).otherwise(
+            F.floor(
+                F.lit(float(k - 1))
+                * F.lit(float(hash_space(hex_chars)))
+                / kth
+            ).cast("long")
+        )
+
+    per_group = sketch.groupBy(group_col).agg(
+        F.count("*").alias("n_topk"), F.max("h").alias("kth")
+    )
+    groups = per_group.select(F.col(group_col).alias("g"))
+    pairs = (
+        groups.alias("a")
+        .crossJoin(groups.alias("b"))
+        .filter(F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
+    )
+    # Merged sketch per pair: distinct union of the two member sketches,
+    # re-ranked to bottom-k. Sketch rows are tiny (pairs x 2k max), so
+    # the pair join broadcasts.
+    stacked = (
+        pairs.join(
+            sketch.withColumnRenamed(group_col, "_m"),
+            (F.col("_m") == F.col("group_a")) | (F.col("_m") == F.col("group_b")),
+        )
+        .select("group_a", "group_b", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("group_a", "group_b").orderBy("h")
+    union_stats = (
+        stacked.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("u_topk"), F.max("h").alias("u_kth"))
+    )
+    a_stats = per_group.select(
+        F.col(group_col).alias("group_a"),
+        F.col("n_topk").alias("a_topk"),
+        F.col("kth").alias("a_kth"),
+    )
+    b_stats = per_group.select(
+        F.col(group_col).alias("group_b"),
+        F.col("n_topk").alias("b_topk"),
+        F.col("kth").alias("b_kth"),
+    )
+    est_a = estimate(F.col("a_topk"), F.col("a_kth"))
+    est_b = estimate(F.col("b_topk"), F.col("b_kth"))
+    est_u = estimate(F.col("u_topk"), F.col("u_kth"))
+    return (
+        union_stats.join(F.broadcast(a_stats), "group_a")
+        .join(F.broadcast(b_stats), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            F.greatest(F.lit(0).cast("long"), est_a + est_b - est_u).alias(
+                "est_intersection"
+            ),
+        )
+    )

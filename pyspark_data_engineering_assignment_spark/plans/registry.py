@@ -1246,3 +1246,123 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_days").cast("long").alias("max_gap_days"),
         F.sum("gap_days").cast("long").alias("total_gap_days"),
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+               count(*) AS n,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM events
+    ),
+    spine AS (
+        SELECT g.event_type,
+               unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM (SELECT DISTINCT event_type FROM events) g CROSS JOIN bounds b
+    )
+    SELECT s.event_type, s.bucket_ts,
+           coalesce(b.n, 0) AS n_events,
+           coalesce(b.sum_cents, 0) AS sum_value_cents,
+           last_value(b.sum_cents IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_sum_cents,
+           (b.n IS NULL) AS is_gap
+    FROM spine s
+    LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_ts = b.bucket_ts
+    """,
+    doc="Hypertable-style continuous rollup: hourly buckets per series "
+    "DENSIFIED over the observed span - explicit zero rows for empty "
+    "buckets plus last-observation-carried-forward, the gap-fill "
+    "semantics of timeseries stores (TimescaleDB time_bucket_gapfill/"
+    "locf). Spine is generated (distinct series x sequence over a "
+    "1-row global bound aggregate), never scanned; fill join is keyed "
+    "on the same (series, bucket) the rollup already shuffled on; "
+    "LOCF is one per-series window. operators/timeseries.py.",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        resample_gapfill,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return resample_gapfill(e, "event_type", "ts", "value", unit="hour")
+
+
+@register(
+    "event_reach_setops_kmv",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   + 1 AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h) WHERE rn <= 256
+    ),
+    pg AS (
+        SELECT event_type, count(*) AS n_topk, max(h) AS kth
+        FROM sk GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS group_a, b.event_type AS group_b
+        FROM pg a JOIN pg b ON a.event_type < b.event_type
+    ),
+    u AS (
+        SELECT DISTINCT p.group_a, p.group_b, s.h
+        FROM pairs p
+        JOIN sk s ON s.event_type = p.group_a OR s.event_type = p.group_b
+    ),
+    us AS (
+        SELECT group_a, group_b, count(*) AS u_topk, max(h) AS u_kth FROM (
+            SELECT group_a, group_b, h,
+                   row_number() OVER (PARTITION BY group_a, group_b
+                                      ORDER BY h) AS rn
+            FROM u) WHERE rn <= 256 GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, est_a, est_b, est_union,
+           greatest(0, est_a + est_b - est_union) AS est_intersection
+    FROM (
+        SELECT us.group_a, us.group_b,
+               CASE WHEN a.n_topk < 256 THEN a.n_topk
+                    ELSE CAST(floor(255.0 * 1152921504606846976.0 / a.kth)
+                              AS BIGINT) END AS est_a,
+               CASE WHEN b.n_topk < 256 THEN b.n_topk
+                    ELSE CAST(floor(255.0 * 1152921504606846976.0 / b.kth)
+                              AS BIGINT) END AS est_b,
+               CASE WHEN us.u_topk < 256 THEN us.u_topk
+                    ELSE CAST(floor(255.0 * 1152921504606846976.0 / us.u_kth)
+                              AS BIGINT) END AS est_union
+        FROM us
+        JOIN pg a ON us.group_a = a.event_type
+        JOIN pg b ON us.group_b = b.event_type
+    )
+    """,
+    doc="KMV sketch set algebra over every event-type pair: union "
+    "cardinality from MERGED bottom-k sketches (bottom-k(A union B) == "
+    "bottom-k(sketch(A) union sketch(B))), intersection by inclusion-"
+    "exclusion clamped at 0. The pairing stage touches only sketch rows "
+    "- O(pairs x k), independent of raw cardinality - so at 100 TB the "
+    "raw table is read exactly once to build per-group sketches. Like "
+    "user_reach_kmv, the ESTIMATE itself is oracle-exact (60-bit md5 "
+    "domain, identical floor arithmetic). operators/sketches.py.",
+)
+def event_reach_setops_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.sketches import (
+        kmv_set_cardinality,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return kmv_set_cardinality(e, "event_type", "user_id", k=256)

@@ -537,3 +537,105 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)
     return duplicate_clusters(pairs)
+
+
+# Scrub patterns for the registry query, in the Java-regex/RE2 common
+# subset so the identical pattern string drives both engines. Chosen to
+# have real hit density in the synthetic corpus (functions.text also
+# ships PII_PATTERNS - email/phone/url - unit-tested on constructed PII
+# in tests/test_text_scrub.py; this corpus contains no PII to hit).
+_TOOL_RE = r"\b(spark|hash|vector)\b"
+_SIZE_RE = r"\b(big|small|fast|slow)\b"
+
+
+@register(
+    "doc_token_scrub",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '\\b(spark|hash|vector)\\b')))
+                AS BIGINT) AS tool_hits,
+           CAST(sum(len(regexp_extract_all(text, '\\b(big|small|fast|slow)\\b')))
+                AS BIGINT) AS size_hits,
+           CAST(sum(length(regexp_replace(
+                    regexp_replace(text, '\\b(spark|hash|vector)\\b', '[TOOL]', 'g'),
+                    '\\b(big|small|fast|slow)\\b', '[SIZE]', 'g')))
+                AS BIGINT) AS scrubbed_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="Pattern scrubbing / redaction pipeline (functions.text.scrub): "
+    "chained regexp_replace + regexp_count per class, aggregated per "
+    "source - the shape of PII removal over a training corpus. Pure "
+    "per-row map work before one small aggregate; patterns stay in the "
+    "Java-regex/RE2 common subset so the oracle runs the SAME pattern. "
+    "The sibling redact_pii (email/phone/url) uses the same machinery.",
+)
+def doc_token_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.text import (
+        match_count,
+        scrub,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scrubbed = scrub(
+        F.col("text"),
+        {"tool": (_TOOL_RE, "[TOOL]"), "size": (_SIZE_RE, "[SIZE]")},
+    )
+    return (
+        d.select(
+            "source",
+            match_count(F.col("text"), _TOOL_RE).alias("tool_hits"),
+            match_count(F.col("text"), _SIZE_RE).alias("size_hits"),
+            F.length(scrubbed).cast("long").alias("scrubbed_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tool_hits").cast("long").alias("tool_hits"),
+            F.sum("size_hits").cast("long").alias("size_hits"),
+            F.sum("scrubbed_chars").cast("long").alias("scrubbed_chars"),
+        )
+    )
+
+
+@register(
+    "doc_split_stratified",
+    """
+    WITH s AS (
+        SELECT lang, n_chars,
+               CASE WHEN m < 80 THEN 'train'
+                    WHEN m < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT lang, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                                         'split-v1'), 1, 15))::BIGINT
+                         % 100 AS m
+              FROM documents)
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (80/10/10) via salted-hash "
+    "bucketing (operators/sampling.py): a row's split is a pure function "
+    "of (doc_id, salt) - stable across runs, engines, partitionings and "
+    "incremental reprocessing, unlike df.sample's per-partition RNG. "
+    "Stratification counts per (split, lang) verify the assignment "
+    "EXACTLY in the oracle (same md5 arithmetic), not just in "
+    "proportion. No shuffle for the assignment itself; one hash-agg "
+    "for the report.",
+)
+def doc_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.sampling import (
+        hash_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -230,3 +230,70 @@ def conversion_lag_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_lag_seconds"
         ),
     )
+
+
+@register(
+    "embedding_quantization_error",
+    """
+    WITH v AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings
+    ),
+    s AS (
+        SELECT label, xs,
+               CASE WHEN list_aggregate(list_transform(xs, x -> abs(x)), 'max')
+                         > 0.0
+                    THEN 127.0 / list_aggregate(list_transform(xs, x -> abs(x)),
+                                                'max')
+                    ELSE 0.0 END AS scale
+        FROM v
+    ),
+    e AS (
+        SELECT label,
+               list_transform(xs, x -> CAST(floor(
+                   CASE WHEN scale > 0.0
+                        THEN (x - greatest(-127.0, least(127.0,
+                                 floor(x * scale + 0.5))) / scale)
+                           * (x - greatest(-127.0, least(127.0,
+                                 floor(x * scale + 0.5))) / scale)
+                        ELSE 0.0 END * 1e12) AS BIGINT)) AS errs
+        FROM s
+    )
+    SELECT label, count(*) AS n_vecs,
+           CAST(sum(list_aggregate(errs, 'sum')) AS BIGINT) AS sum_err2_e12,
+           CAST(max(list_aggregate(errs, 'max')) AS BIGINT) AS max_err2_e12
+    FROM e GROUP BY 1
+    """,
+    doc="Symmetric int8 scalar quantization quality report per label "
+    "(functions.vectors.int8_scale/int8_recon_err2_e12): the compression "
+    "step an embedding store runs before ANN serving, with its "
+    "reconstruction error surfaced as fixed-point integers. Every "
+    "lossy step is elementwise IEEE double math (floor(x*scale+0.5) "
+    "round-half-up in both engines - round() itself disagrees on "
+    "half-even vs half-up), so the per-element floor(err^2 * 1e12) "
+    "BIGINTs aggregate order-independently and the oracle matches by "
+    "hash, not tolerance. Pure map work + one hash-agg; no shuffle "
+    "before the final label aggregate.",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.vectors import (
+        int8_recon_err2_e12,
+        int8_scale,
+    )
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    scale = int8_scale(F.col("embedding"))
+    errs = int8_recon_err2_e12(F.col("embedding"), scale)
+    per_row = emb.select(
+        "label",
+        F.aggregate(
+            errs, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("row_sum"),
+        F.array_max(errs).alias("row_max"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("row_sum").cast("long").alias("sum_err2_e12"),
+        F.max("row_max").cast("long").alias("max_err2_e12"),
+    )

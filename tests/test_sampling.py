@@ -1,0 +1,88 @@
+"""Deterministic hash split / sampling: stability, disjointness, purity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    split_assignment,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_split_exhaustive_and_disjoint(spark, ids):
+    out = hash_split(ids, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+
+
+def test_split_proportions(spark, ids):
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(ids, "doc_id").groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # 80/10/10 with binomial noise on n=2000 (sd ~ 18 for train, ~13 for others)
+    assert abs(counts["train"] - 1600) < 100
+    assert abs(counts["val"] - 200) < 70
+    assert abs(counts["test"] - 200) < 70
+
+
+def test_split_is_pure_function_of_id(spark, ids):
+    a = {r.doc_id: r.split for r in hash_split(ids, "doc_id").collect()}
+    shuffled = ids.repartition(13, F.col("doc_id"))
+    b = {r.doc_id: r.split for r in hash_split(shuffled, "doc_id").collect()}
+    assert a == b
+
+
+def test_salt_redraws_assignments(spark, ids):
+    a = {r.doc_id: r.split for r in hash_split(ids, "doc_id", salt="s1").collect()}
+    b = {r.doc_id: r.split for r in hash_split(ids, "doc_id", salt="s2").collect()}
+    changed = sum(1 for k in a if a[k] != b[k])
+    assert changed > 400  # ~1 - (0.8^2 + 0.1^2 + 0.1^2) of 2000
+
+
+def test_custom_weights_remainder_to_last(spark, ids):
+    out = hash_split(ids, "doc_id", splits={"a": 50, "b": 25})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # b takes its 25 plus the undeclared remainder 25
+    assert abs(counts["a"] - 1000) < 90
+    assert abs(counts["b"] - 1000) < 90
+
+
+def test_invalid_weights_rejected(spark, ids):
+    with pytest.raises(ValueError):
+        hash_split(ids, "doc_id", splits={"a": 60, "b": 50})
+    with pytest.raises(ValueError):
+        hash_split(ids, "doc_id", splits={"a": 0})
+
+
+def test_deterministic_sample_nested_and_stable(spark, ids):
+    s30 = set(r.doc_id for r in deterministic_sample(ids, "doc_id", 0.3).collect())
+    s60 = set(r.doc_id for r in deterministic_sample(ids, "doc_id", 0.6).collect())
+    # nested: raising the fraction only ADDS rows (same hash, higher cut)
+    assert s30 <= s60
+    assert abs(len(s30) - 600) < 120
+    assert abs(len(s60) - 1200) < 120
+    # appending new data never disturbs prior membership
+    bigger = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    s30_b = set(
+        r.doc_id
+        for r in deterministic_sample(bigger, "doc_id", 0.3).collect()
+        if r.doc_id < 2000
+    )
+    assert s30 == s30_b
+
+
+def test_deterministic_sample_bounds(spark, ids):
+    assert deterministic_sample(ids, "doc_id", 0.0).count() == 0
+    assert deterministic_sample(ids, "doc_id", 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        deterministic_sample(ids, "doc_id", 1.5)

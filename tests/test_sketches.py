@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from pyspark_data_engineering_assignment_spark.operators.sketches import (
     kmv_distinct_estimate,
+    kmv_set_cardinality,
 )
 
 
@@ -59,3 +60,47 @@ def test_kmv_widened_estimate_still_bounded(spark):
     got = kmv_distinct_estimate(df, ["g"], "v", k=256, hex_chars=15).collect()[0]
     rel_err = abs(got["distinct_est"] - 50_000) / 50_000
     assert rel_err < 0.2, f"estimate {got['distinct_est']} rel_err {rel_err:.3f}"
+
+
+def test_kmv_setops_exact_below_k(spark):
+    # A = {0..119}, B = {60..209}: groups AND their union stay below
+    # k=256, so every figure degrades to the EXACT answer (small-range
+    # fix) - union 210 < k, intersection 60 by inclusion-exclusion.
+    df = spark.range(0, 120).select(F.lit("A").alias("g"), F.col("id").alias("v")).union(
+        spark.range(60, 210).select(F.lit("B").alias("g"), F.col("id").alias("v"))
+    )
+    row = kmv_set_cardinality(df, "g", "v", k=256).collect()[0]
+    assert (row.group_a, row.group_b) == ("A", "B")
+    assert (row.est_a, row.est_b) == (120, 150)
+    assert row.est_union == 210
+    assert row.est_intersection == 60
+
+
+def test_kmv_setops_estimates_above_k(spark):
+    # |A| = 20k, |B| = 20k, overlap 10k -> union 30k. k=256 gives
+    # ~6.3% relative sd; assert within 4 sigma.
+    df = spark.range(0, 20_000).select(
+        F.lit("A").alias("g"), F.col("id").alias("v")
+    ).union(
+        spark.range(10_000, 30_000).select(F.lit("B").alias("g"), F.col("id").alias("v"))
+    )
+    row = kmv_set_cardinality(df, "g", "v", k=256).collect()[0]
+    assert abs(row.est_a - 20_000) < 0.25 * 20_000
+    assert abs(row.est_b - 20_000) < 0.25 * 20_000
+    assert abs(row.est_union - 30_000) < 0.25 * 30_000
+    # intersection inherits the union's absolute error band
+    assert abs(row.est_intersection - 10_000) < 0.25 * 30_000
+
+
+def test_kmv_setops_all_pairs(spark):
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    out = kmv_set_cardinality(df, "g", "v", k=256)
+    rows = {(r.group_a, r.group_b): r for r in out.collect()}
+    assert set(rows) == {("0", "1"), ("0", "2"), ("1", "2")}
+    for r in rows.values():
+        # residue classes are disjoint: union exact 200, intersection 0
+        assert (r.est_a, r.est_b, r.est_union, r.est_intersection) == (
+            100, 100, 200, 0,
+        )

@@ -1,0 +1,55 @@
+"""resample_gapfill: hypertable-style rollup + densification golden tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+    resample_gapfill,
+)
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_gapfill_golden(spark):
+    rows = [
+        # series A: events in hours 0 and 2, gap at hour 1
+        Row(series="A", ts=_ts(0, 10), value=1.50),
+        Row(series="A", ts=_ts(0, 40), value=2.25),
+        Row(series="A", ts=_ts(2, 5), value=4.00),
+        # series B: only hour 1 - leading and trailing gaps
+        Row(series="B", ts=_ts(1, 30), value=10.00),
+    ]
+    df = spark.createDataFrame(rows)
+    out = resample_gapfill(df, "series", "ts", "value", unit="hour")
+    got = {
+        (r.series, r.bucket_ts.hour): (
+            r.n_events,
+            r.sum_value_cents,
+            r.locf_sum_cents,
+            r.is_gap,
+        )
+        for r in out.collect()
+    }
+    # Spine covers the full global span (hours 0..2) for BOTH series.
+    assert len(got) == 6
+    assert got[("A", 0)] == (2, 375, 375, False)
+    assert got[("A", 1)] == (0, 0, 375, True)  # zero-filled, locf carries
+    assert got[("A", 2)] == (1, 400, 400, False)
+    assert got[("B", 0)] == (0, 0, None, True)  # before first obs: locf null
+    assert got[("B", 1)] == (1, 1000, 1000, False)
+    assert got[("B", 2)] == (0, 0, 1000, True)
+
+
+def test_gapfill_single_bucket_no_gaps(spark):
+    df = spark.createDataFrame(
+        [Row(series="X", ts=_ts(5, i) , value=1.0) for i in range(3)]
+    )
+    out = resample_gapfill(df, "series", "ts", "value", unit="hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_events, r.sum_value_cents, r.is_gap) == (3, 300, False)
