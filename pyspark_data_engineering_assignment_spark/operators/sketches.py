@@ -178,13 +178,16 @@ def kmv_set_cardinality(
         .select(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
     )
     # Merged sketch per pair: distinct union of the two member sketches,
-    # re-ranked to bottom-k. Sketch rows are tiny (pairs x 2k max), so
-    # the pair join broadcasts.
+    # re-ranked to bottom-k. Explode each pair into (pair, member) rows
+    # so the membership join is an EQUI join (hash join) rather than an
+    # OR-condition nested-loop; sketch rows are tiny (pairs x 2k max).
+    pair_members = pairs.select(
+        "group_a",
+        "group_b",
+        F.explode(F.array("group_a", "group_b")).alias("_m"),
+    )
     stacked = (
-        pairs.join(
-            sketch.withColumnRenamed(group_col, "_m"),
-            (F.col("_m") == F.col("group_a")) | (F.col("_m") == F.col("group_b")),
-        )
+        pair_members.join(sketch.withColumnRenamed(group_col, "_m"), "_m")
         .select("group_a", "group_b", "h")
         .distinct()
     )

@@ -279,16 +279,26 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_neardup",
     None,
-    doc="MinHash(64 hashes, 16 bands) + LSH banding candidates, verified "
-    "by exact shingle Jaccard >= 0.7. Docs shorter than the shingle "
-    "length are excluded (routed to exact dedup) - they'd otherwise "
-    "share an all-null signature mega-bucket. Rows-only check: banding "
-    "is not SQL-expressible tersely; precision/recall tested in "
-    "tests/test_dedup.py against the exact-Jaccard all-pairs baseline.",
+    doc="MinHash + LSH banding candidates, verified by exact shingle "
+    "Jaccard >= 0.7. Docs shorter than the shingle length are excluded "
+    "(routed to exact dedup) - they'd otherwise share an all-null "
+    "signature mega-bucket. The SHIPPED configuration is 48 hashes / "
+    "12 bands: candidate recall at the 0.7 threshold is "
+    "1-(1-0.7^4)^12 = 0.965 (vs 0.988 at 64/16) while the banded "
+    "self-join volume - the measured bottleneck, corpus x bands rows - "
+    "drops 25%; precision is unaffected either way because the verify "
+    "stage recomputes exact Jaccard. The operator default stays 64/16 "
+    "(the published setting); both configs find every planted pair in "
+    "tests/test_dedup.py. Rows-only check: banding is not "
+    "SQL-expressible tersely; precision/recall tested against the "
+    "exact-Jaccard all-pairs baseline.",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_near_duplicates(
-        _ts(spark, sf_dir, "documents"), jaccard_threshold=0.7
+        _ts(spark, sf_dir, "documents"),
+        num_hashes=48,
+        bands=12,
+        jaccard_threshold=0.7,
     )
 
 

@@ -283,9 +283,14 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _ts(spark, sf_dir, "embeddings")
-    scale = int8_scale(F.col("embedding"))
-    errs = int8_recon_err2_e12(F.col("embedding"), scale)
-    per_row = emb.select(
+    # Materialize scale as a column FIRST: referenced inside the
+    # per-element lambda it would otherwise re-derive the array_max
+    # subtree per element (O(d^2) work per row).
+    scaled = emb.select(
+        "label", "embedding", int8_scale(F.col("embedding")).alias("s")
+    )
+    errs = int8_recon_err2_e12(F.col("embedding"), F.col("s"))
+    per_row = scaled.select(
         "label",
         F.aggregate(
             errs, F.lit(0).cast("long"), lambda acc, x: acc + x

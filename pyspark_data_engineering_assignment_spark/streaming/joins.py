@@ -44,3 +44,27 @@ def interval_join_streams(
         l[left_ts] <= r[right_ts] + F.expr(f"INTERVAL {max_lag}"),
     ]
     return l.join(r, cond, "inner").drop(*[r[k] for k in key_cols])
+
+
+def enrich_stream_static(
+    stream_df: DataFrame,
+    static_dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Declarative stream-to-static enrichment - the reference's one join
+    (importance dim onto the transaction stream, survey §2.4), expressed
+    as Spark's native stream-static join instead of a per-batch join
+    inside foreachBatch (DetectionPipeline does the latter; both are
+    supported surfaces).
+
+    Stateless: a static-side row needs no watermark or state store, and
+    Spark RE-RESOLVES the static plan each micro-batch, so a dim table
+    updated in place (e.g. a parquet dir rewritten nightly) is picked up
+    without restarting the query. The broadcast hint pins the 100 TB
+    plan: the stream side never shuffles for the join; each executor
+    probes the broadcast dim - at cluster scale the dim is the small
+    side by construction (an enrichment dim that does not fit broadcast
+    belongs in a pre-bucketed join inside foreachBatch instead).
+    """
+    return stream_df.join(F.broadcast(static_dim), on=on, how=how)

@@ -98,6 +98,20 @@ def test_minhash_lsh_matches_exact_baseline(spark, docs):
     assert len(lsh) == len(exact), f"missed pairs: {exact - lsh}"
 
 
+def test_minhash_lsh_shipped_config_matches_exact_baseline(spark, docs):
+    # The registry query ships 48 hashes / 12 bands (see
+    # plans/text_queries.py minhash_lsh_neardup): same structural
+    # precision, full recall on the planted fixture.
+    exact = _pairs(exact_jaccard_pairs(docs, 0.7))
+    lsh = _pairs(
+        minhash_lsh_near_duplicates(
+            docs, num_hashes=48, bands=12, jaccard_threshold=0.7
+        )
+    )
+    assert lsh <= exact
+    assert len(lsh) == len(exact), f"missed pairs: {exact - lsh}"
+
+
 def test_minhash_short_docs_excluded(spark, docs):
     cands = _pairs(minhash_lsh_candidates(docs))
     short_ids = {10, 11, 12, 13}

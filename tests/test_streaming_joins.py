@@ -94,3 +94,51 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
 
     assert run(streaming=False) == EXPECTED
     assert run(streaming=True) == EXPECTED
+
+
+DIM = [("u1", "gold"), ("u3", "bronze")]
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    from pyspark_data_engineering_assignment_spark.streaming.joins import (
+        enrich_stream_static,
+    )
+
+    bdir = str(tmp_path / "buys_ss")
+    _write(bdir, pd.DataFrame(BUYS, columns=["user", "buy_ts", "amount"]))
+    dim = spark.createDataFrame(DIM, ["user", "tier"])
+    expected = {
+        ("u1", 5.0, "gold"),
+        ("u1", 7.0, "gold"),
+        ("u2", 9.0, None),   # left join keeps unmatched stream rows
+        ("u2", 11.0, None),
+    }
+
+    def run(streaming: bool):
+        if streaming:
+            buys = (
+                spark.readStream.format("csv").option("header", "true")
+                .schema(BUY_SCHEMA).load(bdir)
+            )
+        else:
+            buys = spark.read.csv(bdir, header=True, schema=BUY_SCHEMA)
+        joined = enrich_stream_static(buys, dim, on=["user"]).select(
+            "user", "amount", "tier"
+        )
+        if not streaming:
+            return {(r["user"], r["amount"], r["tier"]) for r in joined.collect()}
+        sink = f"sss_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["user"], r["amount"], r["tier"]) for r in spark.table(sink).collect()
+        }
+
+    assert run(streaming=False) == expected
+    assert run(streaming=True) == expected
