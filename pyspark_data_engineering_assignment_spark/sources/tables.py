@@ -85,25 +85,44 @@ def load_table(
             load_table(spark, sf_dir, name),
             f"{sf_dir}/{name}.parquet",
         )
-    if name == "events":
-        # Normalize events.ts to TIMESTAMP (LTZ, session tz pinned UTC)
-        # across the physical encodings the generator has used:
-        #   * TIMESTAMP(NANOS) -> read as long under nanosAsLong, truncate
-        #     to micros. `div` is integer division: epoch-nanos ~1.7e18
-        #     exceed double's 2^53 exact range, so float division could
-        #     skew the result by +/-1 microsecond.
-        #   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> Spark 4 infers
-        #     TIMESTAMP_NTZ; cast reinterprets the naive value in the UTC
-        #     session tz, preserving wall-clock values (what the naive
-        #     DuckDB oracle sees).
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        t = df.schema["ts"].dataType
-        if isinstance(t, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(t, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+# Columns the generator stores as parquet timestamps. The driver has
+# regenerated testdata between rounds with DIFFERENT physical encodings
+# (TIMESTAMP(NANOS) in rounds 1-4, TIMESTAMP(MICROS, isAdjustedToUTC=
+# false) in round 5), so the loader normalizes rather than assumes.
+_TS_COLUMNS = frozenset({"ts", "o_orderdate", "l_shipdate"})
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize known timestamp columns to TIMESTAMP (LTZ; session tz is
+    pinned UTC by ensure_session_confs) across every physical encoding
+    the generator has used:
+
+      * TIMESTAMP(NANOS) -> read as long under nanosAsLong; truncate to
+        micros. `div` is integer division: epoch-nanos ~1.7e18 exceed
+        double's 2^53 exact range, so float division could skew the
+        result by +/-1 microsecond.
+      * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> Spark 4 infers
+        TIMESTAMP_NTZ; the cast reinterprets the naive value in the UTC
+        session tz, preserving wall-clock values (what the naive DuckDB
+        oracle sees).
+      * TIMESTAMP(MICROS, adjusted) -> already LTZ; untouched.
+    """
+    for field in df.schema.fields:
+        if field.name not in _TS_COLUMNS:
+            continue
+        if isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+            )
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(TimestampType())
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

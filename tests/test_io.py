@@ -68,3 +68,35 @@ def test_write_partitioned_layout_and_pruning(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.explain()
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_loader_normalizes_all_timestamp_encodings(spark, tmp_path):
+    """The driver has regenerated testdata with different parquet
+    timestamp encodings across rounds (NANOS in r1-4, naive MICROS in
+    r5). load_table must normalize every known timestamp column to
+    TIMESTAMP (LTZ, UTC session) under all three encodings."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import TimestampType
+
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+    ts = dt.datetime(2024, 1, 1, 12, 30, 45, 123456)
+    for label, patype in [
+        ("nanos_naive", pa.timestamp("ns")),
+        ("micros_naive", pa.timestamp("us")),
+        ("micros_utc", pa.timestamp("us", tz="UTC")),
+    ]:
+        d = tmp_path / f"enc_{label}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": [1], "ts": pa.array([ts], type=patype)}),
+            str(d / "events.parquet"),
+        )
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), label
+        got = df.collect()[0].ts
+        assert got == ts, (label, got, ts)
