@@ -1366,3 +1366,120 @@ def event_reach_setops_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return kmv_set_cardinality(e, "event_type", "user_id", k=256)
+
+
+@register(
+    "nation_pair_trade_volume",
+    None,
+    doc="TPC-H Q7 shape: bidirectional trade volume between a nation "
+    "pair - lineitem x orders fact-fact join with TWO independent "
+    "dimension chains (supplier->nation, customer->nation via orders), "
+    "filtered to the pair in both directions, grouped by (supp_nation, "
+    "cust_nation, ship_year). All four dimensions broadcast; the only "
+    "big shuffle is the fact-fact join. Revenue fixed-pointed to e4 "
+    "BIGINT per the registry convention. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           count(*) AS n_items,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast(DEC)
+        * (1 - F.col("l_discount").cast(DEC))
+        * 10000
+    ).cast("long")
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev_e4).cast("long").alias("revenue_e4"),
+        )
+    )
+
+
+@register(
+    "big_quantity_orders",
+    None,
+    doc="TPC-H Q18 shape: orders whose TOTAL lineitem quantity exceeds a "
+    "threshold, joined back to customer - the grouped-HAVING subquery "
+    "as a join against an aggregate. Quantity fixed-pointed to "
+    "hundredths (BIGINT) so the threshold compare and the output sum "
+    "are integer-exact. The aggregate side is order-keyed (one "
+    "shuffle); the orders/customer joins reuse the key. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS totalprice_cents,
+           big.sum_qty_e2
+    FROM (SELECT l_orderkey,
+                 CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS sum_qty_e2
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) > 30000) big
+    JOIN orders o   ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty_e2).cast("long").alias("sum_qty_e2"))
+        .filter(F.col("sum_qty_e2") > 30000)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            (F.col("o_totalprice").cast(DEC) * 100)
+            .cast("long")
+            .alias("totalprice_cents"),
+            "sum_qty_e2",
+        )
+    )
