@@ -21,7 +21,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -435,3 +435,37 @@ def duplicate_clusters(
             "max_iterations"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental exact dedup: drop rows of ``new_docs`` whose
+    normalized-text fingerprint already exists in
+    ``corpus_fingerprints`` - the "dedup the new crawl against the
+    existing corpus index" step of an incremental ingestion pipeline,
+    plus WITHIN-batch exact dedup (keep min id per fingerprint) so the
+    surviving set is internally unique too.
+
+    One anti join keyed on the fingerprint (both sides hashable on the
+    same key; at 100 TB the corpus index is a fingerprint-only column -
+    store it partitioned by fingerprint prefix and the join is
+    co-located) and one groupBy on the same key. New-batch text is
+    fingerprinted here; the corpus side arrives pre-fingerprinted
+    because re-reading corpus text per batch is exactly what the index
+    exists to avoid.
+    """
+    fp = new_docs.withColumn(fingerprint_col, md5_fingerprint(F.col(text_col)))
+    fresh = fp.join(
+        corpus_fingerprints.select(fingerprint_col),
+        on=fingerprint_col,
+        how="left_anti",
+    )
+    keeper = F.row_number().over(
+        Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())
+    )
+    return fresh.withColumn("_rn", keeper).filter(F.col("_rn") == 1).drop("_rn")

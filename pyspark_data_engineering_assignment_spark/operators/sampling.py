@@ -107,3 +107,40 @@ def deterministic_sample(
         raise ValueError("fraction must be in [0, 1]")
     threshold = int(round(fraction * buckets))
     return df.filter(hash_bucket(F.col(id_col), buckets, salt) < threshold)
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = DEFAULT_SALT,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: up to ``n_per_stratum``
+    rows from every stratum, chosen by hash order - the "at least n
+    examples of every language/source" selection a training-mix builder
+    runs, made reproducible.
+
+    Rows are ranked inside each stratum by (hash_bucket, id) - a total
+    order that is a pure function of (id, salt) - and the top n kept.
+    Re-running, repartitioning, or appending data outside the winning
+    set returns the identical sample; appending new rows can only
+    displace prior winners when their hash ranks earlier (quota
+    semantics, still deterministic).
+
+    Scale: one window per stratum (hash-partitioned shuffle); state is
+    bounded by the rank cutoff, and WindowGroupLimit pushes the top-n
+    filter below the sort at the executor, so no stratum ever
+    materializes fully sorted.
+    """
+    from pyspark.sql import Window
+
+    rank_hash = hash_bucket(F.col(id_col), buckets=1 << 30, salt=salt)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        rank_hash.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

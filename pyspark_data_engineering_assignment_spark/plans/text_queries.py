@@ -649,3 +649,85 @@ def doc_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "doc_stratified_take",
+    None,
+    doc="Deterministic per-stratum quota sample "
+    "(operators/sampling.stratified_take): up to 3 docs per language, "
+    "ranked by salted-hash order - the reproducible 'n examples of "
+    "every language' selection of a training-mix builder. One window "
+    "per stratum; WindowGroupLimit keeps the sort bounded by the "
+    "quota. Oracle replays the identical md5 rank in SQL. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || '|' || 'split-v1'),
+                                            1, 15))::BIGINT % 1073741824,
+                            doc_id) AS rn
+        FROM documents) WHERE rn <= 3
+    """,
+)
+def doc_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.sampling import (
+        stratified_take,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_take(d, ["lang"], "doc_id", n_per_stratum=3).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "doc_incremental_dedup",
+    None,
+    doc="Incremental exact dedup (operators/dedup.dedup_against_corpus): "
+    "the new batch (sources src10-src19) deduped against the existing "
+    "corpus index (fingerprints of src0-src9) by anti join, then "
+    "within-batch keeper selection - the 'dedup the new crawl against "
+    "what we already have' step of incremental ingestion. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+        FROM documents WHERE source < 'src1_'
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS fingerprint
+        FROM documents WHERE source >= 'src1_'
+    ),
+    fresh AS (
+        SELECT b.* FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                          WHERE c.fingerprint = b.fingerprint)
+    )
+    SELECT doc_id, source, fingerprint FROM (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                     ORDER BY doc_id) AS rn
+        FROM fresh) WHERE rn = 1
+    """,
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # Lexicographic boundary: 'src0' < 'src1' < 'src10'..'src19' <
+    # 'src1_' < 'src2', so corpus = {src0, src1, src10..src19}
+    # (12 sources) and batch = {src2..src9} (8 sources).
+    corpus = d.filter(F.col("source") < "src1_").select(
+        md5_fingerprint(F.col("text")).alias("fingerprint")
+    ).distinct()
+    batch = d.filter(F.col("source") >= "src1_").select(
+        "doc_id", "source", "text"
+    )
+    return dedup_against_corpus(batch, corpus).select(
+        "doc_id", "source", "fingerprint"
+    )

@@ -196,3 +196,30 @@ def test_duplicate_clusters_converges_at_diameter_equal_cap(spark):
         for r in duplicate_clusters(pairs, max_iterations=4).collect()
     }
     assert got == {i: 0 for i in range(5)}, got
+
+
+def test_dedup_against_corpus(spark):
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+    from pyspark_data_engineering_assignment_spark.functions.text import (
+        md5_fingerprint,
+    )
+
+    corpus_docs = spark.createDataFrame(
+        [(100, "known text one"), (101, "known text two")], ["doc_id", "text"]
+    )
+    corpus = corpus_docs.select(
+        md5_fingerprint(F.col("text")).alias("fingerprint")
+    ).distinct()
+    batch = spark.createDataFrame(
+        [
+            (1, "Known Text One"),   # dup of corpus (normalization folds case)
+            (2, "fresh text"),
+            (3, "fresh text"),       # within-batch dup of 2: keeper = min id
+            (4, "another fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in dedup_against_corpus(batch, corpus).collect()}
+    assert kept == {2, 4}

@@ -86,3 +86,39 @@ def test_deterministic_sample_bounds(spark, ids):
     assert deterministic_sample(ids, "doc_id", 1.0).count() == 2000
     with pytest.raises(ValueError):
         deterministic_sample(ids, "doc_id", 1.5)
+
+
+def test_stratified_take_quota_and_determinism(spark):
+    from pyspark_data_engineering_assignment_spark.operators.sampling import (
+        stratified_take,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    out = stratified_take(df, ["lang"], "doc_id", n_per_stratum=5)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, set()).add(r.doc_id)
+    assert set(per) == {"0", "1", "2"}
+    assert all(len(v) == 5 for v in per.values())
+    # pure function of (id, salt): repartitioning changes nothing
+    again = stratified_take(
+        df.repartition(17, F.col("doc_id")), ["lang"], "doc_id", n_per_stratum=5
+    ).collect()
+    assert {(r.doc_id, r.lang) for r in rows} == {(r.doc_id, r.lang) for r in again}
+
+
+def test_stratified_take_small_stratum_kept_whole(spark):
+    from pyspark_data_engineering_assignment_spark.operators.sampling import (
+        stratified_take,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "rare"), (2, "rare"), *[(i, "common") for i in range(10, 40)]],
+        ["doc_id", "lang"],
+    )
+    out = stratified_take(df, ["lang"], "doc_id", n_per_stratum=5)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"rare": 2, "common": 5}
