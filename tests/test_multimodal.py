@@ -67,3 +67,25 @@ def test_payload_column_pruned_when_unused(spark, media):
     bytes (column pruning reaches the scan)."""
     meta_only = media.select("media_id", "n_bytes")
     assert "payload" not in meta_only.schema.fieldNames()
+
+
+def test_byte_histogram_arrow_equals_pandas(spark):
+    from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+        byte_histogram,
+        byte_histogram_arrow,
+        documents_as_media,
+    )
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+    media = documents_as_media(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    a = {
+        r.media_id: (r.n_bytes, list(r.counts))
+        for r in byte_histogram(media, dim=16).collect()
+    }
+    b = {
+        r.media_id: (r.n_bytes, list(r.counts))
+        for r in byte_histogram_arrow(media, dim=16).collect()
+    }
+    assert a == b and len(a) == 500

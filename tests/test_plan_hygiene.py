@@ -176,3 +176,36 @@ def test_oracle_queries_fit_driver_sample_window():
     assert not stragglers, (
         f"oracle-bearing queries registered after rows-only ones: {stragglers}"
     )
+
+
+def test_gapfill_spine_joins_broadcast(plans):
+    """events_hourly_gapfill: the generated spine must assemble via
+    broadcast joins (the bounds aggregate is 1 row, the series list
+    tiny) and fill via a broadcast/hash join - a SortMergeJoin here
+    would mean the spine got shuffled like a fact table."""
+    p = plans["events_hourly_gapfill"]
+    assert "SortMergeJoin" not in p
+    assert p.count("Window") >= 1  # the LOCF pass
+
+
+def test_split_assignment_is_shuffle_free(spark):
+    """doc_split_stratified's assignment is a pure per-row map: exactly
+    one exchange may appear (the final stats groupBy), none before it."""
+    p = plan_text(QUERIES["doc_split_stratified"].fn(spark, SF))
+    assert p.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_stratified_take_uses_window_group_limit(spark):
+    """doc_stratified_take: the per-stratum top-n must run through
+    WindowGroupLimit (rank filter pushed below the sort) so no stratum
+    is ever fully sorted at scale."""
+    p = plan_text(QUERIES["doc_stratified_take"].fn(spark, SF))
+    assert "WindowGroupLimit" in p
+
+
+def test_incremental_dedup_keeps_anti_join(spark):
+    """doc_incremental_dedup: the corpus-index probe must stay a
+    LeftAnti join (no inner-join-then-filter blow-up)."""
+    p = plan_text(QUERIES["doc_incremental_dedup"].fn(spark, SF))
+    assert "LeftAnti" in p
