@@ -437,6 +437,44 @@ def duplicate_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def canonical_docs(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """One keeper per duplicate cluster: the largest document by
+    ``size_col``, ties broken by lowest id - the selection step that
+    turns ``duplicate_clusters`` output into an actual "which rows do I
+    delete" decision. Returns ``(cluster_id, canonical_doc_id,
+    n_members, total_chars)``.
+
+    Single hash aggregate, no window: the keeper is ``max(struct(size,
+    -id))`` - struct comparison is lexicographic, so max size wins and
+    among equals max(-id) = min id. Partial aggregation runs map-side,
+    so the one shuffle carries just one candidate struct per
+    (partition, cluster) - at 100 TB this is O(clusters), while a
+    row_number window would sort every member of every cluster.
+    """
+    j = clusters.join(
+        docs.select(F.col(id_col), F.col(size_col)), on=id_col
+    )
+    return j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(size_col).cast("long").alias("total_chars"),
+        F.max(
+            F.struct(
+                F.col(size_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+            )
+        ).alias("_best"),
+    ).select(
+        "cluster_id",
+        (-F.col("_best.neg_id")).cast("long").alias("canonical_doc_id"),
+        "n_members",
+        "total_chars",
+    )
+
+
 def dedup_against_corpus(
     new_docs: DataFrame,
     corpus_fingerprints: DataFrame,

@@ -75,3 +75,52 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).cast("long"),
         }
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: word-bigram
+    duplication (total vs distinct bigrams) and the most-frequent-token
+    count. A high duplicate-bigram fraction or a single token dominating
+    the document are the standard boilerplate/spam filters of a
+    pretraining curation pipeline (Rae et al. 2021 §A1.1).
+
+    Pure per-row array expressions - embarrassingly parallel map work,
+    no shuffle, survives any scale-up untouched. The per-token frequency
+    scan is O(distinct x len) per row, bounded by document length (a
+    curation pipeline length-caps upstream); it stays inside whole-stage
+    codegen rather than paying an explode + groupBy shuffle per doc.
+    Integer outputs only, so downstream thresholds compose without FP
+    hazards and the DuckDB oracle hash-matches exactly.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    # transform over sequence(1, n-1) makes the element the 1-based
+    # index; guard n >= 2 because sequence(1, 0) would count DOWN.
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_token = F.when(
+        n >= 1,
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda u: F.size(F.filter(toks, lambda x: x == u)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+        top_token.cast("long").alias("top_token_count"),
+    )

@@ -1483,3 +1483,56 @@ def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty_e2",
         )
     )
+
+
+@register(
+    "rich_inactive_customers",
+    None,
+    doc="TPC-H Q22 shape: customers whose balance beats the positive-"
+    "balance average (scalar-subquery threshold) AND who never placed "
+    "an URGENT order (anti join on a pushed-down filter), rolled up per "
+    "market segment. The 1-row aggregate is broadcast (a cross join "
+    "Spark plans as BroadcastNestedLoopJoin over exactly one row); the "
+    "avg compare is division-free (bal * n > total, decimal-exact); "
+    "the anti join shuffles on custkey only, with the priority filter "
+    "pushed to the orders scan. Decimal sums are exact then cast to "
+    "DOUBLE once for the hash-stable output. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    WITH stats AS (
+        SELECT count(*) AS n_pos,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_pos
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+    FROM customer, stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_pos
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast(DEC)
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(bal).alias("total_pos"),
+    )
+    rich = c.join(F.broadcast(stats)).filter(
+        bal * F.col("n_pos") > F.col("total_pos")
+    )
+    inactive = rich.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.sum(bal).cast(DEC).cast("double").alias("totacctbal"),
+    )

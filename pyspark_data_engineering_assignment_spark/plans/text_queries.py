@@ -731,3 +731,151 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_corpus(batch, corpus).select(
         "doc_id", "source", "fingerprint"
     )
+
+
+@register(
+    "doc_repetition_stats",
+    None,
+    doc="Gopher-style repetition filters (operators/textstats."
+    "repetition_stats): per-doc word-bigram duplication counts and the "
+    "most-frequent-token count - the boilerplate/spam signals of a "
+    "pretraining curation pipeline (Rae et al. 2021 sec A1.1). Pure "
+    "per-row array expressions, zero shuffle; integer outputs keep the "
+    "oracle hash exact. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])
+                    ELSE []::VARCHAR[] END AS bg
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+           CAST(CASE WHEN len(toks) >= 1 THEN
+                    list_max(list_transform(list_distinct(toks),
+                             u -> len(list_filter(toks, x -> x = u))))
+                ELSE 0 END AS BIGINT) AS top_token_count
+    FROM b
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_sequence_packing",
+    None,
+    doc="Sequence packing for pretraining (operators/packing): shard "
+    "the corpus (doc_id mod 8), concatenate each shard's docs in id "
+    "order, cut the token stream every 512 tokens; a doc's pack is the "
+    "chunk its first token falls in. One shuffle (hash on shard) + a "
+    "bounded-state running-sum window + one hash agg for the fill "
+    "report; all-integer so the oracle replays the assignment exactly. "
+    "At 100 TB shard count is the parallelism knob (size shards to a "
+    "few GB of tokens each). Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    c AS (
+        -- sum(BIGINT) OVER is HUGEINT in DuckDB; cast back so pack_id
+        -- arithmetic (and pandas) stay in int64 like Spark's LongType
+        SELECT shard, doc_id, tokens,
+               CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - tokens
+                    AS BIGINT) AS start_offset
+        FROM t
+    )
+    SELECT shard, CAST(start_offset // 512 AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.text import token_count
+    from pyspark_data_engineering_assignment_spark.operators.packing import (
+        pack_concat_chunks,
+        pack_summary,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count(F.col("text")).cast("long").alias("tokens"),
+    )
+    packed = pack_concat_chunks(d, "doc_id", "tokens", "shard", budget=512)
+    return pack_summary(packed, "shard", "tokens")
+
+
+@register(
+    "dedup_canonical",
+    None,
+    doc="Keeper selection over duplicate clusters (operators/dedup."
+    "canonical_docs): join dedup_clusters output to the corpus and pick "
+    "the largest member (tie: lowest id) per cluster via max(struct) in "
+    "a single map-side-partial hash aggregate - O(clusters) shuffle "
+    "rows, no per-cluster sort. The 'which rows survive' step after "
+    "connected components. Oracle replays the same transitive closure "
+    "(recursive CTE) + first(ORDER BY) selection. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id,
+                     list_distinct(string_split(trim(text), ' ')) AS toks,
+                     string_split(trim(text), ' ')[1] AS bucket
+              FROM documents) a
+        JOIN (SELECT doc_id,
+                     list_distinct(string_split(trim(text), ' ')) AS toks,
+                     string_split(trim(text), ' ')[1] AS bucket
+              FROM documents) b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE 100 * len(list_intersect(a.toks, b.toks))
+              >= 70 * len(list_distinct(a.toks || b.toks))
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cl AS (
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY 1
+    )
+    SELECT cluster_id,
+           first(d.doc_id ORDER BY d.n_chars DESC, d.doc_id)
+               AS canonical_doc_id,
+           count(*) AS n_members,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM cl JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        canonical_docs,
+        duplicate_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold_pct=70)
+    return canonical_docs(duplicate_clusters(pairs), d)

@@ -223,3 +223,23 @@ def test_dedup_against_corpus(spark):
     )
     kept = {r.doc_id for r in dedup_against_corpus(batch, corpus).collect()}
     assert kept == {2, 4}
+
+
+def test_canonical_docs_picks_largest_then_lowest_id(spark):
+    from pyspark_data_engineering_assignment_spark.operators.dedup import canonical_docs
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        # cluster 1: doc 2 is largest; cluster 10: size tie -> lowest id
+        [(1, 50), (2, 90), (3, 90 - 1), (10, 70), (11, 70), (99, 500)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r["cluster_id"]: (r["canonical_doc_id"], r["n_members"], r["total_chars"])
+        for r in canonical_docs(clusters, docs).collect()
+    }
+    # doc 99 is in no cluster and must not appear anywhere
+    assert got == {1: (2, 3, 50 + 90 + 89), 10: (10, 2, 140)}
