@@ -168,6 +168,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
+    times_warm: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):
         df = spec.fn(spark, SF_DIR)
         t0 = time.perf_counter()
@@ -175,8 +176,20 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         # Queries that persist intermediates (minhash verify) document a
         # caller contract: clear their cached blocks after materializing,
-        # so a 56-query session neither accumulates storage nor lets a
+        # so a 69-query session neither accumulates storage nor lets a
         # later query silently reuse an earlier query's cache.
+        spark.catalog.clearCache()
+        # Second, cache-cold but JIT-warm run of the identical plan: the
+        # cold/warm gap is one-time whole-stage-codegen compilation, not
+        # steady-state cost. Single-run cold numbers moved +-1-3s round
+        # to round purely from alphabetical insertion of new queries
+        # re-billing who pays the JIT for a shared plan shape; the warm
+        # column is the run-to-run-stable throughput figure (what
+        # amortized execution at scale actually costs). The headline
+        # total stays the cold sum for cross-round comparability.
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times_warm[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
@@ -190,6 +203,8 @@ def main() -> None:
     # detail first, then a short compact summary as the true final line.
     detail = {
         "queries": times,
+        "queries_warm": times_warm,
+        "total_warm": round(sum(times_warm.values()), 3),
         "lineitem_rows": lineitem_rows,
         "rows_per_sec_pricing_summary": (
             round(lineitem_rows / times["pricing_summary"]) if times.get("pricing_summary") else None

@@ -87,16 +87,25 @@ def repetition_stats(
     pretraining curation pipeline (Rae et al. 2021 §A1.1).
 
     Pure per-row array expressions - embarrassingly parallel map work,
-    no shuffle, survives any scale-up untouched. The per-token frequency
-    scan is O(distinct x len) per row, bounded by document length (a
-    curation pipeline length-caps upstream); it stays inside whole-stage
-    codegen rather than paying an explode + groupBy shuffle per doc.
-    Integer outputs only, so downstream thresholds compose without FP
-    hazards and the DuckDB oracle hash-matches exactly.
+    no shuffle, survives any scale-up untouched. The most-frequent-token
+    count is the longest equal run of the SORTED token array - O(n log n)
+    per row - computed as the max gap between run boundaries; the naive
+    per-distinct-token count scan is O(distinct x len) and measured 8x
+    slower at sf0.1 (6.5s vs 0.8s). Integer outputs only, so downstream
+    thresholds compose without FP hazards and the DuckDB oracle
+    hash-matches exactly.
     """
-    t = F.col(text_col)
-    toks = tokens(t)
+    # Each intermediate array is materialized at a projection boundary
+    # before anything indexes into it per-element: a lambda that
+    # references an unmaterialized array REBUILDS that subtree per
+    # element (the doc_winnowing lesson - the inlined version of this
+    # query was quadratic-per-row and ran minutes, not seconds).
+    toks = F.col("_toks")
     n = F.size(toks)
+    srt = F.col("_srt")
+    staged = docs.select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_srt", F.array_sort(F.col("_toks")))
     # transform over sequence(1, n-1) makes the element the 1-based
     # index; guard n >= 2 because sequence(1, 0) would count DOWN.
     bigrams = F.when(
@@ -108,19 +117,30 @@ def repetition_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_token = F.when(
-        n >= 1,
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda u: F.size(F.filter(toks, lambda x: x == u)),
-            )
-        ),
-    ).otherwise(F.lit(0))
-    return docs.select(
+    # Longest run in the sorted array: positions where the value changes
+    # (run starts), then max distance to the next start. F.get (0-based)
+    # for the lookback: it nulls on index -1 where ANSI element_at(_, 0)
+    # errors, and NULL != x is NULL, which OR-absorbs into the i == 1 arm.
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.get(srt, i - 1) != F.get(srt, i - 2)),
+    )
+    staged = staged.withColumns(
+        {"_bigrams": bigrams, "_bounds": F.concat(starts, F.array(n + 1))}
+    )
+    bounds = F.col("_bounds")
+    top_token = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+        )
+    )
+    return staged.select(
         id_col,
         n.cast("long").alias("n_tokens"),
-        F.size(bigrams).cast("long").alias("n_bigrams"),
-        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+        F.size(F.col("_bigrams")).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(F.col("_bigrams")))
+        .cast("long")
+        .alias("n_distinct_bigrams"),
         top_token.cast("long").alias("top_token_count"),
     )
