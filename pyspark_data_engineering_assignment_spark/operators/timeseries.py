@@ -91,3 +91,57 @@ def resample_gapfill(
         .alias("locf_sum_cents"),
         F.col("_n").isNull().alias("is_gap"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.125,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key: the classic
+    time-decayed feature (recent activity weighted ``alpha``, history
+    decayed by ``1 - alpha``), defined by the recurrence
+    ``s_1 = x_1; s_i = alpha*x_i + (1-alpha)*s_{i-1}`` over the
+    key's values in ``order_cols`` order. Returns one row per key:
+    ``(*key_cols, n_events, ewma_value)``.
+
+    A recurrence cannot be a window aggregate, but it IS a sequential
+    left fold - so: one hash aggregate collects each key's
+    (order, value) structs, ``array_sort`` fixes a total order
+    (``order_cols`` must be tie-free, e.g. include a unique id), and
+    ``F.aggregate`` folds. Because the fold order is total and both
+    engines run the identical IEEE ops in the identical sequence, the
+    double result is bit-exact against a DuckDB
+    ``list_reduce(list(... ORDER BY ...))`` oracle - unlike any
+    floating-point SUM, which is order-undefined.
+
+    Scale: one shuffle; per-key arrays must be bounded (cap upstream or
+    pre-aggregate to a coarser grain) - the same contract as every
+    grouped-map operator here. The unbounded-stream variant of this
+    recurrence lives in streaming/stateful.py (applyInPandasWithState).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+                F.col(value_col).cast("double").alias("_v"),
+            )
+        )
+    )
+    grouped = df.groupBy(*key_cols).agg(
+        F.count("*").alias("n_events"), seq.alias("_seq")
+    )
+    vals = grouped.withColumn(
+        "_vals", F.transform(F.col("_seq"), lambda s: s["_v"])
+    )
+    v = F.col("_vals")
+    ewma = F.aggregate(
+        F.slice(v, 2, F.size(v) - 1),
+        F.element_at(v, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return vals.select(*key_cols, "n_events", ewma.alias("ewma_value"))

@@ -1536,3 +1536,34 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum(bal).cast(DEC).cast("double").alias("totacctbal"),
     )
+
+
+@register(
+    "user_value_ewma",
+    None,
+    doc="Time-decayed per-user activity score (operators/timeseries."
+    "ewma_by_key): EWMA recurrence s_i = a*x_i + (1-a)*s_{i-1} over "
+    "each user's events in (ts, event_id) order, a = 0.125. A "
+    "recurrence is not a window aggregate but IS a sequential left "
+    "fold: collect_list + array_sort fixes a total order and "
+    "F.aggregate folds it - the identical IEEE sequence DuckDB runs "
+    "via list_reduce(list(... ORDER BY ...)), so even this double "
+    "output value-hash matches exactly (floating SUMs can't - their "
+    "order is undefined). One shuffle; per-key arrays bounded by "
+    "upstream grain. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    SELECT user_id, count(*) AS n_events,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_value
+    FROM events GROUP BY 1
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return ewma_by_key(
+        e, ["user_id"], ["ts", "event_id"], "value", alpha=0.125
+    )

@@ -55,6 +55,71 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_int8_topk",
+    None,
+    doc="Quantized retrieval (operators/similarity.int8_topk): corpus "
+    "and queries symmetric-int8 quantized (4x smaller codes - at 100 TB "
+    "the scan is memory-bandwidth-bound, so the compression IS the "
+    "speedup), scored by quantized cosine with recall vs the float "
+    "baseline pinned in tests/test_quantization.py. The one ANN "
+    "variant with a full value-hash oracle: integer codes make every "
+    "dot product and squared norm exact in any summation order, scales "
+    "cancel out of the quantized cosine, and the single division+sqrt "
+    "per pair is elementwise IEEE math both engines perform "
+    "identically. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, xs,
+               CASE WHEN list_aggregate(list_transform(xs, x -> abs(x)), 'max')
+                         > 0.0
+                    THEN 127.0 / list_aggregate(list_transform(xs, x -> abs(x)),
+                                                'max')
+                    ELSE 0.0 END AS scale
+        FROM v
+    ),
+    codes AS (
+        SELECT vec_id,
+               list_transform(xs, x -> greatest(-127.0, least(127.0,
+                   floor(x * scale + 0.5)))) AS cv
+        FROM s
+    ),
+    normed AS (
+        SELECT vec_id, cv,
+               list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y)
+                   AS n2
+        FROM codes
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CASE WHEN q.n2 > 0 AND c.n2 > 0 THEN
+                    list_reduce(list_transform(list_zip(q.cv, c.cv),
+                                               l -> l[1] * l[2]),
+                                (x, y) -> x + y)
+                    / sqrt(q.n2 * c.n2)
+               ELSE 0.0 END AS cos_int8
+        FROM normed q, normed c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_int8, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_int8 DESC, neighbor_id)
+                        AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.similarity import int8_topk
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    return int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
     "embedding_norms",
     None,
     doc="Vector column hygiene: per-row L2 norm + dimension check, "

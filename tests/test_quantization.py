@@ -65,3 +65,29 @@ def test_quantization_roundtrip_close(spark):
     recon = [q / r.s for q in r.q]
     step = 1.0 / r.s
     assert all(abs(a - b) <= 0.5 * step + 1e-12 for a, b in zip(vec, recon))
+
+
+def test_int8_topk_recall_vs_float_baseline(spark):
+    """Quantized retrieval must agree with the exact float baseline on
+    nearly all of the top-5: int8 cosine error is O(quantization step),
+    far below typical neighbor gaps. Measured on the real sf0.001
+    embeddings: recall@5 = 1.0; pinned at >= 0.9 to absorb future
+    fixture regeneration."""
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        brute_force_topk,
+        int8_topk,
+    )
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in int8_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"int8 recall@5 {recall:.2f} vs float baseline"

@@ -53,3 +53,50 @@ def test_gapfill_single_bucket_no_gaps(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_events, r.sum_value_cents, r.is_gap) == (3, 300, False)
+
+
+def test_ewma_matches_reference_recurrence(spark):
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+
+    rows = [  # (key, order, value) - inserted out of order on purpose
+        ("u1", 3, 30.0),
+        ("u1", 1, 10.0),
+        ("u1", 2, 20.0),
+        ("u2", 1, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    got = {
+        r["k"]: (r["n_events"], r["ewma_value"])
+        for r in ewma_by_key(df, ["k"], ["o"], "v", alpha=0.25).collect()
+    }
+
+    def ref(xs, a=0.25):
+        s = xs[0]
+        for x in xs[1:]:
+            s = a * x + (1 - a) * s
+        return s
+
+    assert got["u1"] == (3, ref([10.0, 20.0, 30.0]))
+    assert got["u2"] == (1, 5.0)
+    # partitioning must not change the fold order (total order by o)
+    got2 = {
+        r["k"]: r["ewma_value"]
+        for r in ewma_by_key(
+            df.repartition(5, "v"), ["k"], ["o"], "v", alpha=0.25
+        ).collect()
+    }
+    assert got2 == {k: v for k, (_, v) in got.items()}
+
+
+def test_ewma_alpha_validation(spark):
+    import pytest as _pytest
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, o long, v double")
+    with _pytest.raises(ValueError):
+        ewma_by_key(df, ["k"], ["o"], "v", alpha=0.0)
