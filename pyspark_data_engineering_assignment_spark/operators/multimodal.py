@@ -185,3 +185,42 @@ def byte_histogram_arrow(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("media_id", "media_type", "n_bytes", "payload").mapInArrow(
         hist, schema=HISTOGRAM_SCHEMA
     )
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_k: int = 4
+) -> DataFrame:
+    """Deterministic frame sampling over opaque binary payloads: split
+    each payload into fixed-size byte frames and keep every ``every_k``-th
+    - the video/audio "sample n frames per clip" step, with the codec
+    replaced by fixed-width byte windows (real decoders are unavailable
+    here; the Spark-side plumbing - explode shape, binary slicing,
+    per-frame identity - is the part that carries to production).
+
+    Pure JVM expressions, no Python: one ``explode`` of the kept frame
+    indices, ``substring`` on the binary column, sha256 per frame. Row
+    blow-up is n_bytes/(frame_bytes*every_k) per payload - the sampling
+    rate bounds the output, and column pruning means payloads are only
+    read where this operator actually runs. Returns
+    ``(media_id, frame_idx, frame_len, frame_sha256)``.
+    """
+    if frame_bytes <= 0 or every_k <= 0:
+        raise ValueError(
+            f"frame_bytes and every_k must be positive, got {frame_bytes}, {every_k}"
+        )
+    n_frames = F.ceil(F.col("n_bytes") / F.lit(float(frame_bytes))).cast("long")
+    kept = F.filter(
+        F.sequence(F.lit(0).cast("long"), n_frames - 1),
+        lambda i: i % every_k == 0,
+    )
+    frame = F.expr(f"substring(payload, frame_idx * {int(frame_bytes)} + 1, {int(frame_bytes)})")
+    return (
+        media.filter(F.col("n_bytes") > 0)
+        .select("media_id", "payload", F.explode(kept).alias("frame_idx"))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.octet_length(frame).cast("long").alias("frame_len"),
+            F.sha2(frame, 256).alias("frame_sha256"),
+        )
+    )

@@ -145,3 +145,50 @@ def ewma_by_key(
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return vals.select(*key_cols, "n_events", ewma.alias("ewma_value"))
+
+
+def funnel_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel analytics: how many keys (users) reached stage i,
+    where reaching stage i means an event of ``stages[i]`` occurred
+    STRICTLY AFTER the key's first occurrence of stage i-1 (the classic
+    view -> click -> purchase conversion funnel). Returns one row per
+    stage: ``(stage, event_type, n_users)``.
+
+    Chained min-after aggregations, not a per-key event-array fold: each
+    stage is filter -> co-keyed join with the previous stage's first
+    times -> min aggregate. Every step shuffles on the SAME key, so one
+    partitioning is reused down the chain, no per-key array is ever
+    materialized (the fold formulation bounds per-key state by event
+    count - this bounds it by len(stages)), and a skewed power user
+    costs one aggregate row per stage, not an array. len(stages) is
+    small and fixed; the plan is len(stages) co-partitioned passes over
+    a progressively SHRINKING keyset.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    counts = []
+    prev = None
+    for i, stage_event in enumerate(stages):
+        f = events.filter(F.col(event_col) == stage_event)
+        if prev is not None:
+            f = f.join(prev, on=key_col).filter(
+                F.col(ts_col) > F.col(f"_p{i - 1}")
+            )
+        prev = f.groupBy(key_col).agg(F.min(ts_col).alias(f"_p{i}"))
+        counts.append(
+            prev.agg(F.count("*").alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(stage_event).alias("event_type"),
+                F.col("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

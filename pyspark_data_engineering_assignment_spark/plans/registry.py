@@ -1567,3 +1567,50 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_by_key(
         e, ["user_id"], ["ts", "event_id"], "value", alpha=0.125
     )
+
+
+@register(
+    "user_conversion_funnel",
+    None,
+    doc="Ordered conversion funnel view -> click -> purchase "
+    "(operators/timeseries.funnel_counts): users reaching stage i had "
+    "a stage-i event strictly after their first stage-(i-1) event. "
+    "Chained min-after aggregations - every step shuffles on user_id "
+    "so one partitioning is reused down a shrinking keyset, and no "
+    "per-key event array is ever materialized (per-key state is "
+    "len(stages), not event count). Oracle replays the same chained "
+    "first-times CTEs. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS p0 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS p1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.p0
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS p2
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.p1
+        GROUP BY 1
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        funnel_counts,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )

@@ -879,3 +879,47 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, threshold_pct=70)
     return canonical_docs(duplicate_clusters(pairs), d)
+
+
+@register(
+    "media_frame_sample",
+    None,
+    doc="Deterministic frame sampling over binary payloads "
+    "(operators/multimodal.sample_frames): 256-byte frames, every 4th "
+    "kept, sha256 identity per frame - the 'sample n frames per clip' "
+    "plumbing with codecs replaced by byte windows. Pure JVM explode + "
+    "binary substring, output bounded by the sampling rate. The DuckDB "
+    "oracle slices VARCHAR (DuckDB 1.0 has no BLOB substring/sha256), "
+    "which equals byte slicing iff the corpus is pure ASCII - true for "
+    "all driver SFs, and any future non-ASCII doc fails THIS parity "
+    "check loudly rather than silently skewing it (byte semantics on "
+    "multi-byte payloads are pinned Spark-side in test_multimodal). "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    f AS (
+        SELECT media_id, text,
+               UNNEST(range(0, CAST(ceil(n_bytes / 256.0) AS BIGINT)))
+                   AS frame_idx
+        FROM m WHERE n_bytes > 0
+    )
+    SELECT media_id, frame_idx,
+           CAST(octet_length(encode(substring(
+               text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)))
+               AS BIGINT) AS frame_len,
+           sha256(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))
+               AS frame_sha256
+    FROM f WHERE frame_idx % 4 = 0
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(d), frame_bytes=256, every_k=4)

@@ -89,3 +89,42 @@ def test_byte_histogram_arrow_equals_pandas(spark):
         for r in byte_histogram_arrow(media, dim=16).collect()
     }
     assert a == b and len(a) == 500
+
+
+def test_sample_frames_byte_semantics(spark):
+    """Frames are BYTE windows, not character windows: a 2-byte utf-8
+    char on a frame boundary is split between frames."""
+    import hashlib
+
+    from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    payload = ("a" * 7 + "é").encode()  # 7 ascii + 2-byte e-acute = 9 bytes
+    df = spark.createDataFrame(
+        [(1, "text", bytearray(payload), len(payload), "x")],
+        "media_id long, media_type string, payload binary, n_bytes long, sha256 string",
+    )
+    rows = {
+        r["frame_idx"]: (r["frame_len"], r["frame_sha256"])
+        for r in sample_frames(df, frame_bytes=4, every_k=1).collect()
+    }
+    # 9 bytes / 4 -> frames of 4, 4, 1; the e-acute spans frames 1|2
+    assert {i: fl for i, (fl, _) in rows.items()} == {0: 4, 1: 4, 2: 1}
+    for i in range(3):
+        assert rows[i][1] == hashlib.sha256(payload[i * 4:(i + 1) * 4]).hexdigest()
+
+
+def test_sample_frames_validation(spark):
+    import pytest as _pytest
+
+    from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "text", bytearray(b"abc"), 3, "x")],
+        "media_id long, media_type string, payload binary, n_bytes long, sha256 string",
+    )
+    with _pytest.raises(ValueError):
+        sample_frames(df, frame_bytes=0)

@@ -100,3 +100,42 @@ def test_ewma_alpha_validation(spark):
     df = spark.createDataFrame([("a", 1, 1.0)], "k string, o long, v double")
     with _pytest.raises(ValueError):
         ewma_by_key(df, ["k"], ["o"], "v", alpha=0.0)
+
+
+def test_funnel_counts_strictly_after_semantics(spark):
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        funnel_counts,
+    )
+
+    rows = [
+        # u1 completes the funnel in order
+        ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "purchase"),
+        # u2 clicks BEFORE viewing: click must not count (not after view)
+        ("u2", 1, "click"), ("u2", 2, "view"),
+        # u3 purchase without click: stops at stage 1
+        ("u3", 1, "view"), ("u3", 2, "purchase"),
+        # u4 same-timestamp click: strict > excludes it
+        ("u4", 5, "view"), ("u4", 5, "click"),
+        # u5 never views: contributes nowhere
+        ("u5", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    got = {
+        r["stage"]: (r["event_type"], r["n_users"])
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: ("view", 4), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+def test_funnel_counts_empty_stages_rejected(spark):
+    import pytest as _pytest
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        funnel_counts,
+    )
+
+    df = spark.createDataFrame([("u", 1, "view")], "user_id string, ts long, event_type string")
+    with _pytest.raises(ValueError):
+        funnel_counts(df, "user_id", "ts", "event_type", [])
