@@ -209,3 +209,55 @@ def test_incremental_dedup_keeps_anti_join(spark):
     LeftAnti join (no inner-join-then-filter blow-up)."""
     p = plan_text(QUERIES["doc_incremental_dedup"].fn(spark, SF))
     assert "LeftAnti" in p
+
+
+def test_q22_anti_join_and_pushed_priority_filter(plans):
+    """rich_inactive_customers: the anti join must stay LeftAnti with
+    the priority filter pushed into the orders scan, and the 1-row
+    stats aggregate must broadcast (nested-loop over one row), never
+    shuffle the customer side against it."""
+    p = plans["rich_inactive_customers"]
+    assert "LeftAnti" in p
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_packing_single_window_partitioning(simple_plans):
+    """doc_sequence_packing: one hash partitioning on shard feeds the
+    running-sum window; the follow-up (shard, pack_id) aggregate adds at
+    most one more exchange. Anything beyond 2 means the window frame or
+    the aggregate stopped reusing the layout."""
+    p = simple_plans["doc_sequence_packing"]
+    assert p.count("Exchange") <= 2, p
+    assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_funnel_reuses_user_partitioning(simple_plans):
+    """user_conversion_funnel: three chained min-after stages, all keyed
+    on user_id. The joins between consecutive stages must be hash joins
+    on the key (broadcast or shuffled), never nested-loop; and no
+    per-key array aggregate (collect_list) may appear - per-key state is
+    len(stages), not event count."""
+    p = simple_plans["user_conversion_funnel"]
+    assert "collect_list" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_frame_sample_prunes_payload_source(plans):
+    """media_frame_sample: the documents scan must read only what the
+    payload derivation needs (doc_id, text) - not lang/source/n_chars."""
+    read_schema = [
+        ln
+        for ln in plans["media_frame_sample"].splitlines()
+        if "ReadSchema" in ln
+    ][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_int8_topk_no_python_and_broadcast_queries(plans):
+    """ann_int8_topk: quantization and scoring are pure expressions (no
+    Python anywhere) and the 10-row query side broadcasts."""
+    p = plans["ann_int8_topk"]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Broadcast" in p
