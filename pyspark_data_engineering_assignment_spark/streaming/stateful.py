@@ -22,8 +22,10 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -118,4 +120,82 @@ def dedup_stream_by_key(
     """
     return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("ewma_value", DoubleType(), True),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("ewma", DoubleType(), True),
+    ]
+)
+
+
+def running_ewma(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.125,
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.ewma_by_key``: the same
+    EWMA recurrence (s_1 = x_1; s_i = a*x_i + (1-a)*s_{i-1}) folded
+    incrementally in Spark's checkpointed state store, emitting each
+    key's running (n_events, ewma_value) every batch the key is active.
+
+    Within a batch, rows are sorted by ``order_cols`` before folding, so
+    when batches arrive in order-col order (a time-ordered feed) the
+    stream's final value is BIT-IDENTICAL to the batch fold - Python and
+    JVM doubles are both IEEE-754 binary64 and the op sequence is the
+    same (pinned by a batch==stream equality test). The fold is a
+    deliberate Python loop over ONE key's rows within an Arrow batch
+    (bounded by per-key batch size): a recurrence is sequential by
+    definition, and the vectorized alternatives (pandas ``ewm`` uses
+    ``old + a*(x-old)``, numpy uses cumulative powers) compute
+    different IEEE sequences that break the bit-exact contract. State
+    per key is two scalars; note transformWithStateInPandas (the v2
+    API) needs protobuf, which this container lacks -
+    applyInPandasWithState expresses the same operator.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, ewma = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_cols)
+            for x in pdf[value_col].astype("float64"):
+                ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
+                n += 1
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "ewma_value": [ewma]}
+        )
+
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            *[F.col(c) for c in order_cols],
+            F.col(value_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -130,3 +130,73 @@ def test_dedup_stream_drops_redelivery(spark, tmp_path):
 
     ids = sorted(r["event_id"] for r in spark.table(sink).collect())
     assert ids == [1, 2, 3, 4]
+
+
+def test_running_ewma_stream_equals_batch_fold(spark, tmp_path):
+    """Time-ordered feed in 3 chunks: the streaming EWMA's final value
+    per key must be BIT-identical to the batch ewma_by_key fold over
+    the same rows (same IEEE op sequence, carried across batches)."""
+    import numpy as np
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        running_ewma,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 90
+    rows = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": range(n),  # already time-ordered
+            "user_id": rng.integers(0, 7, n),
+            "value": np.round(rng.exponential(20.0, n), 2),
+        }
+    )
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    for i in range(3):  # ts-ordered chunks -> in-order batches
+        rows.iloc[i * 30 : (i + 1) * 30].to_csv(
+            os.path.join(src, f"chunk{i}.csv"), index=False
+        )
+
+    schema = "event_id long, ts long, user_id long, value double"
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = running_ewma(stream, "user_id", ["ts", "event_id"], "value")
+    sink = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # memory sink in update mode appends each batch's emissions; the
+    # final state per key is the row with that key's max n_events
+    emitted = spark.table(sink).toPandas()
+    final = (
+        emitted.sort_values("n_events").groupby("key").last().reset_index()
+    )
+    stream_vals = {
+        r["key"]: (r["n_events"], r["ewma_value"]) for _, r in final.iterrows()
+    }
+
+    batch_df = spark.createDataFrame(rows[["user_id", "ts", "event_id", "value"]], schema="user_id long, ts long, event_id long, value double")
+    batch_vals = {
+        str(r["user_id"]): (r["n_events"], r["ewma_value"])
+        for r in ewma_by_key(
+            batch_df, ["user_id"], ["ts", "event_id"], "value"
+        ).collect()
+    }
+    assert stream_vals == batch_vals  # bit-exact, including the doubles
