@@ -94,3 +94,15 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
 def empty_df(spark: SparkSession, schema: StructType) -> DataFrame:
     """Empty relation with a fixed schema (no ``sc.emptyRDD()`` detour)."""
     return spark.createDataFrame([], schema)
+
+
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC scan - the other columnar format with built-in Spark support
+    (predicate pushdown, column pruning and vectorized reading work the
+    same as parquet; ORC additionally carries bloom filters when the
+    writer declares them). Interop surface for warehouses that standardize
+    on ORC/Hive."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

@@ -36,3 +36,26 @@ def write_partitioned_parquet(
         .partitionBy(*(partition_cols or []))
         .parquet(path)
     )
+
+
+def write_partitioned_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+    bloom_filter_cols: list[str] | None = None,
+) -> None:
+    """Partitioned ORC with the same layout discipline as the parquet
+    writer, plus optional ORC bloom filters on point-lookup columns
+    (``orc.bloom.filter.columns``) - row groups that can't contain the
+    looked-up key are skipped at scan time."""
+    writer = df
+    if partition_cols:
+        writer = df.repartition(*partition_cols)
+    w = writer.write.mode(mode).option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    )
+    if bloom_filter_cols:
+        w = w.option("orc.bloom.filter.columns", ",".join(bloom_filter_cols))
+    w.partitionBy(*(partition_cols or [])).orc(path)

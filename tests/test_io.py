@@ -100,3 +100,45 @@ def test_loader_normalizes_all_timestamp_encodings(spark, tmp_path):
         assert isinstance(df.schema["ts"].dataType, TimestampType), label
         got = df.collect()[0].ts
         assert got == ts, (label, got, ts)
+
+
+def test_orc_roundtrip_pruning_and_pushdown(spark, tmp_path):
+    """ORC write/read roundtrip: values survive bit-exactly, partition
+    pruning hits the directory layout, and predicate pushdown reaches
+    the ORC scan."""
+    from pyspark_data_engineering_assignment_spark.sources.readers import read_orc
+    from pyspark_data_engineering_assignment_spark.sources.writers import (
+        write_partitioned_orc,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_partitioned_orc(
+        src, path, partition_cols=["o_orderstatus"],
+        bloom_filter_cols=["o_custkey"],
+    )
+
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    # roundtrip is value-exact (partition column becomes a directory key)
+    a = {r["o_orderkey"]: r["o_totalprice"] for r in src.collect()}
+    b = {r["o_orderkey"]: r["o_totalprice"] for r in back.collect()}
+    assert a == b
+
+    # partition pruning: only the matching o_orderstatus directory scans
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    # predicate pushdown reaches the ORC scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("o_totalprice") > 100000.0).explain(mode="formatted")
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in buf.getvalue()
+
+    # column pruning through the reader's projection
+    two = read_orc(spark, path, columns=["o_orderkey", "o_totalprice"])
+    assert two.columns == ["o_orderkey", "o_totalprice"]
