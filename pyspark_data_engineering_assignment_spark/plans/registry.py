@@ -1614,3 +1614,67 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
+
+
+@register(
+    "event_transition_matrix",
+    None,
+    doc="First-order transition counts between consecutive event types "
+    "per user (the Markov-chain view of user behavior): lag over a "
+    "total (ts, event_id) order within user, then count (prev, curr) "
+    "pairs. One window shuffle on user_id + one hash agg on the tiny "
+    "(prev, curr) domain. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    SELECT prev_type, event_type AS curr_type, count(*) AS n_transitions
+    FROM (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@register(
+    "user_moving_spend",
+    None,
+    doc="Bounded-frame window aggregate: per-user moving sum of the "
+    "last 4 events' value, in integer cents (ROWS BETWEEN 3 PRECEDING "
+    "AND CURRENT ROW over a total (ts, event_id) order). Fixed-point "
+    "cents make the frame sum exact and order-independent, so the "
+    "moving column value-hash matches - a raw-double moving SUM would "
+    "depend on each engine's incremental frame strategy. Complements "
+    "user_running_spend (unbounded-preceding frame). Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS moving_spend_cents
+    FROM events
+    """,
+)
+def user_moving_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("long").alias("moving_spend_cents"),
+    )
