@@ -23,18 +23,21 @@ from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.01"
 
-# Round-4 bench seconds at sf0.1 (BENCH_r04); the budget below doubles
-# them and floors at 3s, then runs at sf0.01 - an order of magnitude of
-# headroom for every query.
-R4_SF01_SECONDS = {
+# Worst observed cold bench seconds at sf0.1 across rounds 4-5 (BENCH_r04
+# + round-5 in-session runs); the budget below triples them and floors at
+# 3s, then runs at sf0.01 - an order of magnitude of headroom per query.
+REFERENCE_SF01_SECONDS = {
     "minhash_lsh_neardup": 4.44,
-    "ann_ivf_topk": 2.37,
+    "embedding_neardup": 3.16,
+    "ann_ivf_topk": 2.66,
+    "event_reach_setops_kmv": 2.62,
     "ann_cosine_topk": 2.30,
+    "patid1_upgrade": 2.18,
+    "simhash_neardup": 2.08,
     "corpus_curation_funnel": 2.06,
-    "patid1_upgrade": 1.94,
     "doc_winnowing": 1.86,
     "label_standardized_embeddings": 1.80,
-    "embedding_neardup": 1.52,
+    "nations_above_revenue_share": 1.65,
 }
 DEFAULT_BUDGET = 3.0
 
@@ -45,7 +48,7 @@ def _budget(name: str) -> float:
     # within run-to-run noise of the sf0.1 reference numbers. This is
     # an order-of-magnitude tripwire; the per-round bench is the
     # precision instrument.
-    return max(DEFAULT_BUDGET, 3.0 * R4_SF01_SECONDS.get(name, 0.0))
+    return max(DEFAULT_BUDGET, 3.0 * REFERENCE_SF01_SECONDS.get(name, 0.0))
 
 
 def _run(spark, spec) -> float:
