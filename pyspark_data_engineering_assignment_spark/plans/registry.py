@@ -1678,3 +1678,72 @@ def user_moving_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(cents).over(w).cast("long").alias("moving_spend_cents"),
     )
+
+
+@register(
+    "value_quantiles_approx",
+    None,
+    doc="The 100-TB percentile path: percentile_approx (Greenwald-"
+    "Khanna sketch, mergeable, bounded memory) over the same fixed-"
+    "point cents as value_quantiles_by_type, which is the exact "
+    "baseline it is error-bounded against in "
+    "tests/test_approx_quantiles.py: the sketch at accuracy 10000 "
+    "must land within 1% relative error of the exact rank answer. "
+    "Exact per-group sorts do not scale past dimension-sized groups; "
+    "the sketch is what ships. Rows-only at the gate (DuckDB has no "
+    "GK sketch to replay).",
+)
+def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("cents", 0.5, 10000).alias("median_cents_approx"),
+            F.percentile_approx("cents", 0.9, 10000).alias("p90_cents_approx"),
+        )
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    None,
+    doc="Deterministic corpus mixing (training-mix construction): "
+    "integer per-source upsampling weights applied by explode of "
+    "sequence(1, weight) - every replica is a pure function of "
+    "(doc_id, weight), no RNG, so the mix is reproducible across "
+    "runs, engines and partitionings. Output is the post-mix "
+    "composition per source. The oracle replays the same weighted "
+    "counts arithmetically. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    SELECT source,
+           CAST(CASE WHEN source IN ('src0', 'src1') THEN 3
+                     WHEN source IN ('src2', 'src3') THEN 2
+                     ELSE 1 END AS BIGINT) AS mix_weight,
+           count(*) AS n_docs,
+           CAST(count(*) * CASE WHEN source IN ('src0', 'src1') THEN 3
+                                WHEN source IN ('src2', 'src3') THEN 2
+                                ELSE 1 END AS BIGINT) AS n_mixed,
+           CAST(sum(n_chars) * CASE WHEN source IN ('src0', 'src1') THEN 3
+                                    WHEN source IN ('src2', 'src3') THEN 2
+                                    ELSE 1 END AS BIGINT) AS mixed_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(3))
+        .when(F.col("source").isin("src2", "src3"), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    mixed = d.withColumn("mix_weight", weight).withColumn(
+        "_replica", F.explode(F.sequence(F.lit(1), F.col("mix_weight")))
+    )
+    return mixed.groupBy("source", "mix_weight").agg(
+        (F.count("*") / F.col("mix_weight")).cast("long").alias("n_docs"),
+        F.count("*").alias("n_mixed"),
+        F.sum("n_chars").cast("long").alias("mixed_chars"),
+    )
