@@ -157,10 +157,17 @@ def test_running_ewma_stream_equals_batch_fold(spark, tmp_path):
     )
     src = str(tmp_path / "incoming")
     os.makedirs(src)
+    import time as _time
+
+    now = _time.time()
     for i in range(3):  # ts-ordered chunks -> in-order batches
-        rows.iloc[i * 30 : (i + 1) * 30].to_csv(
-            os.path.join(src, f"chunk{i}.csv"), index=False
-        )
+        p = os.path.join(src, f"chunk{i}.csv")
+        rows.iloc[i * 30 : (i + 1) * 30].to_csv(p, index=False)
+        # The file source orders same-batch candidates by modification
+        # time; bulk-written files can share an mtime and arrive out of
+        # ts order (the repo's feeder staggers mtimes for exactly this
+        # reason). Stagger explicitly so batch order == ts order.
+        os.utime(p, (now + i, now + i))
 
     schema = "event_id long, ts long, user_id long, value double"
     stream = (
