@@ -199,18 +199,27 @@ def main() -> None:
     streaming_sf = bench_streaming_sf(spark)
     # The driver captures only the last ~2000 chars of stdout and parses the
     # final line as the headline JSON.  r04's single combined line outgrew
-    # that window (parsed: null), so emit two lines: the bulky per-query
-    # detail first, then a short compact summary as the true final line.
+    # that window (parsed: null), and r05's stdout detail line outgrew it
+    # too (cold per-query dict truncated, killing round-over-round diffs).
+    # So: the FULL detail goes to a committed file next to this script;
+    # stdout gets the detail (best-effort) plus a short summary final line.
     detail = {
         "queries": times,
         "queries_warm": times_warm,
+        "total": total,
         "total_warm": round(sum(times_warm.values()), 3),
         "lineitem_rows": lineitem_rows,
+        "sf": float(sf),
         "rows_per_sec_pricing_summary": (
             round(lineitem_rows / times["pricing_summary"]) if times.get("pricing_summary") else None
         ),
         "streaming": streaming,
+        "streaming_sf": streaming_sf,
     }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps(detail, separators=(",", ":")))
     summary = {
         "metric": "registry_queries_total_time",

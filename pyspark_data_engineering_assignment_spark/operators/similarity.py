@@ -29,7 +29,10 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark_data_engineering_assignment_spark.functions.vectors import cosine, dot
+from pyspark_data_engineering_assignment_spark.functions.vectors import (
+    dot,
+    l2_norm,
+)
 
 
 def brute_force_topk(
@@ -41,20 +44,26 @@ def brute_force_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos) with
-    deterministic tie-break on neighbor id."""
+    deterministic tie-break on neighbor id.
+
+    Each side's L2 norm is hoisted to a per-row projection BELOW the
+    join: per-pair work is then one dot product, not three array folds.
+    O(pairs) -> O(rows) for the norm cost, and the per-value IEEE op
+    sequence (dot / (sqrt_a * sqrt_b)) is unchanged, so the value-hash
+    oracle stays exact."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    ).withColumn("_qn", l2_norm(F.col("qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
+    ).withColumn("_cn", l2_norm(F.col("cvec")))
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -197,19 +206,22 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _rh_signature(vec_col, planes).alias("bucket"),
-    )
+    ).withColumn("_cn", l2_norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(
             _probe_buckets(_rh_signature(vec_col, planes), n_planes, probe_bits)
         ).alias("bucket"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("qvec")))
     pairs = F.broadcast(q).join(c, on="bucket")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    # norms hoisted below the join: one dot per candidate pair
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -269,6 +281,7 @@ def ivf_topk(
             F.col(vec_col).alias("cvec"),
             F.col("prediction").alias("cell"),
         )
+        .withColumn("_cn", l2_norm(F.col("cvec")))
     )
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
@@ -291,12 +304,16 @@ def ivf_topk(
         .withColumn("_pr", F.row_number().over(w_probe))
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "qvec", "cell")
+        .withColumn("_qn", l2_norm(F.col("qvec")))
     )
     pairs = F.broadcast(probed).join(c, on="cell")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    # norms hoisted below the join: one dot per candidate pair
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -321,15 +338,21 @@ def embedding_near_duplicates(
     With ``probe_bits=1`` the left side of the self-join probes every
     bucket one bit-flip away, so a near-dup pair straddling a single
     hyperplane is still found. Each pair matches exactly once (the right
-    side keeps its unique home bucket)."""
+    side keeps its unique home bucket). Per-row L2 norms are hoisted
+    below the join (r6): the ``cos >= min_cosine`` predicate lands
+    inside the join, where an inlined cosine would re-fold BOTH norms
+    per candidate pair - with the hoist each pair costs one dot."""
     planes = _hyperplanes(dim, n_planes, seed)
     d = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _rh_signature(vec_col, planes).alias("bucket"),
-    )
+    ).withColumn("_n", l2_norm(F.col("vec")))
     a = d.select(
-        "vid", "vec", F.explode(_probe_buckets(F.col("bucket"), n_planes, probe_bits)).alias("bucket")
+        "vid",
+        "vec",
+        "_n",
+        F.explode(_probe_buckets(F.col("bucket"), n_planes, probe_bits)).alias("bucket"),
     ).alias("a")
     # shuffle_hash (not broadcast): a broadcast self-join materializes the
     # build side separately, recomputing every row's hyperplane signature;
@@ -348,7 +371,10 @@ def embedding_near_duplicates(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a._n") * F.col("b._n"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= min_cosine)
     )

@@ -169,6 +169,13 @@ def funnel_counts(
     costs one aggregate row per stage, not an array. len(stages) is
     small and fixed; the plan is len(stages) co-partitioned passes over
     a progressively SHRINKING keyset.
+
+    Each stage's first-times DataFrame is ``persist()``-ed: it feeds
+    BOTH its own count branch and the next stage's join, and without
+    the cache each union branch re-embeds (and re-executes) every
+    earlier stage's filter+aggregate subtree - quadratic passes over
+    events. Caller cache contract (same as ``operators/dedup.py``):
+    materialize the result, then ``spark.catalog.clearCache()``.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
@@ -180,7 +187,7 @@ def funnel_counts(
             f = f.join(prev, on=key_col).filter(
                 F.col(ts_col) > F.col(f"_p{i - 1}")
             )
-        prev = f.groupBy(key_col).agg(F.min(ts_col).alias(f"_p{i}"))
+        prev = f.groupBy(key_col).agg(F.min(ts_col).alias(f"_p{i}")).persist()
         counts.append(
             prev.agg(F.count("*").alias("n_users")).select(
                 F.lit(i + 1).cast("long").alias("stage"),

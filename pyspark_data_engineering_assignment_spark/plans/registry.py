@@ -1403,10 +1403,17 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    cn = n.select(
+    # Pre-filter BOTH nation dims to the two pair members: Catalyst
+    # cannot factor the disjunctive pair predicate (which spans two
+    # tables) into per-table filters, so without this the customer and
+    # supplier joins fan in every nation's rows and the pair filter
+    # only lands post-join. The disjunction below still applies
+    # post-join to cut the two same-direction combinations.
+    pair_nations = ["NATION_1", "NATION_2"]
+    cn = n.filter(F.col("n_name").isin(pair_nations)).select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
-    sn = n.select(
+    sn = n.filter(F.col("n_name").isin(pair_nations)).select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
     rev_e4 = (
@@ -1746,4 +1753,123 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") / F.col("mix_weight")).cast("long").alias("n_docs"),
         F.count("*").alias("n_mixed"),
         F.sum("n_chars").cast("long").alias("mixed_chars"),
+    )
+
+
+@register(
+    "sole_failing_suppliers",
+    None,
+    doc="TPC-H Q21 shape: the multi-EXISTS correlated subquery pair as "
+    "chained left-SEMI + left-ANTI joins. A supplier 'kept an order "
+    "waiting' when it returned items (l_returnflag = 'R' stands in for "
+    "the reference schema's receipt>commit lateness - this testdata has "
+    "no commit/receipt dates) on an order that ALSO involved another "
+    "supplier (EXISTS -> semi join on orderkey, suppkey <>) where NO "
+    "other supplier returned (NOT EXISTS -> anti join on orderkey, "
+    "suppkey <>). All three order-grained inputs hash on l_orderkey so "
+    "the semi and anti joins reuse one co-partitioning; the supplier "
+    "dim broadcasts. Counts are of DISTINCT (order, supplier) pairs, "
+    "so the result is grain-stable however lineitem splits. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         f AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+               WHERE l_returnflag = 'R')
+    SELECT s.s_name, count(*) AS numwait
+    FROM f l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM a l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM f l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1
+    """,
+)
+def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = l.select("l_orderkey", "l_suppkey", "l_returnflag")
+    a = pairs.select("l_orderkey", "l_suppkey").distinct()
+    f = (
+        pairs.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = f.alias("l1")
+    other_supplier_present = l1.join(
+        a.alias("l2"),
+        on=[
+            F.col("l1.l_orderkey") == F.col("l2.l_orderkey"),
+            F.col("l1.l_suppkey") != F.col("l2.l_suppkey"),
+        ],
+        how="left_semi",
+    )
+    sole_failure = other_supplier_present.alias("l1").join(
+        f.alias("l3"),
+        on=[
+            F.col("l1.l_orderkey") == F.col("l3.l_orderkey"),
+            F.col("l1.l_suppkey") != F.col("l3.l_suppkey"),
+        ],
+        how="left_anti",
+    )
+    return (
+        sole_failure.join(
+            F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    None,
+    doc="TPC-H Q17 shape: the correlated scalar-aggregate-per-group "
+    "filter (l_quantity < 0.2 * avg quantity for that part) as an "
+    "aggregate-then-self-join: one groupBy(l_partkey) pass computes "
+    "each part's (count, sum_qty), lineitem joins back on the SAME key "
+    "(the aggregate side's exchange is reused - no second shuffle of "
+    "it), and the avg compare is division-free integer math "
+    "(qty_e2 * 5 * n < sum_qty_e2 is exactly qty < 0.2 * avg). The "
+    "part dim broadcasts; revenue is fixed-point cents. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    WITH pa AS (
+        SELECT l_partkey, count(*) AS n_li,
+               CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sum_qty_e2
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand, count(*) AS n_small,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+          * 5 * pa.n_li < pa.sum_qty_e2
+    GROUP BY 1
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    pa = l.groupBy("l_partkey").agg(
+        F.count("*").alias("n_li"),
+        F.sum(qty_e2).cast("long").alias("sum_qty_e2"),
+    )
+    small = l.join(pa, on="l_partkey").filter(
+        qty_e2 * 5 * F.col("n_li") < F.col("sum_qty_e2")
+    )
+    return (
+        small.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum((F.col("l_extendedprice").cast(DEC) * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
     )

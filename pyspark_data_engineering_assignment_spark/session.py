@@ -83,6 +83,13 @@ def get_spark(
         # --- python <-> jvm ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- codegen ---
+        # Static conf, default 100: a 79-query bench/test session compiles
+        # far more than 100 codegen stages, and evictions re-bill multi-
+        # second recompiles to whichever query runs next (measured: the
+        # r5 "warm regressions" on events_value_brackets/patid1_upgrade
+        # shrank to noise in a fresh session). 5000 entries is ~tens of MB.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # quieter local runs
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -174,11 +174,16 @@ def running_ewma(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         n, ewma = state.get if state.exists else (0, None)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_cols)
-            for x in pdf[value_col].astype("float64"):
-                ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
-                n += 1
+        # Concatenate ALL of this key's Arrow chunks before the single
+        # sort: a key whose batch rows span multiple chunks (batch rows
+        # > spark.sql.execution.arrow.maxRecordsPerBatch) delivers the
+        # chunks in arbitrary shuffle order, and sorting each chunk
+        # independently would fold them out of order-col order,
+        # breaking the bit-exact batch==stream contract.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(order_cols)
+        for x in pdf[value_col].astype("float64"):
+            ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
+            n += 1
         state.update((n, ewma))
         yield pd.DataFrame(
             {"key": [key[0]], "n_events": [n], "ewma_value": [ewma]}

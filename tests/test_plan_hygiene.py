@@ -222,6 +222,31 @@ def test_q22_anti_join_and_pushed_priority_filter(plans):
     assert "BroadcastNestedLoopJoin" in p
 
 
+def test_q21_semi_then_anti_join_shapes(plans):
+    """sole_failing_suppliers: the EXISTS must stay a LeftSemi and the
+    NOT EXISTS a LeftAnti on the shared orderkey partitioning, with the
+    supplier dim broadcast - never an inner-join blow-up then distinct,
+    never a shuffled supplier join."""
+    p = plans["sole_failing_suppliers"]
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q17_reuses_aggregate_partitioning(simple_plans, plans):
+    """small_quantity_part_revenue: the per-part aggregate must not
+    re-shuffle after its own exchange. Shuffle budget: the aggregate's
+    l_partkey exchange + (at scale) the lineitem side's l_partkey
+    exchange + the final brand agg = 3 hash exchanges max; at tiny SF
+    the aggregate side broadcasts instead (BroadcastExchange rows are
+    not shuffles and don't count). The part dim must broadcast."""
+    hash_exchanges = simple_plans["small_quantity_part_revenue"].count(
+        "Exchange hashpartitioning"
+    )
+    assert hash_exchanges <= 3, simple_plans["small_quantity_part_revenue"]
+    assert "BroadcastHashJoin" in plans["small_quantity_part_revenue"]
+
+
 def test_packing_single_window_partitioning(simple_plans):
     """doc_sequence_packing: one hash partitioning on shard feeds the
     running-sum window; the follow-up (shard, pack_id) aggregate adds at

@@ -207,3 +207,76 @@ def test_running_ewma_stream_equals_batch_fold(spark, tmp_path):
         ).collect()
     }
     assert stream_vals == batch_vals  # bit-exact, including the doubles
+
+
+def test_running_ewma_key_spanning_multiple_arrow_chunks(spark, tmp_path):
+    """One hot key whose single-batch rows span MANY Arrow record
+    batches (maxRecordsPerBatch lowered to 16 for 120 rows), written in
+    REVERSE ts order: the state function receives the key's rows as
+    multiple pandas chunks in arbitrary order, so folding chunk-locally
+    sorted frames would produce a different (wrong) IEEE sequence. The
+    fold must concat all chunks then sort once - pinned by bit-equality
+    with the batch fold."""
+    import numpy as np
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        running_ewma,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 120
+    rows = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": range(n),
+            "user_id": 1,  # single hot key
+            "value": np.round(rng.exponential(20.0, n), 2),
+        }
+    ).iloc[::-1]  # reverse file order: chunk-local sorting would misfold
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    rows.to_csv(os.path.join(src, "all.csv"), index=False)
+
+    schema = "event_id long, ts long, user_id long, value double"
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = (
+            spark.readStream.format("csv")
+            .option("header", "true")
+            .schema(schema)
+            .load(src)
+        )
+        out = running_ewma(stream, "user_id", ["ts", "event_id"], "value")
+        sink = f"ewma_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(sink).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    final = emitted.sort_values("n_events").groupby("key").last().reset_index()
+    stream_vals = {
+        r["key"]: (r["n_events"], r["ewma_value"]) for _, r in final.iterrows()
+    }
+    batch_df = spark.createDataFrame(
+        rows[["user_id", "ts", "event_id", "value"]],
+        schema="user_id long, ts long, event_id long, value double",
+    )
+    batch_vals = {
+        str(r["user_id"]): (r["n_events"], r["ewma_value"])
+        for r in ewma_by_key(
+            batch_df, ["user_id"], ["ts", "event_id"], "value"
+        ).collect()
+    }
+    assert stream_vals == batch_vals  # bit-exact across chunk boundaries
