@@ -23,21 +23,24 @@ from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.01"
 
-# Worst observed cold bench seconds at sf0.1 across rounds 4-5 (BENCH_r04
-# + round-5 in-session runs); the budget below triples them and floors at
-# 3s, then runs at sf0.01 - an order of magnitude of headroom per query.
+# Worst of (cold, warm) bench seconds at sf0.1 from the round-6 full
+# bench (BENCH_DETAIL.json, codegen cache 5000, solo box): every query
+# whose worst run was >= ~1s is listed, per the round-5 verdict's
+# coverage mandate. The budget below triples them and floors at 3s,
+# then runs at sf0.01 - an order of magnitude of headroom per query.
 REFERENCE_SF01_SECONDS = {
-    "minhash_lsh_neardup": 4.44,
-    "embedding_neardup": 3.16,
-    "ann_ivf_topk": 2.66,
-    "event_reach_setops_kmv": 2.62,
-    "ann_cosine_topk": 2.30,
-    "patid1_upgrade": 2.18,
-    "simhash_neardup": 2.08,
-    "corpus_curation_funnel": 2.06,
-    "doc_winnowing": 1.86,
-    "label_standardized_embeddings": 1.80,
-    "nations_above_revenue_share": 1.65,
+    "ann_ivf_topk": 3.40,
+    "minhash_lsh_neardup": 2.45,
+    "ann_cosine_topk": 1.82,
+    "patid1_upgrade": 1.77,
+    "corpus_curation_funnel": 1.75,
+    "sole_failing_suppliers": 1.65,
+    "embedding_neardup": 1.40,
+    "event_reach_setops_kmv": 1.26,
+    "big_quantity_orders": 1.22,
+    "simhash_neardup": 1.18,
+    "doc_repetition_stats": 1.11,
+    "nations_above_revenue_share": 1.04,
 }
 DEFAULT_BUDGET = 3.0
 
