@@ -507,3 +507,96 @@ def dedup_against_corpus(
         Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())
     )
     return fresh.withColumn("_rn", keeper).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def contamination_screen(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination screen: per training document, how many
+    of its DISTINCT n-token shingles also occur anywhere in the eval
+    corpus - the n-gram-overlap test training pipelines run against
+    held-out benchmarks before training (the GPT-3/PaLM appendix
+    methodology). Returns ``(doc_id, n_shingles, n_contaminated)`` for
+    every training doc with at least one shingle (docs shorter than
+    ``n`` tokens have nothing to test and drop out).
+
+    Scale shape: the eval shingle set is benchmark-sized (thousands of
+    docs, not the corpus), so it DISTINCTs small and broadcasts; the
+    training side is one explode + one left broadcast join + one
+    groupBy(doc_id) shuffle. Nothing quadratic, nothing driver-side,
+    and the corpus is scanned once. Integer outputs only, so the
+    DuckDB oracle hash-matches exactly.
+    """
+    eval_shingles = (
+        eval_docs.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    train_shingles = train_docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    return (
+        train_shingles.join(F.broadcast(eval_shingles), on="shingle", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection: n-token shingles occurring
+    in >= ``min_docs`` DISTINCT documents (headers, footers, license
+    blocks, navigation chrome), counted per document - the cross-doc
+    complement of the WITHIN-doc Gopher repetition signals
+    (``textstats.repetition_stats``), and the detection half of
+    C4-style repeated-span removal. Returns ``(doc_id, n_shingles,
+    n_boilerplate)`` for every doc with at least one shingle.
+
+    Two passes over the exploded shingle table, both hash-partitioned:
+    groupBy(shingle) marks the hot spans (count of distinct docs needs
+    no distinct aggregate - the input is already distinct per doc),
+    then a join back on shingle + groupBy(doc). The hot-span table is
+    output-bounded (spans repeated across docs), never the corpus.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("shingle")
+        .withColumn("_hot", F.lit(1).cast("long"))
+    )
+    return (
+        sh.join(hot, on="shingle", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0)))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+    )

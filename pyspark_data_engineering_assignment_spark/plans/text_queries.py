@@ -923,3 +923,76 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return sample_frames(documents_as_media(d), frame_bytes=256, every_k=4)
+
+
+@register(
+    "doc_contamination_screen",
+    None,
+    doc="Benchmark decontamination (operators/dedup.contamination_screen): "
+    "per training doc (doc_id < 480), how many of its distinct 8-token "
+    "shingles occur anywhere in the held-out eval slice (doc_id >= 480) "
+    "- the n-gram-overlap screen run against benchmarks before "
+    "training. Eval shingle set DISTINCTs small and broadcasts; one "
+    "explode + broadcast-left join + groupBy(doc). Integer outputs, "
+    "hash-exact. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS l
+                 FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(l) - 6, 1)),
+               i -> array_to_string(list_slice(l, i, i + 7), ' '))))
+               AS shingle
+           FROM tok),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 480),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 480)
+    SELECT tr.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY 1
+    """,
+)
+def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        contamination_screen,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_screen(
+        d.filter(F.col("doc_id") < 480), d.filter(F.col("doc_id") >= 480), n=8
+    )
+
+
+@register(
+    "doc_boilerplate_shingles",
+    None,
+    doc="Cross-document boilerplate detection (operators/dedup."
+    "boilerplate_shingles): 8-token shingles occurring in >= 3 distinct "
+    "documents (headers/footers/license blocks), counted per doc - the "
+    "cross-doc complement of the within-doc Gopher repetition signals "
+    "and the detection half of C4-style repeated-span removal. Two "
+    "shingle-partitioned passes; the hot-span table is output-bounded. "
+    "Integer outputs, hash-exact. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS l
+                 FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(l) - 6, 1)),
+               i -> array_to_string(list_slice(l, i, i + 7), ' '))))
+               AS shingle
+           FROM tok),
+    hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 3)
+    SELECT sh.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN hot.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate
+    FROM sh LEFT JOIN hot ON sh.shingle = hot.shingle
+    GROUP BY 1
+    """,
+)
+def doc_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        boilerplate_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_shingles(d, n=8, min_docs=3)

@@ -243,3 +243,68 @@ def test_canonical_docs_picks_largest_then_lowest_id(spark):
     }
     # doc 99 is in no cluster and must not appear anywhere
     assert got == {1: (2, 3, 50 + 90 + 89), 10: (10, 2, 140)}
+
+
+def test_contamination_screen_counts_and_short_doc_dropout(spark):
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        contamination_screen,
+    )
+
+    # 4-token shingles; train doc 1 contains an eval 4-gram verbatim,
+    # train doc 2 shares nothing, train doc 3 is shorter than n (drops).
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shingles: a b g d, b g d e
+            (2, "one two three four five"),
+            (3, "too short"),
+        ],
+        DOCS_SCHEMA,
+    )
+    ev = spark.createDataFrame(
+        [(10, "x alpha beta gamma delta y")], DOCS_SCHEMA
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in contamination_screen(train, ev, n=4).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 0)}  # doc 3 absent: nothing to test
+
+
+def test_contamination_screen_full_containment(spark):
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        contamination_screen,
+    )
+
+    # an exact duplicate of an eval doc is 100% contaminated
+    text = "w1 w2 w3 w4 w5 w6"
+    train = spark.createDataFrame([(1, text)], DOCS_SCHEMA)
+    ev = spark.createDataFrame([(9, text)], DOCS_SCHEMA)
+    [r] = contamination_screen(train, ev, n=3).collect()
+    assert (r["n_shingles"], r["n_contaminated"]) == (4, 4)
+
+
+def test_boilerplate_shingles_threshold_semantics(spark):
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        boilerplate_shingles,
+    )
+
+    # the same 3-gram footer in 3 docs is boilerplate at min_docs=3;
+    # a 2-doc overlap is not; duplicate occurrences WITHIN a doc count
+    # once (distinct-per-doc grain).
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one text {footer}"),
+            (2, f"other content here {footer}"),
+            (3, f"third thing entirely {footer} {footer}"),
+            (4, "pair shared span body"),
+            (5, "pair shared span tail"),
+        ],
+        DOCS_SCHEMA,
+    )
+    got = {
+        r["doc_id"]: r["n_boilerplate"]
+        for r in boilerplate_shingles(docs, n=3, min_docs=3).collect()
+    }
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[4] == 0 and got[5] == 0  # "pair shared span" only in 2 docs

@@ -45,3 +45,52 @@ def test_bucketed_range_join_rejects_clash(spark):
     intervals = spark.createDataFrame([(2, 0.0, 5.0)], ["pid", "lo", "hi"])
     with pytest.raises(ValueError, match="clash"):
         bucketed_range_join(points, intervals, "v", "lo", "hi", 10.0)
+
+
+def test_bucketed_range_join_equals_brute_force_property(spark):
+    """Property (hypothesis): for ANY points, intervals, and bucket
+    width, the bucketed plan returns exactly the brute-force theta-join
+    pair set - the bucketing is a pure execution strategy, never a
+    semantics change. Random widths exercise bucket-straddling,
+    sub-bucket intervals, and negative domains."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.integers(min_value=-40, max_value=40)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pts=st.lists(vals, min_size=1, max_size=8),
+        ivs=st.lists(st.tuples(vals, vals), min_size=1, max_size=5),
+        width=st.sampled_from([0.5, 1.0, 3.0, 7.5, 50.0]),
+    )
+    def prop(pts, ivs, width):
+        points = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(pts)], ["pid", "v"]
+        )
+        intervals = spark.createDataFrame(
+            [
+                (j, float(min(a, b)), float(max(a, b) + 1))
+                for j, (a, b) in enumerate(ivs)
+            ],
+            ["iid", "lo", "hi"],
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in bucketed_range_join(
+                points, intervals, "v", "lo", "hi", bucket_width=width
+            ).collect()
+        )
+        expect = sorted(
+            (i, j)
+            for i, v in enumerate(pts)
+            for j, (a, b) in enumerate(ivs)
+            if min(a, b) <= v < max(a, b) + 1
+        )
+        assert got == expect
+
+    prop()
