@@ -144,3 +144,54 @@ def repetition_stats(
         .alias("n_distinct_bigrams"),
         top_token.cast("long").alias("top_token_count"),
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Language-model quality scoring with a corpus unigram model - the
+    CCNet/RedPajama "perplexity filter" shape with the KenLM n-gram
+    model replaced by the unigram model the corpus itself induces:
+    surprisal(doc) = sum over tokens of -ln(p(token)), high = unusual
+    token mix (noise, boilerplate codes), low = stereotyped text.
+
+    Two passes over the exploded token table: one groupBy(token) trains
+    the model, one broadcast join + groupBy(doc) scores. The model
+    table is vocab-bounded (always orders of magnitude below corpus
+    rows), hence the broadcast; a vocabulary beyond broadcast size
+    would drop the hint and shuffle on the token - same plan minus the
+    broadcast. The 1-row token total rides a broadcast nested-loop
+    join (the scalar-subquery pattern).
+
+    Determinism contract: p = count/total is one IEEE double division,
+    -ln(p) is floored to e6 fixed-point PER TOKEN, and only integers
+    are summed - so the result hash-matches DuckDB exactly (ln()
+    bit-parity over this corpus' frequency ratios verified empirically
+    at all SFs; elementwise-then-floor keeps any future ulp divergence
+    from compounding across a sum).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    total = toks.agg(F.count("*").alias("_n"))
+    model = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("_c"))
+        .join(F.broadcast(total))
+        .select(
+            "tok",
+            F.floor(
+                -F.log(F.col("_c").cast("double") / F.col("_n")) * 1e6
+            )
+            .cast("long")
+            .alias("_s_e6"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(model), on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_s_e6").cast("long").alias("surprisal_e6"),
+        )
+    )

@@ -996,3 +996,36 @@ def doc_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return boilerplate_shingles(d, n=8, min_docs=3)
+
+
+@register(
+    "doc_unigram_surprisal",
+    None,
+    doc="LM quality scoring (operators/textstats.unigram_surprisal): "
+    "corpus-unigram surprisal per doc - the CCNet/RedPajama perplexity-"
+    "filter shape with the KenLM model replaced by the corpus' own "
+    "unigram model. One token-keyed agg trains, one broadcast join + "
+    "doc-keyed agg scores; per-token -ln(p) floored to e6 BEFORE the "
+    "sum so only integers aggregate (ln parity verified empirically at "
+    "all SFs). Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM t),
+    lp AS (SELECT tok,
+                  CAST(floor(-ln(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT)
+                      AS s_e6
+           FROM f, tot)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(lp.s_e6) AS BIGINT) AS surprisal_e6
+    FROM t JOIN lp USING (tok)
+    GROUP BY 1
+    """,
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))

@@ -36,3 +36,27 @@ def test_repetition_stats_edges(spark):
         "doc_id": 4, "n_tokens": 4, "n_bigrams": 3,
         "n_distinct_bigrams": 3, "top_token_count": 1,
     }
+
+
+def test_unigram_surprisal_uniform_and_skewed(spark):
+    import math
+
+    from pyspark_data_engineering_assignment_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    # corpus: 8 tokens total; "a" appears 4x (p=1/2), b/c/d/e once each
+    # (p=1/8). Per-token surprisal is floor(-ln(p)*1e6) - integer-exact,
+    # so the doc totals are hand-computable.
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b c d e")], ["doc_id", "text"]
+    )
+    s_half = math.floor(-math.log(4 / 8) * 1e6)   # 693147
+    s_eighth = math.floor(-math.log(1 / 8) * 1e6)  # 2079441
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_e6"])
+        for r in unigram_surprisal(docs).collect()
+    }
+    assert got == {1: (4, 4 * s_half), 2: (4, 4 * s_eighth)}
+    # the skewed doc is the more "surprising" one
+    assert got[2][1] > got[1][1]
