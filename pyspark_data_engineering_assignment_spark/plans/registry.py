@@ -1789,13 +1789,20 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    pairs = l.select("l_orderkey", "l_suppkey", "l_returnflag")
-    a = pairs.select("l_orderkey", "l_suppkey").distinct()
-    f = (
-        pairs.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    # ONE aggregation pass builds both order-supplier frames: the all-
+    # pairs frame `a` and its failed subset `f` (max of the R flag per
+    # pair), instead of two separate distinct() shuffles over lineitem.
+    # At 100 TB that halves the heaviest stage; `f` derives from `a`
+    # with a filter, no extra exchange.
+    a = (
+        l.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("_failed")
+        )
     )
+    f = a.filter(F.col("_failed") == 1).select("l_orderkey", "l_suppkey")
+    a = a.select("l_orderkey", "l_suppkey")
     l1 = f.alias("l1")
     other_supplier_present = l1.join(
         a.alias("l2"),
@@ -1871,5 +1878,30 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice").cast(DEC) * 100).cast("long"))
             .cast("long")
             .alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "user_reach_hll",
+    None,
+    doc="HLL++ distinct-count sketch (approx_count_distinct, rsd=0.02): "
+    "the third member of the sketch family next to the KMV bottom-k "
+    "(cross-engine-exact estimate) and the GK quantile sketch. "
+    "approx_count_distinct is Spark's native mergeable HLL++ - the "
+    "operator a 100 TB reach query actually ships because its state is "
+    "a fixed few-KB register set per group regardless of cardinality "
+    "(KMV's bottom-k costs O(k) values per group). Rows-only at the "
+    "gate (DuckDB's approx_distinct is a different HLL "
+    "implementation; estimates cannot hash-match) - the relative-error "
+    "bound vs exact is pinned in tests/test_sketches.py.",
+)
+def user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("distinct_est"),
+            F.countDistinct("user_id").alias("exact_distinct"),
         )
     )

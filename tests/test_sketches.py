@@ -104,3 +104,17 @@ def test_kmv_setops_all_pairs(spark):
         assert (r.est_a, r.est_b, r.est_union, r.est_intersection) == (
             100, 100, 200, 0,
         )
+
+
+def test_hll_estimate_within_rsd_bound(spark):
+    """user_reach_hll: HLL++ at rsd=0.02 must land within 3 standard
+    errors (6%) of exact on every group - loose enough to be stable,
+    tight enough that a broken sketch (or an accidental rsd change)
+    fails loudly."""
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    rows = QUERIES["user_reach_hll"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        err = abs(r["distinct_est"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert err <= 0.06, (r["event_type"], r["distinct_est"], r["exact_distinct"])

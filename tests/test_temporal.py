@@ -75,3 +75,52 @@ def test_as_of_join_rejects_column_clash(spark):
 
     with pytest.raises(ValueError, match="collide"):
         as_of_join(left, right, ["k"], "ts", "ts", ["x", "left_id"])
+
+
+def test_as_of_join_equals_brute_force_property(spark):
+    """Property (hypothesis): for ANY left/right event sets, the union-
+    tag-window as-of join equals the brute-force definition (latest
+    right row with right_ts <= left_ts per key; ties by... none - right
+    timestamps are made unique per key so the spec is unambiguous)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.temporal import (
+        as_of_join,
+    )
+
+    keys = st.sampled_from([1, 2])
+    ts = st.integers(min_value=0, max_value=20)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lrows=st.lists(st.tuples(keys, ts), min_size=1, max_size=8),
+        rrows=st.lists(st.tuples(keys, ts), min_size=1, max_size=8),
+    )
+    def prop(lrows, rrows):
+        # unique right (key, ts) so "the latest right row" is well-defined
+        rrows = sorted(set(rrows))
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)], ["k", "lts", "lid"]
+        )
+        right = spark.createDataFrame(
+            [(k, t, 100 + i) for i, (k, t) in enumerate(rrows)],
+            ["k", "rts", "rid"],
+        )
+        got = {
+            (r["k"], r["lts"], r["lid"]): r["rid"]
+            for r in as_of_join(
+                left, right, ["k"], "lts", "rts", ["rid"]
+            ).collect()
+        }
+        for i, (k, t) in enumerate(lrows):
+            cands = [(rt, 100 + j) for j, (rk, rt) in enumerate(rrows)
+                     if rk == k and rt <= t]
+            expect = max(cands)[1] if cands else None
+            assert got[(k, t, i)] == expect, (k, t, cands, got)
+
+    prop()
