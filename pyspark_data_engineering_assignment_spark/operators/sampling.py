@@ -144,3 +144,30 @@ def stratified_take(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def content_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    splits: dict[str, int] | None = None,
+    salt: str = DEFAULT_SALT,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: assign by the CONTENT fingerprint, not the
+    row id, so exact duplicates always land in the same split - an
+    id-keyed split leaks a copy of a training document into the eval
+    set whenever duplicates survive upstream dedup, silently inflating
+    eval scores. Still a pure per-row map (no shuffle, no join): the
+    md5 fingerprint IS the group key, so co-assignment needs no
+    clustering pass. For NEAR-duplicate safety, compose with
+    ``dedup.duplicate_clusters`` and split on the cluster
+    representative instead - that buys transitive safety at the cost
+    of the clustering join.
+    """
+    from pyspark_data_engineering_assignment_spark.functions.text import (
+        md5_fingerprint,
+    )
+
+    return df.withColumn(
+        out_col, split_assignment(md5_fingerprint(F.col(text_col)), splits, salt)
+    )

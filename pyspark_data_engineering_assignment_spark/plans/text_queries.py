@@ -1029,3 +1029,54 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_split_leakage_safe",
+    None,
+    doc="Leakage-safe train/val/test split (operators/sampling."
+    "content_safe_split): assignment hashes the CONTENT fingerprint "
+    "(md5 of normalized text), not the doc id, so exact duplicates "
+    "can never straddle a split boundary and leak training text into "
+    "eval - while staying a pure per-row map (the fingerprint is the "
+    "group key; no clustering join needed). Output reports per-split "
+    "doc and unique-text counts; the oracle replays the identical "
+    "double-md5 arithmetic, and the co-assignment property is pinned "
+    "on planted duplicates in tests/test_sampling.py. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    WITH s AS (
+        SELECT CASE WHEN m < 80 THEN 'train'
+                    WHEN m < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               fp
+        FROM (SELECT md5(lower(trim(text))) AS fp,
+                     ('0x' || substr(md5(md5(lower(trim(text))) || '|' ||
+                                         'split-v1'), 1, 15))::BIGINT
+                         % 100 AS m
+              FROM documents)
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT fp) AS n_unique_texts
+    FROM s GROUP BY 1
+    """,
+)
+def doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.text import (
+        md5_fingerprint,
+    )
+    from pyspark_data_engineering_assignment_spark.operators.sampling import (
+        content_safe_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        content_safe_split(d)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(md5_fingerprint(F.col("text"))).alias(
+                "n_unique_texts"
+            ),
+        )
+    )

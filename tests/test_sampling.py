@@ -122,3 +122,32 @@ def test_stratified_take_small_stratum_kept_whole(spark):
     out = stratified_take(df, ["lang"], "doc_id", n_per_stratum=5)
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts == {"rare": 2, "common": 5}
+
+
+def test_content_safe_split_colocates_duplicates(spark):
+    """Planted duplicate texts (distinct doc_ids) must always share a
+    split under content_safe_split; the id-keyed hash_split has no such
+    guarantee (that asymmetry is the operator's reason to exist). Also
+    pins normalization: case/whitespace variants co-assign."""
+    from pyspark_data_engineering_assignment_spark.operators.sampling import (
+        content_safe_split,
+        hash_split,
+    )
+
+    dup = "the same document text appears many times in the corpus"
+    rows = [(i, dup) for i in range(40)] + [
+        (100 + i, f"unique document number {i}") for i in range(40)
+    ]
+    rows += [(500, "  THE SAME document text appears many times in the corpus ".lower()), (501, dup.upper())]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = content_safe_split(docs).collect()
+    dup_splits = {
+        r["split"] for r in out if r["text"].strip().lower() == dup.lower()
+    }
+    assert len(dup_splits) == 1  # every copy/variant in ONE split
+
+    # same rows split by id scatter across splits (40 dup ids -> ~80/10/10)
+    by_id = hash_split(docs, "doc_id").collect()
+    id_splits = {r["split"] for r in by_id if r["text"].strip().lower() == dup.lower()}
+    assert len(id_splits) > 1
