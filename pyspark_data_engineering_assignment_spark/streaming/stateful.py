@@ -204,3 +204,69 @@ def running_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_FIRST_SEEN_STATE_SCHEMA = StructType([StructField("seen", LongType(), True)])
+
+
+def first_seen_by_key(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming first-occurrence keeper: for every key, emit EXACTLY
+    ONE row across the whole stream - the batch-minimum ``order_col``
+    row of the micro-batch where the key first appears - and carry the
+    chosen row's ``payload_cols`` with it. The streaming twin of the
+    batch curation funnel's exact-dedup keeper (groupBy(fingerprint) ->
+    min(doc_id) -> semi join): when the feed is order-col-ordered
+    across batches (an id-ordered ingest), the emitted set is IDENTICAL
+    to the batch keeper set, pinned by an equality test.
+
+    vs ``dropDuplicates``: Spark's streaming dedup keeps an ARBITRARY
+    row of the first batch, so a batch twin cannot be stated, and it
+    cannot carry keeper-row payload selection logic. State here is one
+    long per key (the corpus fingerprint index, sharded with the
+    stream); at 100 TB the same role is played by the persisted-index
+    anti join (``dedup.dedup_against_corpus``) when the index must
+    outlive the query - this operator is the in-stream form.
+    """
+    payload_cols = list(payload_cols or [])
+    in_fields = {f.name: f for f in events.schema.fields}
+    out_schema = StructType(
+        [StructField("key", StringType(), True)]
+        + [
+            StructField(c, in_fields[c].dataType, True)
+            for c in [order_col, *payload_cols]
+        ]
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        row = pdf.loc[pdf[order_col].idxmin()]
+        state.update((int(row[order_col]),))
+        yield pd.DataFrame(
+            {"key": [key[0]], **{c: [row[c]] for c in [order_col, *payload_cols]}}
+        )
+
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            *[F.col(c) for c in [order_col, *payload_cols]],
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_FIRST_SEEN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
