@@ -71,6 +71,36 @@ def read_transactions(spark: SparkSession, path: str) -> DataFrame:
     return read_csv(spark, path, TRANSACTION_SCHEMA)
 
 
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan with an explicit malformed-row policy: PERMISSIVE mode
+    plus a declared corrupt-record column, so rows that fail the schema
+    (wrong arity, untypable values) land WHOLE in ``corrupt_col``
+    instead of silently nulling fields (the default) or killing the job
+    (FAILFAST). A 100 TB ingest always contains malformed rows; the
+    policy decision - quarantine, count, alert - belongs to the caller,
+    which is only possible when the reader captures them. Filter
+    ``corrupt_col IS NOT NULL`` for the quarantine stream and
+    ``IS NULL`` for the clean one.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    audited = StructType(
+        [*schema.fields, StructField(corrupt_col, StringType(), True)]
+    )
+    return (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(audited)
+        .csv(path)
+    )
+
+
 def read_importance(spark: SparkSession, path: str) -> DataFrame:
     """CustomerImportance dimension; ``fraud`` renamed to ``ci_fraud`` to
     avoid the fact-column clash (reference ``Mechanism Y.py:69``), cached

@@ -142,3 +142,41 @@ def test_orc_roundtrip_pruning_and_pushdown(spark, tmp_path):
     # column pruning through the reader's projection
     two = read_orc(spark, path, columns=["o_orderkey", "o_totalprice"])
     assert two.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_read_csv_audited_quarantines_malformed_rows(spark, tmp_path):
+    """Malformed rows (untypable values) land whole in the corrupt
+    column; clean rows parse with it null - nothing is dropped, nothing
+    kills the job, and the caller splits quarantine from clean."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pyspark_data_engineering_assignment_spark.sources.readers import (
+        read_csv_audited,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alice,10\n"
+        "2,bob,not_a_number\n"   # untypable -> quarantined
+        "3,carol,30\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("name", StringType(), True),
+            StructField("amount", LongType(), True),
+        ]
+    )
+    df = read_csv_audited(spark, str(p), schema).cache()
+    try:
+        clean = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert sorted(
+            (r["id"], r["amount"]) for r in clean.collect()
+        ) == [(1, 10), (3, 30)]
+        [q] = bad.collect()
+        assert q["_corrupt_record"] == "2,bob,not_a_number"
+    finally:
+        df.unpersist()

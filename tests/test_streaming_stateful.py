@@ -280,3 +280,94 @@ def test_running_ewma_key_spanning_multiple_arrow_chunks(spark, tmp_path):
         ).collect()
     }
     assert stream_vals == batch_vals  # bit-exact across chunk boundaries
+
+
+def test_running_ewma_state_survives_restart(spark, tmp_path):
+    """Kill-and-restart: drain two chunks, stop, land a third chunk,
+    start a NEW query on the SAME checkpoint - the rebuilt state must
+    continue the fold (not restart it), so the final per-key value is
+    bit-identical to the batch fold over all three chunks."""
+    import time as _time
+
+    import numpy as np
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        running_ewma,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 90
+    rows = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": range(n),
+            "user_id": rng.integers(0, 5, n),
+            "value": np.round(rng.exponential(20.0, n), 2),
+        }
+    )
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    now = _time.time()
+
+    def land(i):
+        p = os.path.join(src, f"chunk{i}.csv")
+        rows.iloc[i * 30 : (i + 1) * 30].to_csv(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    schema = "event_id long, ts long, user_id long, value double"
+    out_dirs = []
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; a foreachBatch
+        # parquet append is the restartable sink shape (same as the
+        # engine's own pipeline)
+        stream = (
+            spark.readStream.format("csv")
+            .option("header", "true")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        out = running_ewma(stream, "user_id", ["ts", "event_id"], "value")
+        out_dir = str(tmp_path / f"out_{len(out_dirs)}")
+        out_dirs.append(out_dir)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out_dir
+
+    land(0)
+    land(1)
+    run_once()            # first incarnation: chunks 0-1, then stops
+    land(2)
+    out_dir = run_once()  # restart from checkpoint: only chunk 2 is new
+
+    emitted = spark.read.parquet(out_dir).toPandas()  # 2nd incarnation only
+    final = emitted.sort_values("n_events").groupby("key").last().reset_index()
+    stream_vals = {
+        r["key"]: (r["n_events"], r["ewma_value"]) for _, r in final.iterrows()
+    }
+    batch_df = spark.createDataFrame(
+        rows[["user_id", "ts", "event_id", "value"]],
+        schema="user_id long, ts long, event_id long, value double",
+    )
+    batch_vals = {
+        str(r["user_id"]): (r["n_events"], r["ewma_value"])
+        for r in ewma_by_key(
+            batch_df, ["user_id"], ["ts", "event_id"], "value"
+        ).collect()
+    }
+    # every key active in chunk 2 must show the FULL-history fold
+    for k, v in stream_vals.items():
+        assert v == batch_vals[k]
+    assert stream_vals  # at least one key re-emitted after restart
