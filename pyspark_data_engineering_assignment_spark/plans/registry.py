@@ -1905,3 +1905,65 @@ def user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_distinct"),
         )
     )
+
+
+@register(
+    "user_spend_anomalies",
+    None,
+    doc="Integer-exact moving-window anomaly detection - the engine's "
+    "fraud-domain take on |x - mean| > 3*sigma: per user, each event "
+    "compares against the trailing 10-event window (current row "
+    "excluded; >= 5 priors required), with the z-score test cross-"
+    "multiplied into pure integer cents arithmetic - "
+    "(x*n - sum)^2 > 9*(n*sumsq - sum^2) is EXACTLY |x-mean| > 3*std "
+    "(population), no division, no sqrt, no doubles - so the flagged "
+    "set hash-matches the oracle exactly where a floating z-score "
+    "could not. One window shuffle on user_id; per-row state is three "
+    "running frame aggregates. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, cents,
+               count(*)         OVER win AS n_prev,
+               sum(cents)       OVER win AS sum_prev,
+               sum(cents*cents) OVER win AS sumsq_prev
+        FROM c
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, cents, n_prev,
+           CAST(sum_prev AS BIGINT) AS sum_prev
+    FROM w
+    WHERE n_prev >= 5
+      AND (cents * n_prev - sum_prev) * (cents * n_prev - sum_prev)
+          > 9 * (n_prev * sumsq_prev - sum_prev * sum_prev)
+    """,
+)
+def user_spend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    w = e.select("event_id", "user_id", "ts", cents.alias("cents")).select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count("*").over(win).alias("n_prev"),
+        F.sum("cents").over(win).alias("sum_prev"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("sumsq_prev"),
+    )
+    dev = F.col("cents") * F.col("n_prev") - F.col("sum_prev")
+    var_n2 = (
+        F.col("n_prev") * F.col("sumsq_prev")
+        - F.col("sum_prev") * F.col("sum_prev")
+    )
+    return w.filter(
+        (F.col("n_prev") >= 5) & (dev * dev > 9 * var_n2)
+    ).select("event_id", "user_id", "cents", "n_prev", "sum_prev")
