@@ -29,19 +29,32 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Word n-grams (shingles) as space-joined strings.
+def word_ngrams_of(toks: Column, n: int) -> Column:
+    """Word n-grams (shingles) over a PRE-MATERIALIZED token array.
 
-    ``sequence(1, len-n+1)`` + ``slice`` keeps it a pure expression; for
-    texts shorter than n tokens the result is an empty array.
+    ``toks`` must be a column materialized at a projection boundary
+    (``select(split(...).alias(...))``), never the split expression
+    itself: the per-position lambda references ``toks`` once per
+    shingle, and an unmaterialized expression there re-evaluates the
+    whole split per position - O(len^2) per row (the doc_winnowing
+    lesson; measured 2.7x on 8-gram shingling at sf0.1). For texts
+    shorter than n tokens the result is an empty array.
     """
-    toks = tokens(text)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams straight from a text column. Convenience/compat
+    wrapper: the split lands inside the shingling lambda, so per-row
+    cost is quadratic in token count - fine for one-off expressions,
+    but hot paths should stage ``tokens(text)`` at a projection
+    boundary and call ``word_ngrams_of`` (see its docstring)."""
+    return word_ngrams_of(tokens(text), n)
 
 
 # ASCII-only BPE-ish pre-tokenization classes: letter runs, digit runs,
@@ -69,6 +82,14 @@ def kgram_hashes(text: Column, k: int = 3) -> Column:
     window - O(grams x windows) per document instead of O(grams).
     """
     return F.transform(word_ngrams(text, k), lambda g: F.md5(g))
+
+
+def kgram_hashes_of(toks: Column, k: int = 3) -> Column:
+    """``kgram_hashes`` over a pre-materialized token array - same
+    staging rule as ``word_ngrams_of``: with the split landed at a
+    projection boundary, gram construction is O(grams) per row instead
+    of re-splitting the text once per gram position."""
+    return F.transform(word_ngrams_of(toks, k), lambda g: F.md5(g))
 
 
 def winnow_minima(hashes: Column, window: int = 4) -> Column:

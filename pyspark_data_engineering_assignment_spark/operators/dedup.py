@@ -31,7 +31,7 @@ from pyspark_data_engineering_assignment_spark.functions.text import (
     minhash_signature,
     shingle_hashes,
     tokens,
-    word_ngrams,
+    word_ngrams_of,
 )
 
 
@@ -76,10 +76,13 @@ def minhash_lsh_candidates(
     # candidate bucket would go quadratic on a real corpus. Short docs are
     # routed to exact dedup instead (md5 of the whole normalized text is
     # the right key when there aren't even shingle_len tokens).
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_ngrams(F.col(text_col), shingle_len).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    shingled = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+        )
+        .select("doc_id", word_ngrams_of(F.col("_t"), shingle_len).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     # Hash the shingle strings ONCE (its own projection boundary, so the
     # 64 per-family passes rehash fixed-width longs, not strings).
     hashed = shingled.select("doc_id", shingle_hashes(F.col("sh")).alias("hv"))
@@ -179,10 +182,16 @@ def minhash_lsh_near_duplicates(
     relevant = docs.join(
         cand_ids, on=F.col(id_col) == F.col("_cid"), how="semi"
     )
-    shingle_sets = relevant.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), shingle_len)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingle_sets = (
+        relevant.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams_of(F.col("_t"), shingle_len)).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     num = int(round(jaccard_threshold * 100))
     return (
         cands.join(
@@ -532,15 +541,16 @@ def contamination_screen(
     DuckDB oracle hash-matches exactly.
     """
     eval_shingles = (
-        eval_docs.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
-        )
+        eval_docs.select(tokens(F.col(text_col)).alias("_t"))
+        .select(F.explode(word_ngrams_of(F.col("_t"), n)).alias("shingle"))
         .distinct()
         .withColumn("_hit", F.lit(1).cast("long"))
     )
     train_shingles = train_docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        id_col,
+        F.explode(F.array_distinct(word_ngrams_of(F.col("_t"), n))).alias(
             "shingle"
         ),
     )
@@ -578,8 +588,10 @@ def boilerplate_shingles(
     output-bounded (spans repeated across docs), never the corpus.
     """
     sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        id_col,
+        F.explode(F.array_distinct(word_ngrams_of(F.col("_t"), n))).alias(
             "shingle"
         ),
     )

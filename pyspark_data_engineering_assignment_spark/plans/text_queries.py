@@ -483,16 +483,20 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.functions.text import (
-        kgram_hashes,
+        kgram_hashes_of,
         winnow_minima,
     )
 
     d = _ts(spark, sf_dir, "documents")
-    # Two projection boundaries on purpose: the gram-hash array and the
-    # fingerprint array each materialize once per row. Collapsing either
-    # into its consumer would recompute it per window / per reference
-    # (the first version of this query cost 93s at sf0.1; this one 0.5s).
-    hashed = d.select("doc_id", kgram_hashes(F.col("text"), 3).alias("hs"))
+    # THREE projection boundaries on purpose: the token array, the
+    # gram-hash array and the fingerprint array each materialize once
+    # per row. Collapsing any into its consumer would recompute it per
+    # gram / per window / per reference (the first version of this
+    # query cost 93s at sf0.1; this one 0.5s).
+    toked = d.select("doc_id", tokens(F.col("text")).alias("_t"))
+    hashed = toked.select(
+        "doc_id", kgram_hashes_of(F.col("_t"), 3).alias("hs")
+    )
     winnowed = hashed.select(
         "doc_id", winnow_minima(F.col("hs"), 4).alias("fingerprints")
     )
