@@ -225,3 +225,72 @@ def kmv_set_cardinality(
             ),
         )
     )
+
+
+def cms_sketch(
+    df: "DataFrame", item_col: str, depth: int = 4, width: int = 1024
+) -> "DataFrame":
+    """Count-min sketch: ``depth x width`` counters, counter (j, b)
+    holding how many rows hash to bucket b under hash family j. The
+    classic frequency sketch for heavy-hitter detection at scale: state
+    is ``depth*width`` integers REGARDLESS of item cardinality (a 100 TB
+    stream of ids fits in a few KB of counters), it's mergeable
+    (counters add), and estimates only ever OVER-count (min over rows
+    bounds collisions). One explode(depth) + one groupBy shuffle whose
+    output is sketch-sized, never corpus-sized.
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            F.xxhash64(F.lit(j), F.col(item_col)), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb")
+    )
+    return (
+        rows.select("jb.j", "jb.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    candidates: "DataFrame",
+    sketch: "DataFrame",
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> "DataFrame":
+    """Frequency estimate per candidate item from a ``cms_sketch``:
+    min over the ``depth`` hash families of that item's counter. The
+    sketch (and the per-candidate probe set) broadcast - both are
+    sketch/candidate-sized. Estimates satisfy ``est >= true`` always;
+    the overshoot is bounded by collision mass (pinned in tests)."""
+    probes = candidates.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            F.xxhash64(F.lit(j), F.col(item_col)), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    ).select(item_col, "jb.j", "jb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), on=["j", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("freq_est"))
+    )

@@ -1967,3 +1967,38 @@ def user_spend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(
         (F.col("n_prev") >= 5) & (dev * dev > 9 * var_n2)
     ).select("event_id", "user_id", "cents", "n_prev", "sum_prev")
+
+
+@register(
+    "user_heavy_hitters_cms",
+    None,
+    doc="Count-min-sketch heavy hitters (operators/sketches.cms_sketch/"
+    "cms_estimate, depth 4 x width 1024): frequency estimates for the "
+    "top-20 users by event count, next to their exact counts. The "
+    "sketch holds 4096 counters regardless of user cardinality and "
+    "merges by addition - the bounded-state frequency operator of a "
+    "streaming pipeline, where the exact groupBy this query carries "
+    "for comparison would need per-key state. Rows-only at the gate "
+    "(xxhash64 has no DuckDB twin); the CMS guarantees - est >= exact "
+    "always, overshoot bounded by collision mass - are pinned in "
+    "tests/test_sketches.py.",
+)
+def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    items = e.select("user_id")
+    sketch = cms_sketch(items, "user_id")
+    exact_top = (
+        items.groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    est = cms_estimate(exact_top.select("user_id"), sketch, "user_id")
+    return exact_top.join(est, on="user_id").select(
+        "user_id", "exact_count", "freq_est"
+    )

@@ -118,3 +118,20 @@ def test_hll_estimate_within_rsd_bound(spark):
     for r in rows:
         err = abs(r["distinct_est"] - r["exact_distinct"]) / r["exact_distinct"]
         assert err <= 0.06, (r["event_type"], r["distinct_est"], r["exact_distinct"])
+
+
+def test_cms_never_undercounts_and_bounds_overshoot(spark):
+    """CMS guarantees on real data: est >= exact for every probed item
+    (structural - min over counters that each include the item's own
+    count), and the overshoot is bounded by expected collision mass
+    (~N/width per counter; 5x slack keeps the pin stable)."""
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["user_heavy_hitters_cms"].fn(spark, sf).collect()
+    assert len(rows) == 20
+    n_total = spark.read.parquet(f"{sf}/events.parquet").count()
+    slack = 5 * n_total / 1024  # 5x expected per-counter collision mass
+    for r in rows:
+        assert r["freq_est"] >= r["exact_count"], r
+        assert r["freq_est"] <= r["exact_count"] + slack, (r, slack)
