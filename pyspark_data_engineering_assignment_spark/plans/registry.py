@@ -2002,3 +2002,82 @@ def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_top.join(est, on="user_id").select(
         "user_id", "exact_count", "freq_est"
     )
+
+
+@register(
+    "value_decile_profile",
+    None,
+    doc="Quantile binning for feature engineering: each event assigned "
+    "its within-event-type value DECILE via ntile(10) over the total "
+    "order (cents, event_id) - the tie-break makes the standard "
+    "ntile distribution (larger buckets first) identical across "
+    "engines, so the per-(type, decile) profile is hash-exact. One "
+    "window shuffle reused by the following aggregate. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, cents,
+               CAST(ntile(10) OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS BIGINT)
+                   AS decile
+        FROM c
+    )
+    SELECT event_type, decile, count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           min(cents) AS cents_min, max(cents) AS cents_max
+    FROM d GROUP BY 1, 2
+    """,
+)
+def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        e.select("event_id", "event_type", cents.alias("cents"))
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.min("cents").alias("cents_min"),
+            F.max("cents").alias("cents_max"),
+        )
+    )
+
+
+@register(
+    "events_grouping_sets",
+    None,
+    doc="Explicit GROUPING SETS ((event_type), ()) with grouping() - "
+    "the general grouping-sets form alongside the registry's rollup "
+    "and cube queries, via the DataFrame groupingSets API (Spark 4). "
+    "One pass produces per-type rows AND the grand total, with the "
+    "grouping flag disambiguating a NULL group from the total row. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    SELECT event_type,
+           CAST(GROUPING(event_type) AS BIGINT) AS is_total,
+           count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), ())
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    return (
+        e.select("event_type", cents.alias("_cents"))
+        .groupingSets([["event_type"], []], "event_type")
+        .agg(
+            F.grouping("event_type").cast("long").alias("is_total"),
+            F.count("*").alias("n_events"),
+            F.sum("_cents").cast("long").alias("cents_sum"),
+        )
+    )
