@@ -270,3 +270,91 @@ def first_seen_by_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_ANOM_STATE_SCHEMA = StructType(
+    [StructField("recent", StringType(), True)]  # csv of last N cents
+)
+
+
+def running_spend_anomalies(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    cents_col: str,
+    window: int = 10,
+    min_prev: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming twin of the batch ``user_spend_anomalies`` query: flag
+    each event whose integer-cents value deviates more than ``k`` std
+    devs from the key's trailing ``window`` events (current excluded,
+    ``min_prev`` priors required), carrying the trailing deque across
+    micro-batches in Spark's checkpointed state.
+
+    The z-test is the same cross-multiplied integer arithmetic as the
+    batch query - (x*n - sum)^2 > k^2*(n*sumsq - sum^2) - so on an
+    order-col-ordered feed the flagged set is EXACTLY the batch
+    window-query's flagged set (pinned by an equality test; integer
+    math means exactly, not approximately). State per key is at most
+    ``window`` longs (serialized compactly); the per-key Python loop
+    is a sequential recurrence over one key's batch rows, the same
+    justified shape as ``running_ewma``.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (csv,) = state.get if state.exists else ("",)
+        recent = [int(x) for x in csv.split(",") if x]
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(order_cols)
+        id_col = order_cols[-1]  # row identity for exact set compare
+        flagged, flagged_ids = [], []
+        for x, oid in zip(
+            (int(v) for v in pdf[cents_col]),
+            (int(v) for v in pdf[id_col]),
+        ):
+            n = len(recent)
+            if n >= min_prev:
+                s = sum(recent)
+                ss = sum(v * v for v in recent)
+                dev = x * n - s
+                if dev * dev > k * k * (n * ss - s * s):
+                    flagged.append(x)
+                    flagged_ids.append(oid)
+            recent.append(x)
+            if len(recent) > window:
+                recent.pop(0)
+        state.update((",".join(str(v) for v in recent),))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(flagged),
+                "order_id": pd.Series(flagged_ids, dtype="int64"),
+                "cents": pd.Series(flagged, dtype="int64"),
+            }
+        )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("order_id", LongType(), True),
+            StructField("cents", LongType(), True),
+        ]
+    )
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            *[F.col(c) for c in order_cols],
+            F.col(cents_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_ANOM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

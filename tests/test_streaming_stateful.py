@@ -371,3 +371,95 @@ def test_running_ewma_state_survives_restart(spark, tmp_path):
     for k, v in stream_vals.items():
         assert v == batch_vals[k]
     assert stream_vals  # at least one key re-emitted after restart
+
+
+def test_running_spend_anomalies_stream_equals_batch_window(spark, tmp_path):
+    """Ordered feed in 3 chunks: the streaming anomaly detector's
+    flagged (key, event_id) set must EXACTLY equal the batch
+    moving-window query's flagged set - integer cents arithmetic on
+    both sides, so equality is set equality, not tolerance."""
+    import time as _time
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        running_spend_anomalies,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 240
+    base = rng.integers(900, 1100, n)
+    spikes = rng.random(n) < 0.08
+    cents = np.where(spikes, base * 20, base)  # planted 20x spikes
+    rows = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": range(n),
+            "user_id": rng.integers(0, 6, n),
+            "cents": cents.astype("int64"),
+        }
+    )
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(3):
+        p = os.path.join(src, f"chunk{i}.csv")
+        rows.iloc[i * 80 : (i + 1) * 80].to_csv(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    schema = "event_id long, ts long, user_id long, cents long"
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = running_spend_anomalies(
+        stream, "user_id", ["ts", "event_id"], "cents"
+    )
+    sink = f"anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_flagged = {
+        (r["key"], r["order_id"]) for r in spark.table(sink).collect()
+    }
+
+    # batch twin: same integer z-test over a trailing ROWS window
+    from pyspark.sql import functions as Fn
+
+    bdf = spark.createDataFrame(rows, schema=schema)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    w = bdf.select(
+        "event_id",
+        "user_id",
+        "cents",
+        Fn.count("*").over(win).alias("n_prev"),
+        Fn.sum("cents").over(win).alias("sum_prev"),
+        Fn.sum(Fn.col("cents") * Fn.col("cents")).over(win).alias("sumsq_prev"),
+    )
+    dev = Fn.col("cents") * Fn.col("n_prev") - Fn.col("sum_prev")
+    var_n2 = (
+        Fn.col("n_prev") * Fn.col("sumsq_prev")
+        - Fn.col("sum_prev") * Fn.col("sum_prev")
+    )
+    batch_flagged = {
+        (str(r["user_id"]), r["event_id"])
+        for r in w.filter(
+            (Fn.col("n_prev") >= 5) & (dev * dev > 9 * var_n2)
+        ).collect()
+    }
+    assert stream_flagged == batch_flagged
+    assert batch_flagged  # spikes guarantee a non-vacuous comparison
