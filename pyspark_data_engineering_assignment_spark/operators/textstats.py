@@ -195,3 +195,53 @@ def unigram_surprisal(
             F.sum("_s_e6").cast("long").alias("surprisal_e6"),
         )
     )
+
+
+def chunk_tokens(
+    df,
+    text_col: str = "text",
+    width: int = 32,
+    stride: int = 24,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+):
+    """Sliding-window token chunking - the RAG/context-window splitter:
+    each document becomes ceil(max(n-width,0)/stride)+1 overlapping
+    chunks of up to ``width`` tokens starting every ``stride`` tokens,
+    the standard overlap-chunking used to index corpora for retrieval
+    (the last chunk is the tail remainder; every token is covered, and
+    consecutive chunks share ``width - stride`` tokens of context).
+
+    Emits one row per chunk: ``keep_cols + (chunk_idx, n_chunk_tokens,
+    chunk_hash)``, where chunk_hash is md5 of the space-joined chunk -
+    the CAS key downstream chunk-level dedup groups on.
+
+    Scale: pure per-row array expressions (split once at a projection
+    boundary, then an explode whose fan-out is n/stride ~ a small
+    constant per document); no shuffle at all until a consumer
+    aggregates. At 100 TB this is the map-side of the chunk pipeline -
+    embarrassingly parallel, output partitioning inherited from the
+    scan.
+    """
+    from pyspark_data_engineering_assignment_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    staged = df.select(*keep_cols, toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # integer ceil-div: last chunk index = floor((max(n-w,0)+s-1)/s)
+    last_idx = F.floor(
+        (F.greatest(n - width, F.lit(0)) + (stride - 1)) / F.lit(stride)
+    ).cast("long")
+    chunked = staged.select(
+        *keep_cols,
+        "_toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("_toks"), (F.col("chunk_idx") * stride + 1).cast("int"), width
+    )
+    return chunked.select(
+        *keep_cols,
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )

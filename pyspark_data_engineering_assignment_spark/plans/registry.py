@@ -2081,3 +2081,98 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_cents").cast("long").alias("cents_sum"),
         )
     )
+
+
+@register(
+    "customer_order_distribution",
+    None,
+    doc="TPC-H Q13 shape: the count-of-counts histogram over a FILTERED "
+    "left-outer join - how many customers placed exactly k non-urgent "
+    "orders, INCLUDING the zero-order customers the filter semantics "
+    "make visible only through the outer join (pre-filtering the fact "
+    "side then left-joining is equivalent to the ON-clause predicate "
+    "and lets the filter push into the orders scan). First aggregate "
+    "keys on c_custkey - the join's own exchange is reused, no second "
+    "shuffle - and the histogram re-agg is over at most "
+    "max-orders-per-customer distinct keys, a few dozen rows. All "
+    "integer counts, hash-exact. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders
+                   WHERE o_orderpriority <> '1-URGENT') o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY 1
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    non_urgent = o.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        c.select("c_custkey")
+        .join(non_urgent, c["c_custkey"] == non_urgent["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "top_revenue_suppliers",
+    None,
+    doc="TPC-H Q15 shape: the argmax-over-an-aggregated-view filter - "
+    "suppliers whose quarterly revenue EQUALS the maximum quarterly "
+    "revenue, ties included. The revenue view aggregates once on "
+    "l_suppkey (shipdate filter pushed to the scan); the scalar max is "
+    "a single-row aggregate of that view cross-joined back as a "
+    "broadcast (Spark's scalar-subquery plan, written explicitly), so "
+    "the view is computed once and the equality filter never "
+    "re-shuffles it. Revenue fixed-pointed to e4 BIGINT, so the "
+    "equality compare is exact - an interpolated double max could tie-"
+    "break wrongly. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             * 10000 AS BIGINT)) AS BIGINT) AS total_revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev_e4 = (
+        F.col("l_extendedprice").cast(DEC)
+        * (1 - F.col("l_discount").cast(DEC))
+        * 10000
+    ).cast("long")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_e4).cast("long").alias("total_revenue_e4"))
+    )
+    mx = revenue.agg(F.max("total_revenue_e4").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue_e4") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )

@@ -1084,3 +1084,249 @@ def doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CHUNK_SQL = """
+        SELECT doc_id, source, chunk_idx,
+               len(list_slice(toks, CAST(chunk_idx*24 + 1 AS BIGINT),
+                              CAST(chunk_idx*24 + 32 AS BIGINT)))
+                   AS n_chunk_tokens,
+               md5(array_to_string(
+                   list_slice(toks, CAST(chunk_idx*24 + 1 AS BIGINT),
+                              CAST(chunk_idx*24 + 32 AS BIGINT)), ' '))
+                   AS chunk_hash
+        FROM (
+            SELECT doc_id, source, toks,
+                   unnest(range(0,
+                       ((greatest(len(toks) - 32, 0) + 23) // 24) + 1))
+                       AS chunk_idx
+            FROM (SELECT doc_id, source,
+                         string_split(trim(text), ' ') AS toks
+                  FROM documents)
+        )
+"""
+
+
+@register(
+    "doc_chunk_overlap",
+    None,
+    doc="RAG overlap chunking: every document split into sliding "
+    "32-token windows at stride 24 (8 tokens of shared context between "
+    "consecutive chunks, tail remainder kept), one row per chunk with "
+    "its md5 CAS key - the map-side of a retrieval-index build. Pure "
+    "per-row expressions, zero shuffle; fan-out ~n_tokens/24 per doc. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="WITH chunks AS (" + _CHUNK_SQL + """)
+    SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_hash FROM chunks
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.textstats import chunk_tokens
+
+    d = _ts(spark, sf_dir, "documents")
+    return chunk_tokens(d, width=32, stride=24, keep_cols=("doc_id",))
+
+
+@register(
+    "chunk_dedup_stats",
+    None,
+    doc="Chunk-level CAS dedup ratio per source: total vs distinct "
+    "chunk hashes from the overlap chunker - the content-addressable-"
+    "storage question ('how much of this source is repeated chunks?') "
+    "that decides whether chunk dedup pays before embedding. One "
+    "shuffle: partial per-partition distinct-agg on (source, "
+    "chunk_hash) then the per-source rollup; never materializes the "
+    "chunk list. Driver-window neutral (local_oracle).",
+    local_oracle="WITH chunks AS (" + _CHUNK_SQL + """)
+    SELECT source,
+           count(*) AS n_chunks,
+           count(DISTINCT chunk_hash) AS n_distinct_chunks,
+           count(*) - count(DISTINCT chunk_hash) AS n_dup_chunks
+    FROM chunks GROUP BY 1
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.textstats import chunk_tokens
+
+    d = _ts(spark, sf_dir, "documents")
+    chunks = chunk_tokens(d, width=32, stride=24, keep_cols=("doc_id", "source"))
+    return chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+        (F.count("*") - F.countDistinct("chunk_hash")).alias("n_dup_chunks"),
+    )
+
+
+@register(
+    "doc_tfidf_topterms",
+    None,
+    doc="Per-document top-3 terms by tf-idf: term frequency from one "
+    "explode+agg, document frequency from a re-agg of the SAME "
+    "(doc_id, tok) pairs (no second corpus pass), idf folded in as the "
+    "integer score tf*1e6 div df - monotone in tf/df and hash-exact "
+    "where a floating log-idf could tie-break differently per engine. "
+    "The df table is vocabulary-sized (sub-linear in corpus), so it "
+    "broadcasts; the top-3 is a per-doc window with a total order "
+    "(score desc, term asc). Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.tok AS term, tf.tf, idf.df,
+               (tf.tf * 1000000) // idf.df AS score_e6,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY (tf.tf * 1000000) // idf.df DESC, tf.tok
+               ) AS rk
+        FROM tf JOIN idf ON tf.tok = idf.tok
+    )
+    SELECT doc_id, term, tf, df, score_e6, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 3
+    """,
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.expr("tf * CAST(1000000 AS BIGINT) div df")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(idf), on="term")
+        .select("doc_id", "term", "tf", "df", score.alias("score_e6"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_e6", "rk")
+    )
+
+
+@register(
+    "doc_length_batching",
+    None,
+    doc="Length-bucketed inference batching: docs sorted by token count "
+    "(desc, doc_id tie-break) WITHIN each source shard, grouped into "
+    "batches of 16, each batch reporting its padding waste "
+    "(n_docs*max_tokens - sum_tokens) - the padding-minimizing batcher "
+    "every batched-inference pipeline runs before the GPU. The window "
+    "is PARTITIONED by source, never global: at 100 TB a total-order "
+    "sort is the classic single-reducer trap; per-shard sorted "
+    "batching is what serving systems actually do, and the waste "
+    "metric is identical. All integers, hash-exact. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT source, doc_id, n_tokens,
+               (row_number() OVER (PARTITION BY source
+                                   ORDER BY n_tokens DESC, doc_id) - 1) // 16
+                   AS batch_id
+        FROM t
+    )
+    SELECT source, batch_id,
+           count(*) AS n_docs,
+           max(n_tokens) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM b GROUP BY 1, 2
+    """,
+)
+def doc_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    b = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_id", F.expr("CAST(rn - 1 AS BIGINT) div 16")
+    )
+    return b.groupBy("source", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (
+            F.count("*") * F.max("n_tokens") - F.sum("n_tokens").cast("long")
+        ).alias("padding_waste"),
+    )
+
+
+@register(
+    "media_block_dedup",
+    None,
+    doc="Fixed-size binary block dedup over the media payload column - "
+    "the content-addressable-storage layout question for multimodal "
+    "blobs: payloads split into 64-byte blocks, per-source total vs "
+    "distinct block count. The block key is the hex of the block "
+    "itself (64 bytes = 128 hex chars), cross-engine-comparable where "
+    "blob substring is not; on real media you'd md5 the block instead "
+    "- same plan shape. Explode fan-out is n_bytes/64 per row; one "
+    "distinct-agg shuffle. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH m AS (
+        SELECT doc_id, source, upper(hex(encode(text))) AS payload_hex,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, source,
+               substring(payload_hex,
+                         CAST(block_idx * 128 + 1 AS BIGINT), 128)
+                   AS block_hex
+        FROM (SELECT doc_id, source, payload_hex,
+                     unnest(range(0, (n_bytes + 63) // 64)) AS block_idx
+              FROM m)
+    )
+    SELECT source,
+           count(*) AS n_blocks,
+           count(DISTINCT block_hex) AS n_distinct_blocks
+    FROM blocks GROUP BY 1
+    """,
+)
+def media_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ts(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "source",
+        F.upper(F.hex(F.encode(F.col("text"), "utf-8"))).alias("payload_hex"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+    )
+    blocks = m.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("n_bytes") + 63) / F.lit(64)).cast("long") - 1,
+            )
+        ).alias("block_idx"),
+        "payload_hex",
+    ).select(
+        "source",
+        F.expr(
+            "substring(payload_hex, CAST(block_idx * 128 + 1 AS INT), 128)"
+        ).alias("block_hex"),
+    )
+    return blocks.groupBy("source").agg(
+        F.count("*").alias("n_blocks"),
+        F.countDistinct("block_hex").alias("n_distinct_blocks"),
+    )

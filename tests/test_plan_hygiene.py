@@ -286,3 +286,52 @@ def test_int8_topk_no_python_and_broadcast_queries(plans):
     p = plans["ann_int8_topk"]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Broadcast" in p
+
+
+def test_chunker_is_shuffle_free(simple_plans):
+    """doc_chunk_overlap: the overlap chunker is the map-side of the
+    chunk pipeline - pure project/explode over the scan, ZERO exchanges
+    (spread-scan round-robin aside, which is not a hash shuffle)."""
+    p = simple_plans["doc_chunk_overlap"]
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Generate explode" in p
+
+
+def test_tfidf_idf_join_broadcasts(plans, simple_plans):
+    """doc_tfidf_topterms: the vocabulary-sized df table must broadcast
+    into the tf side (sub-linear in corpus size), and the per-doc top-3
+    must be a window-group-limit, not a full sort+filter."""
+    assert "BroadcastHashJoin" in plans["doc_tfidf_topterms"]
+    assert "WindowGroupLimit" in simple_plans["doc_tfidf_topterms"]
+
+
+def test_length_batching_window_is_partitioned(plans):
+    """doc_length_batching: the batching window must partition by
+    source - a GLOBAL row_number (empty partition spec) is the
+    single-reducer trap at 100 TB."""
+    p = plans["doc_length_batching"]
+    assert "row_number" in p
+    # Spark renders an empty partition spec as 'windowspecdefinition(...'
+    # with no partition columns before the ORDER BY; pin the partitioned
+    # form instead: the spec must name source.
+    spec_lines = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert spec_lines and all("source" in ln for ln in spec_lines), p
+
+
+def test_q13_join_exchange_feeds_count_agg(simple_plans):
+    """customer_order_distribution: the c_custkey aggregate must reuse
+    the join's exchange (or broadcast at tiny SF); budget is the join
+    exchange(s) + the few-dozen-row histogram re-agg."""
+    p = simple_plans["customer_order_distribution"]
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    assert "CartesianProduct" not in p
+
+
+def test_q15_scalar_max_broadcasts(plans):
+    """top_revenue_suppliers: the single-row max side and the supplier
+    dim must both broadcast - the revenue view is computed once and
+    never re-shuffled for the argmax filter."""
+    p = plans["top_revenue_suppliers"]
+    assert p.count("BroadcastHashJoin") >= 2 or (
+        "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" in p
+    ), p
