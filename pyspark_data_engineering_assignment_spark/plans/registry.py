@@ -2176,3 +2176,47 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue_e4")
     )
+
+
+@register(
+    "user_event_setops",
+    None,
+    doc="Relational set operators as first-class plan nodes: users with "
+    "a high-value purchase AND a high-value click but no serious "
+    "error, written as INTERSECT then EXCEPT ALL over deduplicated "
+    "user sets - "
+    "exercising Spark's dedicated set-op physical plans (hash-"
+    "aggregate-backed intersect, left-anti-shaped except) rather than "
+    "re-deriving them from joins as the semi/anti-join queries do. "
+    "Each branch prunes to the single user_id column before the "
+    "set-op, so the exchanges carry 8 bytes/row. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    SELECT user_id FROM (
+        (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND value > 100
+         INTERSECT
+         SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'click' AND value > 100)
+        EXCEPT ALL
+        SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'error' AND value > 200
+    )
+    """,
+)
+def user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def users(kind: str, min_value: float) -> DataFrame:
+        # per-row double compare: deterministic cross-engine (no agg)
+        return (
+            e.filter((F.col("event_type") == kind) & (F.col("value") > min_value))
+            .select("user_id")
+            .distinct()
+        )
+
+    return (
+        users("purchase", 100.0)
+        .intersect(users("click", 100.0))
+        .exceptAll(users("error", 200.0))
+    )
