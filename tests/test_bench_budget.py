@@ -25,26 +25,34 @@ SF = "/root/testdata/sf0.01"
 
 # Worst of (cold, warm) bench seconds at sf0.1 from the round-6 final
 # full bench (BENCH_DETAIL.json, codegen cache 5000, solo box): every
-# query whose worst run was >= ~1s is listed, per the round-5 verdict's
-# coverage mandate. The budget below triples them and floors at 3s,
-# then runs at sf0.01 - an order of magnitude of headroom per query.
+# query whose worst IN-BENCH run (cold or warm, 96x2-query session -
+# includes session pressure; e.g. doc_contamination_screen measures
+# 0.7s solo but 3.2s late in the bench sweep) was >= ~1s is listed,
+# per the round-5 verdict's coverage mandate. The budget below triples
+# them and floors at 3s, then runs at sf0.01 - an order of magnitude
+# of headroom per query.
 REFERENCE_SF01_SECONDS = {
-    "minhash_lsh_neardup": 2.84,
-    "doc_boilerplate_shingles": 1.76,
-    "ann_ivf_topk": 1.73,
-    "ann_cosine_topk": 1.70,
-    "corpus_curation_funnel": 1.61,
-    "patid1_upgrade": 1.51,
-    "sole_failing_suppliers": 1.39,
-    "embedding_neardup": 1.40,
-    "event_reach_setops_kmv": 1.26,
+    "ann_ivf_topk": 3.99,
+    "corpus_curation_funnel": 3.19,
+    "doc_contamination_screen": 3.16,
+    "minhash_lsh_neardup": 2.73,
+    "conversion_lag_stats": 2.11,
+    "doc_boilerplate_shingles": 2.04,
+    "event_reach_setops_kmv": 1.69,
+    "doc_repetition_stats": 1.69,
+    "doc_tfidf_topterms": 1.62,
+    "patid1_upgrade": 1.62,
+    "ann_cosine_topk": 1.61,
+    "sole_failing_suppliers": 1.57,
+    "simhash_neardup": 1.55,
+    "event_class_totals_salted": 1.49,
+    "embedding_neardup": 1.26,
     "big_quantity_orders": 1.22,
-    "doc_contamination_screen": 1.15,
-    "doc_repetition_stats": 1.11,
+    "doc_quality_features": 1.11,
     "nations_above_revenue_share": 1.04,
     "brand_type_revenue": 1.02,
+    "doc_incremental_dedup": 1.00,
     "small_quantity_part_revenue": 0.99,
-    "simhash_neardup": 0.99,
 }
 DEFAULT_BUDGET = 3.0
 
