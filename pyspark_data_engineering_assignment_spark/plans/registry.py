@@ -2220,3 +2220,39 @@ def user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(users("click", 100.0))
         .exceptAll(users("error", 200.0))
     )
+
+
+@register(
+    "events_props_variant",
+    None,
+    doc="Spark 4 VariantType path for semi-structured data: "
+    "parse_json once into the binary variant encoding, then typed "
+    "variant_get extraction - the open-format answer to repeated "
+    "get_json_object calls, which re-parse the JSON string per path. "
+    "With one path the two are equivalent; with k paths variant "
+    "parses once where string extraction parses k times, and at "
+    "100 TB the variant column is the one you'd persist (shredded, "
+    "column-prunable). Same aggregate as events_props_json so the two "
+    "plans' results must agree exactly. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select(k.alias("k_value"), "user_id")
+        .filter(F.col("k_value").isNotNull())
+        .groupBy("k_value")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1330,3 +1330,44 @@ def media_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_blocks"),
         F.countDistinct("block_hex").alias("n_distinct_blocks"),
     )
+
+
+@register(
+    "doc_term_positions",
+    None,
+    doc="Inverted-index build, map side: per (term, document) posting "
+    "entry with term frequency and the SORTED in-document position "
+    "list - what a distributed retrieval-index job emits before "
+    "sharding postings by term. Output and state are bounded PER "
+    "DOCUMENT (positions array <= doc length); the full per-term "
+    "posting list is deliberately NOT collected - at 100 TB a hot "
+    "term's postings are unbounded, so they stay as rows partitioned "
+    "by term for the downstream shard writer, never as one array. One "
+    "posexplode + one (term, doc) groupBy shuffle. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    p AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS term
+        FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+    )
+    SELECT term, doc_id, count(*) AS tf,
+           list(pos ORDER BY pos) AS positions
+    FROM p GROUP BY 1, 2
+    """,
+)
+def doc_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
+    return (
+        p.groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
