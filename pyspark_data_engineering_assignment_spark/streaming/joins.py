@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_STREAM_JOIN_TYPES = {"inner", "leftOuter", "rightOuter"}
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,
@@ -30,20 +33,37 @@ def interval_join_streams(
     right_ts: str,
     max_lag: str = "1 hour",
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join rows of ``left`` to ``right`` on ``key_cols`` where the
+    """Join rows of ``left`` to ``right`` on ``key_cols`` where the
     left event happens in the window ``(right_ts, right_ts + max_lag]``
     - "left follows right within max_lag" (e.g. purchase after click).
 
+    ``how``: ``inner`` (default), ``leftOuter`` or ``rightOuter``. The
+    outer forms answer "which events never got a match within the
+    bound" WITHOUT a second anti-join pass - but their null-padded rows
+    emit only once the watermark has passed the row's entire match
+    window (Spark must prove no future match can arrive before it can
+    declare the row unmatched). Two consequences at scale: outer
+    results trail the watermark delay + lag bound behind event time,
+    and a drained/idle stream holds its final unmatched rows in state
+    until a later event (or an explicit flush row) advances the
+    watermark past them. Same state-eviction bound as the inner join.
+
     Column names must be disjoint apart from ``key_cols``.
     """
+    if how not in _STREAM_JOIN_TYPES:
+        raise ValueError(f"how must be one of {sorted(_STREAM_JOIN_TYPES)}")
     l = left.withWatermark(left_ts, watermark_delay) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark_delay) if right.isStreaming else right
     cond = [l[k] == r[k] for k in key_cols] + [
         l[left_ts] > r[right_ts],
         l[left_ts] <= r[right_ts] + F.expr(f"INTERVAL {max_lag}"),
     ]
-    return l.join(r, cond, "inner").drop(*[r[k] for k in key_cols])
+    joined = l.join(r, cond, how)
+    # drop the duplicated key columns from the null-padded side
+    drop_side = r if how != "rightOuter" else l
+    return joined.drop(*[drop_side[k] for k in key_cols])
 
 
 def enrich_stream_static(

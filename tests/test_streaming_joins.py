@@ -142,3 +142,74 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
 
     assert run(streaming=False) == expected
     assert run(streaming=True) == expected
+
+
+# leftOuter: buys with no click within the hour must ALSO emit, null-padded,
+# once the watermark passes their match window. The flush rows exist solely
+# to advance the watermark past every real row's window (a drained stream
+# cannot otherwise prove its last rows unmatched).
+FLUSH_CLICK = ("zz", "2024-01-02 12:00:00", 999)
+FLUSH_BUY = ("zz", "2024-01-02 12:00:00", 999.0)
+# buy at 11:30 matches nothing (>1h after click 1, before click 2)
+EXPECTED_OUTER = {(1, 5.0), (3, 11.0), (None, 7.0), (None, 9.0)}
+
+
+def test_interval_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    _write(
+        cdir,
+        pd.DataFrame(
+            [*CLICKS, FLUSH_CLICK], columns=["user", "click_ts", "click_id"]
+        ),
+    )
+    _write(
+        bdir,
+        pd.DataFrame([*BUYS, FLUSH_BUY], columns=["user", "buy_ts", "amount"]),
+    )
+
+    def run(streaming: bool):
+        if streaming:
+            clicks = (
+                spark.readStream.format("csv").option("header", "true")
+                .schema(CLICK_SCHEMA).load(cdir)
+            )
+            buys = (
+                spark.readStream.format("csv").option("header", "true")
+                .schema(BUY_SCHEMA).load(bdir)
+            )
+        else:
+            clicks = spark.read.csv(cdir, header=True, schema=CLICK_SCHEMA)
+            buys = spark.read.csv(bdir, header=True, schema=BUY_SCHEMA)
+        joined = interval_join_streams(
+            buys,
+            clicks,
+            ["user"],
+            "buy_ts",
+            "click_ts",
+            max_lag="1 hour",
+            watermark_delay="10 minutes",
+            how="leftOuter",
+        ).select("click_id", "amount")
+        if not streaming:
+            rows = joined.collect()
+        else:
+            sink = f"ssoj_{uuid.uuid4().hex[:8]}"
+            q = (
+                joined.writeStream.format("memory").queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = spark.table(sink).collect()
+        return {
+            (r["click_id"], r["amount"])
+            for r in rows
+            if r["amount"] != 999.0  # the flush row is harness, not data
+        }
+
+    assert run(streaming=False) == EXPECTED_OUTER
+    assert run(streaming=True) == EXPECTED_OUTER
