@@ -2256,3 +2256,44 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "priority_order_counts_sql",
+    None,
+    doc="TPC-H Q4 shape through the SQL FRONT END: the registry's one "
+    "query declared as raw Spark SQL over temp views (every other "
+    "entry uses the DataFrame API; both compile to the same Catalyst "
+    "plans, and an engine user must be able to bring plain SQL). The "
+    "correlated EXISTS is the interesting part: Catalyst rewrites it "
+    "to a left-semi join on l_orderkey with the correlated "
+    "l_shipdate > o_orderdate predicate as the join condition - no "
+    "per-row subquery execution, which is what EXISTS means at 100 TB. "
+    "Date filter pushed to the orders scan. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+)
+def priority_order_counts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sqlv_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlv_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM sqlv_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM sqlv_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )

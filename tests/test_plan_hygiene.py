@@ -335,3 +335,14 @@ def test_q15_scalar_max_broadcasts(plans):
     assert p.count("BroadcastHashJoin") >= 2 or (
         "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" in p
     ), p
+
+
+def test_sql_exists_becomes_semi_join(plans):
+    """priority_order_counts_sql: the SQL front end's correlated EXISTS
+    must compile to a left-semi join (never a per-row subquery), with
+    the date filter pushed to the orders scan."""
+    p = plans["priority_order_counts_sql"]
+    assert "LeftSemi" in p, p
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in p or (
+        "o_orderdate" in [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    )
