@@ -83,6 +83,9 @@ def get_spark(
         # --- python <-> jvm ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python DataSource filter pushdown (sources/simsource.py):
+        # Spark hard-fails a pushdown-capable Python reader without it
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- codegen ---
         # Static conf, default 100: a 79-query bench/test session compiles
         # far more than 100 codegen stages, and evictions re-bill multi-
