@@ -227,8 +227,30 @@ def kmv_set_cardinality(
     )
 
 
+def _cms_bucket(j: int, col, width: int, hash_fn: str):
+    """Bucket of ``col`` under hash family ``j``. ``xxhash64`` is the
+    fast JVM default; ``md5`` is slower but reproducible in ANY engine
+    with md5 (same trick as kmv_hash), which upgrades the whole sketch
+    from rows-only to value-hash oracle-checkable - the counters are
+    then deterministic integers both engines compute identically."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(j), col), F.lit(width))
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(width))
+    raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+
+
 def cms_sketch(
-    df: "DataFrame", item_col: str, depth: int = 4, width: int = 1024
+    df: "DataFrame",
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> "DataFrame":
     """Count-min sketch: ``depth x width`` counters, counter (j, b)
     holding how many rows hash to bucket b under hash family j. The
@@ -245,9 +267,9 @@ def cms_sketch(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.pmod(
-                            F.xxhash64(F.lit(j), F.col(item_col)), F.lit(width)
-                        ).alias("bucket"),
+                        _cms_bucket(j, F.col(item_col), width, hash_fn).alias(
+                            "bucket"
+                        ),
                     )
                     for j in range(depth)
                 ]
@@ -267,6 +289,7 @@ def cms_estimate(
     item_col: str,
     depth: int = 4,
     width: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> "DataFrame":
     """Frequency estimate per candidate item from a ``cms_sketch``:
     min over the ``depth`` hash families of that item's counter. The
@@ -280,9 +303,9 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.pmod(
-                            F.xxhash64(F.lit(j), F.col(item_col)), F.lit(width)
-                        ).alias("bucket"),
+                        _cms_bucket(j, F.col(item_col), width, hash_fn).alias(
+                            "bucket"
+                        ),
                     )
                     for j in range(depth)
                 ]

@@ -1978,10 +1978,35 @@ def user_spend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch holds 4096 counters regardless of user cardinality and "
     "merges by addition - the bounded-state frequency operator of a "
     "streaming pipeline, where the exact groupBy this query carries "
-    "for comparison would need per-key state. Rows-only at the gate "
-    "(xxhash64 has no DuckDB twin); the CMS guarantees - est >= exact "
-    "always, overshoot bounded by collision mass - are pinned in "
-    "tests/test_sketches.py.",
+    "for comparison would need per-key state. Registered with the md5 "
+    "hash family so the SKETCH ITSELF is oracle-checked: every counter "
+    "and every min-over-families estimate is an integer both engines "
+    "compute identically (the xxhash64 default stays the production "
+    "fast path; the CMS guarantees are additionally pinned in "
+    "tests/test_sketches.py). Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH sketch AS (
+        SELECT j, bucket, count(*) AS cnt FROM (
+            SELECT u.j,
+                   ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' ||
+                                       CAST(e.user_id AS VARCHAR)), 1, 15)
+                   )::BIGINT % 1024 AS bucket
+            FROM events e, unnest([0, 1, 2, 3]) AS u(j)
+        ) GROUP BY 1, 2
+    ),
+    exact_top AS (
+        SELECT user_id, count(*) AS exact_count
+        FROM events GROUP BY 1
+        ORDER BY exact_count DESC, user_id LIMIT 20
+    )
+    SELECT t.user_id, t.exact_count, min(s.cnt) AS freq_est
+    FROM exact_top t
+    JOIN sketch s
+      ON s.bucket = ('0x' || substr(md5(CAST(s.j AS VARCHAR) || ':' ||
+                                        CAST(t.user_id AS VARCHAR)), 1, 15)
+                    )::BIGINT % 1024
+    GROUP BY 1, 2
+    """,
 )
 def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.operators.sketches import (
@@ -1991,14 +2016,14 @@ def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     items = e.select("user_id")
-    sketch = cms_sketch(items, "user_id")
+    sketch = cms_sketch(items, "user_id", hash_fn="md5")
     exact_top = (
         items.groupBy("user_id")
         .agg(F.count("*").alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), F.col("user_id"))
         .limit(20)
     )
-    est = cms_estimate(exact_top.select("user_id"), sketch, "user_id")
+    est = cms_estimate(exact_top.select("user_id"), sketch, "user_id", hash_fn="md5")
     return exact_top.join(est, on="user_id").select(
         "user_id", "exact_count", "freq_est"
     )
