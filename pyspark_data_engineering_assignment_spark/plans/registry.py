@@ -2322,3 +2322,46 @@ def priority_order_counts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "user_trailing_hour_spend",
+    None,
+    doc="Time-based RANGE window frame: per event, the count and "
+    "cents-exact spend of the SAME USER's trailing hour - "
+    "``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``, the "
+    "value-based frame that row-count frames (user_moving_spend) "
+    "cannot express when events arrive irregularly. Spark's "
+    "rangeBetween needs a numeric order key, so the frame runs over "
+    "epoch MICROseconds (+-3.6e9) - exactly the resolution DuckDB's "
+    "interval arithmetic uses, making frame membership identical "
+    "engine-to-engine even at boundary timestamps; RANGE peers (equal "
+    "ts) are included in both by definition. One window shuffle on "
+    "user_id; running frame aggregates, no buffering. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                OVER w AS BIGINT) AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_trailing_hour_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        cents.alias("cents"),
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum(cents).over(w).cast("long").alias("cents_1h"),
+    )
