@@ -219,29 +219,48 @@ def minhash_lsh_near_duplicates(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document.
+    """``nbits``-bit SimHash per document.
 
-    explode(tokens) -> 64 conditional sums -> pack sign bits. One shuffle
-    (groupBy doc id); the 64 aggregates are a single hash-agg pass.
-    The sign convention is sum > 0 => bit set; the packed value is a
-    signed 64-bit long (bit 63 contributes the sign).
+    explode(tokens) -> nbits conditional sums -> pack sign bits. One
+    shuffle (groupBy doc id); the aggregates are a single hash-agg pass.
+    The sign convention is sum > 0 => bit set; with the default 64 bits
+    the packed value is a signed long (bit 63 contributes the sign).
+
+    ``hash_fn="md5"`` (requires nbits <= 60) derives the per-token hash
+    from the signed-BIGINT-safe md5 prefix instead of xxhash64 - same
+    trick as kmv_hash/cms_sketch - making every signature an integer
+    any md5-capable engine computes identically, so the WHOLE near-dup
+    pipeline (signatures, banding, Hamming verify) becomes value-hash
+    oracle-checkable instead of rows-only.
     """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("tok")
+    elif hash_fn == "md5":
+        if nbits > 60:
+            raise ValueError("md5 hash family supports at most 60 bits")
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(nbits)
         ]
     )
     packed = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         bit_val = F.lit(-(2**63)).cast("long") if i == 63 else F.lit(2**i).cast("long")
         packed = packed + F.when(F.col(f"b{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
     return sums.select("doc_id", packed.alias("simhash"))
@@ -253,12 +272,14 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 8,
     band_bits: int = 16,
+    nbits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one exact
-    16-bit band (pigeonhole: any pair within hamming<=3 per 4 bands must
+    band (pigeonhole: any pair within hamming < n_bands must
     match somewhere; wider radii trade recall), verified by bit_count."""
-    sigs = simhash_signatures(docs, id_col, text_col)
-    n_bands = 64 // band_bits
+    sigs = simhash_signatures(docs, id_col, text_col, nbits=nbits, hash_fn=hash_fn)
+    n_bands = nbits // band_bits
     banded = sigs.select(
         "doc_id",
         "simhash",

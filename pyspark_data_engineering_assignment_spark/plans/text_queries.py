@@ -305,12 +305,115 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_neardup",
     None,
-    doc="64-bit SimHash signatures, 16-bit-band candidates, Hamming<=8 "
-    "verify. Rows-only check; signature determinism and identical-doc "
-    "detection tested in tests/test_dedup.py.",
+    doc="SimHash near-dup: signatures, band candidates, Hamming<=8 "
+    "verify - registered in the md5/60-bit/15-bit-band configuration "
+    "so the ENTIRE pipeline is value-hash oracle-checked against a "
+    "from-scratch DuckDB reimplementation (per-token md5-prefix hash, "
+    "60 conditional bit sums, sign packing, pigeonhole banding, "
+    "bit_count verify) - upgraded from rows-only; the xxhash64/64-bit "
+    "configuration remains the production default of "
+    "operators/dedup.simhash_near_duplicates, with determinism and "
+    "identical-doc tests in tests/test_dedup.py. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ),
+    sums AS (
+        SELECT doc_id,
+               sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+               sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+               sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+               sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+               sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+               sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+               sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+               sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+               sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+               sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+               sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+               sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+               sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+               sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+               sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+               sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+               sum(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+               sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+               sum(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+               sum(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+               sum(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+               sum(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+               sum(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+               sum(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+               sum(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+               sum(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+               sum(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+               sum(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+               sum(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+               sum(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+               sum(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+               sum(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31,
+               sum(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS b32,
+               sum(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS b33,
+               sum(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS b34,
+               sum(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS b35,
+               sum(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS b36,
+               sum(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS b37,
+               sum(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS b38,
+               sum(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS b39,
+               sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS b40,
+               sum(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS b41,
+               sum(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS b42,
+               sum(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS b43,
+               sum(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS b44,
+               sum(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS b45,
+               sum(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS b46,
+               sum(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS b47,
+               sum(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS b48,
+               sum(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS b49,
+               sum(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS b50,
+               sum(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS b51,
+               sum(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS b52,
+               sum(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS b53,
+               sum(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS b54,
+               sum(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS b55,
+               sum(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS b56,
+               sum(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS b57,
+               sum(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS b58,
+               sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS b59
+        FROM h GROUP BY 1
+    ),
+    sig AS (
+        SELECT doc_id, CAST(CASE WHEN b0 > 0 THEN 1 ELSE 0 END + CASE WHEN b1 > 0 THEN 2 ELSE 0 END + CASE WHEN b2 > 0 THEN 4 ELSE 0 END + CASE WHEN b3 > 0 THEN 8 ELSE 0 END + CASE WHEN b4 > 0 THEN 16 ELSE 0 END + CASE WHEN b5 > 0 THEN 32 ELSE 0 END + CASE WHEN b6 > 0 THEN 64 ELSE 0 END + CASE WHEN b7 > 0 THEN 128 ELSE 0 END + CASE WHEN b8 > 0 THEN 256 ELSE 0 END + CASE WHEN b9 > 0 THEN 512 ELSE 0 END + CASE WHEN b10 > 0 THEN 1024 ELSE 0 END + CASE WHEN b11 > 0 THEN 2048 ELSE 0 END + CASE WHEN b12 > 0 THEN 4096 ELSE 0 END + CASE WHEN b13 > 0 THEN 8192 ELSE 0 END + CASE WHEN b14 > 0 THEN 16384 ELSE 0 END + CASE WHEN b15 > 0 THEN 32768 ELSE 0 END + CASE WHEN b16 > 0 THEN 65536 ELSE 0 END + CASE WHEN b17 > 0 THEN 131072 ELSE 0 END + CASE WHEN b18 > 0 THEN 262144 ELSE 0 END + CASE WHEN b19 > 0 THEN 524288 ELSE 0 END + CASE WHEN b20 > 0 THEN 1048576 ELSE 0 END + CASE WHEN b21 > 0 THEN 2097152 ELSE 0 END + CASE WHEN b22 > 0 THEN 4194304 ELSE 0 END + CASE WHEN b23 > 0 THEN 8388608 ELSE 0 END + CASE WHEN b24 > 0 THEN 16777216 ELSE 0 END + CASE WHEN b25 > 0 THEN 33554432 ELSE 0 END + CASE WHEN b26 > 0 THEN 67108864 ELSE 0 END + CASE WHEN b27 > 0 THEN 134217728 ELSE 0 END + CASE WHEN b28 > 0 THEN 268435456 ELSE 0 END + CASE WHEN b29 > 0 THEN 536870912 ELSE 0 END + CASE WHEN b30 > 0 THEN 1073741824 ELSE 0 END + CASE WHEN b31 > 0 THEN 2147483648 ELSE 0 END + CASE WHEN b32 > 0 THEN 4294967296 ELSE 0 END + CASE WHEN b33 > 0 THEN 8589934592 ELSE 0 END + CASE WHEN b34 > 0 THEN 17179869184 ELSE 0 END + CASE WHEN b35 > 0 THEN 34359738368 ELSE 0 END + CASE WHEN b36 > 0 THEN 68719476736 ELSE 0 END + CASE WHEN b37 > 0 THEN 137438953472 ELSE 0 END + CASE WHEN b38 > 0 THEN 274877906944 ELSE 0 END + CASE WHEN b39 > 0 THEN 549755813888 ELSE 0 END + CASE WHEN b40 > 0 THEN 1099511627776 ELSE 0 END + CASE WHEN b41 > 0 THEN 2199023255552 ELSE 0 END + CASE WHEN b42 > 0 THEN 4398046511104 ELSE 0 END + CASE WHEN b43 > 0 THEN 8796093022208 ELSE 0 END + CASE WHEN b44 > 0 THEN 17592186044416 ELSE 0 END + CASE WHEN b45 > 0 THEN 35184372088832 ELSE 0 END + CASE WHEN b46 > 0 THEN 70368744177664 ELSE 0 END + CASE WHEN b47 > 0 THEN 140737488355328 ELSE 0 END + CASE WHEN b48 > 0 THEN 281474976710656 ELSE 0 END + CASE WHEN b49 > 0 THEN 562949953421312 ELSE 0 END + CASE WHEN b50 > 0 THEN 1125899906842624 ELSE 0 END + CASE WHEN b51 > 0 THEN 2251799813685248 ELSE 0 END + CASE WHEN b52 > 0 THEN 4503599627370496 ELSE 0 END + CASE WHEN b53 > 0 THEN 9007199254740992 ELSE 0 END + CASE WHEN b54 > 0 THEN 18014398509481984 ELSE 0 END + CASE WHEN b55 > 0 THEN 36028797018963968 ELSE 0 END + CASE WHEN b56 > 0 THEN 72057594037927936 ELSE 0 END + CASE WHEN b57 > 0 THEN 144115188075855872 ELSE 0 END + CASE WHEN b58 > 0 THEN 288230376151711744 ELSE 0 END + CASE WHEN b59 > 0 THEN 576460752303423488 ELSE 0 END AS BIGINT) AS simhash FROM sums
+    ),
+    banded AS (
+        SELECT doc_id, simhash, b.band,
+               (simhash >> (b.band * 15)) & 32767 AS band_val
+        FROM sig, unnest([0, 1, 2, 3]) AS b(band)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM banded a
+        JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
+    """,
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=8,
+        band_bits=15,
+        nbits=60,
+        hash_fn="md5",
+    )
 
 
 @register(
