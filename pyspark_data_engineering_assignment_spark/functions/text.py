@@ -188,3 +188,54 @@ def scrub(text: Column, patterns: dict[str, tuple[str, str]]) -> Column:
 def redact_pii(text: Column) -> Column:
     """Scrub the default email/phone/url PII classes."""
     return scrub(text, PII_PATTERNS)
+
+
+# --- md5-exact MinHash family (cross-engine-reproducible) -----------------
+#
+# Base hash: the signed-BIGINT-safe md5 prefix (same trick as
+# kmv_hash/cms_sketch) reduced mod the Mersenne prime P = 2^31 - 1;
+# family i is the affine map (a_i * h + b_i) mod P. With h < P < 2^31
+# and a_i < P the product stays under 2^62 - no overflow in either
+# engine, so every signature value is an integer DuckDB computes
+# identically, which is what upgrades the MinHash pipeline from
+# rows-only to value-hash oracle-checkable. The xxhash64 family
+# (shingle_hashes/minhash_signature) remains the JVM fast path.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_family_params(i: int) -> tuple[int, int]:
+    """Deterministic affine-family constants (a_i, b_i), a_i != 0.
+    Pure integer arithmetic on literals - the oracle SQL embeds the
+    same numbers via this function, so the two engines cannot drift."""
+    a = ((i + 1) * 2_654_435_761) % MINHASH_P or 1
+    b = ((i + 1) * 40_503 + 7_919) % MINHASH_P
+    return a, b
+
+
+def shingle_hashes_md5(shingles: Column) -> Column:
+    """md5-prefix shingle hashes reduced mod MINHASH_P -> array<bigint>.
+    Same materialize-before-use contract as ``shingle_hashes``."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+
+
+def minhash_signature_md5(hashed_shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature over md5-prefix hashes: min over shingles of
+    the affine family maps. Cheaper per family than the xxhash64 path
+    (two multiplies and a mod vs a full hash) - the md5 cost moved to
+    the one-time base-hash pass."""
+    # one-arg closure per family: a two-arg lambda would make transform
+    # bind Spark's array INDEX to the second parameter
+    def _family(i: int):
+        a, b = minhash_family_params(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashed_shingles, _family(i)))
+            for i in range(num_hashes)
+        ]
+    )

@@ -32,6 +32,8 @@ from pyspark_data_engineering_assignment_spark.functions.text import (
     shingle_hashes,
     tokens,
     word_ngrams_of,
+    minhash_signature_md5,
+    shingle_hashes_md5,
 )
 
 
@@ -57,6 +59,7 @@ def minhash_lsh_candidates(
     shingle_len: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -84,11 +87,39 @@ def minhash_lsh_candidates(
         .filter(F.size("sh") > 0)
     )
     # Hash the shingle strings ONCE (its own projection boundary, so the
-    # 64 per-family passes rehash fixed-width longs, not strings).
-    hashed = shingled.select("doc_id", shingle_hashes(F.col("sh")).alias("hv"))
-    sig = hashed.select(
-        "doc_id", minhash_signature(F.col("hv"), num_hashes).alias("sig")
-    )
+    # per-family passes rehash fixed-width longs, not strings).
+    # hash_fn="md5": cross-engine-reproducible base hash + affine
+    # families + CONCATENATED band values (no band re-hash at all, so
+    # the band key is collision-free and trivially oracle-matched).
+    if hash_fn == "md5":
+        hashed = shingled.select(
+            "doc_id", shingle_hashes_md5(F.col("sh")).alias("hv")
+        )
+        sig = hashed.select(
+            "doc_id", minhash_signature_md5(F.col("hv"), num_hashes).alias("sig")
+        )
+        band_val = lambda b: F.concat_ws(  # noqa: E731
+            ",",
+            *[
+                F.col("sig")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+    elif hash_fn == "xxhash64":
+        hashed = shingled.select(
+            "doc_id", shingle_hashes(F.col("sh")).alias("hv")
+        )
+        sig = hashed.select(
+            "doc_id", minhash_signature(F.col("hv"), num_hashes).alias("sig")
+        )
+        band_val = lambda b: F.xxhash64(  # noqa: E731
+            *[
+                F.col("sig")[b * rows_per_band + r]
+                for r in range(rows_per_band)
+            ]
+        )
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -96,12 +127,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        band_val(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -140,6 +166,7 @@ def minhash_lsh_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard.
 
@@ -167,7 +194,7 @@ def minhash_lsh_near_duplicates(
     this between registry queries).
     """
     cands = minhash_lsh_candidates(
-        docs, id_col, text_col, shingle_len, num_hashes, bands
+        docs, id_col, text_col, shingle_len, num_hashes, bands, hash_fn=hash_fn
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias("_cid")).distinct()

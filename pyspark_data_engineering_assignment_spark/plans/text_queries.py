@@ -289,9 +289,133 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drops 25%; precision is unaffected either way because the verify "
     "stage recomputes exact Jaccard. The operator default stays 64/16 "
     "(the published setting); both configs find every planted pair in "
-    "tests/test_dedup.py. Rows-only check: banding is not "
-    "SQL-expressible tersely; precision/recall tested against the "
-    "exact-Jaccard all-pairs baseline.",
+    "tests/test_dedup.py. Registered in the md5 hash mode (affine "
+    "families over the md5-prefix base hash, concatenated band "
+    "values), which makes the ENTIRE pipeline - shingling, signatures, "
+    "banding, candidate join, exact-Jaccard verify - value-hash "
+    "oracle-checked against a from-scratch DuckDB reimplementation "
+    "(generated from the same MINHASH_P/minhash_family_params "
+    "constants, so the engines cannot drift); upgraded from "
+    "rows-only. The xxhash64 mode stays the operator default; "
+    "precision/recall additionally pinned vs the exact-Jaccard "
+    "all-pairs baseline. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        FROM t
+    ),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+    hv AS (
+        SELECT doc_id,
+               list_transform(sh,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                        % 2147483647) AS hv
+        FROM nonempty
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_min(list_transform(hv, h -> (506952114 * h + 48422) % 2147483647)) AS s0,
+               list_min(list_transform(hv, h -> (1013904228 * h + 88925) % 2147483647)) AS s1,
+               list_min(list_transform(hv, h -> (1520856342 * h + 129428) % 2147483647)) AS s2,
+               list_min(list_transform(hv, h -> (2027808456 * h + 169931) % 2147483647)) AS s3,
+               list_min(list_transform(hv, h -> (387276923 * h + 210434) % 2147483647)) AS s4,
+               list_min(list_transform(hv, h -> (894229037 * h + 250937) % 2147483647)) AS s5,
+               list_min(list_transform(hv, h -> (1401181151 * h + 291440) % 2147483647)) AS s6,
+               list_min(list_transform(hv, h -> (1908133265 * h + 331943) % 2147483647)) AS s7,
+               list_min(list_transform(hv, h -> (267601732 * h + 372446) % 2147483647)) AS s8,
+               list_min(list_transform(hv, h -> (774553846 * h + 412949) % 2147483647)) AS s9,
+               list_min(list_transform(hv, h -> (1281505960 * h + 453452) % 2147483647)) AS s10,
+               list_min(list_transform(hv, h -> (1788458074 * h + 493955) % 2147483647)) AS s11,
+               list_min(list_transform(hv, h -> (147926541 * h + 534458) % 2147483647)) AS s12,
+               list_min(list_transform(hv, h -> (654878655 * h + 574961) % 2147483647)) AS s13,
+               list_min(list_transform(hv, h -> (1161830769 * h + 615464) % 2147483647)) AS s14,
+               list_min(list_transform(hv, h -> (1668782883 * h + 655967) % 2147483647)) AS s15,
+               list_min(list_transform(hv, h -> (28251350 * h + 696470) % 2147483647)) AS s16,
+               list_min(list_transform(hv, h -> (535203464 * h + 736973) % 2147483647)) AS s17,
+               list_min(list_transform(hv, h -> (1042155578 * h + 777476) % 2147483647)) AS s18,
+               list_min(list_transform(hv, h -> (1549107692 * h + 817979) % 2147483647)) AS s19,
+               list_min(list_transform(hv, h -> (2056059806 * h + 858482) % 2147483647)) AS s20,
+               list_min(list_transform(hv, h -> (415528273 * h + 898985) % 2147483647)) AS s21,
+               list_min(list_transform(hv, h -> (922480387 * h + 939488) % 2147483647)) AS s22,
+               list_min(list_transform(hv, h -> (1429432501 * h + 979991) % 2147483647)) AS s23,
+               list_min(list_transform(hv, h -> (1936384615 * h + 1020494) % 2147483647)) AS s24,
+               list_min(list_transform(hv, h -> (295853082 * h + 1060997) % 2147483647)) AS s25,
+               list_min(list_transform(hv, h -> (802805196 * h + 1101500) % 2147483647)) AS s26,
+               list_min(list_transform(hv, h -> (1309757310 * h + 1142003) % 2147483647)) AS s27,
+               list_min(list_transform(hv, h -> (1816709424 * h + 1182506) % 2147483647)) AS s28,
+               list_min(list_transform(hv, h -> (176177891 * h + 1223009) % 2147483647)) AS s29,
+               list_min(list_transform(hv, h -> (683130005 * h + 1263512) % 2147483647)) AS s30,
+               list_min(list_transform(hv, h -> (1190082119 * h + 1304015) % 2147483647)) AS s31,
+               list_min(list_transform(hv, h -> (1697034233 * h + 1344518) % 2147483647)) AS s32,
+               list_min(list_transform(hv, h -> (56502700 * h + 1385021) % 2147483647)) AS s33,
+               list_min(list_transform(hv, h -> (563454814 * h + 1425524) % 2147483647)) AS s34,
+               list_min(list_transform(hv, h -> (1070406928 * h + 1466027) % 2147483647)) AS s35,
+               list_min(list_transform(hv, h -> (1577359042 * h + 1506530) % 2147483647)) AS s36,
+               list_min(list_transform(hv, h -> (2084311156 * h + 1547033) % 2147483647)) AS s37,
+               list_min(list_transform(hv, h -> (443779623 * h + 1587536) % 2147483647)) AS s38,
+               list_min(list_transform(hv, h -> (950731737 * h + 1628039) % 2147483647)) AS s39,
+               list_min(list_transform(hv, h -> (1457683851 * h + 1668542) % 2147483647)) AS s40,
+               list_min(list_transform(hv, h -> (1964635965 * h + 1709045) % 2147483647)) AS s41,
+               list_min(list_transform(hv, h -> (324104432 * h + 1749548) % 2147483647)) AS s42,
+               list_min(list_transform(hv, h -> (831056546 * h + 1790051) % 2147483647)) AS s43,
+               list_min(list_transform(hv, h -> (1338008660 * h + 1830554) % 2147483647)) AS s44,
+               list_min(list_transform(hv, h -> (1844960774 * h + 1871057) % 2147483647)) AS s45,
+               list_min(list_transform(hv, h -> (204429241 * h + 1911560) % 2147483647)) AS s46,
+               list_min(list_transform(hv, h -> (711381355 * h + 1952063) % 2147483647)) AS s47
+        FROM hv
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, CAST(s0 AS VARCHAR) || ',' || CAST(s1 AS VARCHAR) || ',' || CAST(s2 AS VARCHAR) || ',' || CAST(s3 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, CAST(s4 AS VARCHAR) || ',' || CAST(s5 AS VARCHAR) || ',' || CAST(s6 AS VARCHAR) || ',' || CAST(s7 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 2 AS band, CAST(s8 AS VARCHAR) || ',' || CAST(s9 AS VARCHAR) || ',' || CAST(s10 AS VARCHAR) || ',' || CAST(s11 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 3 AS band, CAST(s12 AS VARCHAR) || ',' || CAST(s13 AS VARCHAR) || ',' || CAST(s14 AS VARCHAR) || ',' || CAST(s15 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 4 AS band, CAST(s16 AS VARCHAR) || ',' || CAST(s17 AS VARCHAR) || ',' || CAST(s18 AS VARCHAR) || ',' || CAST(s19 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 5 AS band, CAST(s20 AS VARCHAR) || ',' || CAST(s21 AS VARCHAR) || ',' || CAST(s22 AS VARCHAR) || ',' || CAST(s23 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 6 AS band, CAST(s24 AS VARCHAR) || ',' || CAST(s25 AS VARCHAR) || ',' || CAST(s26 AS VARCHAR) || ',' || CAST(s27 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 7 AS band, CAST(s28 AS VARCHAR) || ',' || CAST(s29 AS VARCHAR) || ',' || CAST(s30 AS VARCHAR) || ',' || CAST(s31 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 8 AS band, CAST(s32 AS VARCHAR) || ',' || CAST(s33 AS VARCHAR) || ',' || CAST(s34 AS VARCHAR) || ',' || CAST(s35 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 9 AS band, CAST(s36 AS VARCHAR) || ',' || CAST(s37 AS VARCHAR) || ',' || CAST(s38 AS VARCHAR) || ',' || CAST(s39 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 10 AS band, CAST(s40 AS VARCHAR) || ',' || CAST(s41 AS VARCHAR) || ',' || CAST(s42 AS VARCHAR) || ',' || CAST(s43 AS VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 11 AS band, CAST(s44 AS VARCHAR) || ',' || CAST(s45 AS VARCHAR) || ',' || CAST(s46 AS VARCHAR) || ',' || CAST(s47 AS VARCHAR) AS band_hash FROM sig
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id, list_distinct(sh) AS sh FROM nonempty
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS INTEGER) AS inter_size,
+           CAST(len(sa.sh) + len(sb.sh)
+                - len(list_intersect(sa.sh, sb.sh)) AS INTEGER) AS union_size
+    FROM cands c
+    JOIN sets sa ON c.id_a = sa.doc_id
+    JOIN sets sb ON c.id_b = sb.doc_id
+    WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+      AND len(list_intersect(sa.sh, sb.sh)) * 100
+          >= (len(sa.sh) + len(sb.sh)
+              - len(list_intersect(sa.sh, sb.sh))) * 70
+    """,
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_near_duplicates(
@@ -299,6 +423,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=48,
         bands=12,
         jaccard_threshold=0.7,
+        hash_fn="md5",
     )
 
 
