@@ -173,28 +173,142 @@ def label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fixpoint(1)).cast("long").alias("sum_dim2_e8"),
     )
 
+def _duck_plane_dot(plane: list[float], vec: str = "embedding") -> str:
+    """DuckDB fold of vec . plane with the plane embedded as exact
+    round-trip double literals - bit-identical to functions.vectors.dot
+    against F.lit(plane) (same element order, same left fold)."""
+    lits = ", ".join(f"{x:.17e}" for x in plane)
+    return (
+        f"list_reduce(list_transform(list_zip({vec}, [{lits}]), "
+        "l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig_expr = "\n             + ".join(
+        f"CASE WHEN {_duck_plane_dot(p)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(n_planes)])
+    nrm = (
+        "sqrt(list_reduce(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               CAST({sig_expr} AS BIGINT) AS bucket,
+               {nrm} AS nrm
+        FROM embeddings
+    ),
+    q AS (
+        SELECT s.vec_id AS query_id, s.embedding AS qvec, s.nrm AS qn,
+               xor(s.bucket, CAST(m.mask AS BIGINT)) AS bucket
+        FROM sig s, unnest([{masks}]) AS m(mask)
+        WHERE s.vec_id < 10
+    ),
+    pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_transform(list_zip(q.qvec, c.embedding),
+                   l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)),
+                   (x, y) -> x + y)
+               / (q.qn * c.nrm) AS cos
+        FROM q JOIN sig c ON q.bucket = c.bucket
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM pairs)
+    WHERE rank <= 5
+    """
+
 
 @register(
     "ann_lsh_topk",
     None,
     doc="LSH-bucketed approximate top-k (random hyperplanes, seed=42, "
     "1-bit multi-probe): the scale path - each query probes n_planes+1 "
-    "buckets instead of the corpus. Rows-only check; recall@5 vs brute "
-    "force measured in tests/test_similarity.py (0.18 single-probe -> "
-    "0.64 with 1-bit probing -> 0.94 with 2-bit on random gaussians).",
+    "buckets instead of the corpus. Value-hash oracle-checked "
+    "(upgraded from rows-only): the hyperplanes are deterministic "
+    "Python-generated literals embedded in BOTH the Spark plan and the "
+    "generated DuckDB SQL (17-sig-digit round-trip floats), and every "
+    "float op is a sequential left fold, so signatures, probed "
+    "buckets, cosines and ranks are all bit-identical cross-engine. "
+    "Recall@5 vs brute force additionally measured in "
+    "tests/test_similarity.py (0.18 single-probe -> 0.64 with 1-bit "
+    "probing -> 0.94 with 2-bit on random gaussians). Driver-window "
+    "neutral (local_oracle).",
+    local_oracle=_lsh_topk_oracle(),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+
+
+def _embedding_neardup_oracle(
+    n_planes: int = 8, dim: int = 64, seed: int = 42, min_cosine: float = 0.9
+) -> str:
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig_expr = "\n             + ".join(
+        f"CASE WHEN {_duck_plane_dot(p)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(n_planes)])
+    nrm = (
+        "sqrt(list_reduce(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               CAST({sig_expr} AS BIGINT) AS bucket,
+               {nrm} AS nrm
+        FROM embeddings
+    ),
+    a AS (
+        SELECT s.vec_id AS id_a, s.embedding AS va, s.nrm AS na,
+               xor(s.bucket, CAST(m.mask AS BIGINT)) AS bucket
+        FROM sig s, unnest([{masks}]) AS m(mask)
+    )
+    SELECT a.id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(list_zip(a.va, b.embedding),
+               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)),
+               (x, y) -> x + y)
+           / (a.na * b.nrm) AS cos
+    FROM a
+    JOIN sig b ON a.bucket = b.bucket AND a.id_a < b.vec_id
+    WHERE list_reduce(list_transform(list_zip(a.va, b.embedding),
+              l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)),
+              (x, y) -> x + y)
+          / (a.na * b.nrm) >= {min_cosine}
+    """
+
+
 @register(
     "embedding_neardup",
     None,
     doc="Embedding-cosine near-duplicate pairs (cos >= 0.9) within LSH "
-    "buckets, 1-bit multi-probe on the self-join's left side. Rows-only "
-    "check; planted-near-dup detection tested in tests/test_similarity.py "
-    "(distinguishes '0 rows because no near-dups exist' from broken).",
+    "buckets, 1-bit multi-probe on the self-join's left side. "
+    "Value-hash oracle-checked (upgraded from rows-only) by the same "
+    "construction as ann_lsh_topk: literal hyperplanes + sequential "
+    "folds make buckets and cosines bit-identical cross-engine. "
+    "Planted-near-dup detection additionally tested in "
+    "tests/test_similarity.py (distinguishes '0 rows because no "
+    "near-dups exist' from broken). Driver-window neutral "
+    "(local_oracle).",
+    local_oracle=_embedding_neardup_oracle(),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(
