@@ -61,8 +61,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and queries symmetric-int8 quantized (4x smaller codes - at 100 TB "
     "the scan is memory-bandwidth-bound, so the compression IS the "
     "speedup), scored by quantized cosine with recall vs the float "
-    "baseline pinned in tests/test_quantization.py. The one ANN "
-    "variant with a full value-hash oracle: integer codes make every "
+    "baseline pinned in tests/test_quantization.py. The first ANN "
+    "variant that carried a full value-hash oracle: integer codes make every "
     "dot product and squared norm exact in any summation order, scales "
     "cancel out of the quantized cosine, and the single division+sqrt "
     "per pair is elementwise IEEE math both engines perform "
