@@ -60,3 +60,29 @@ def test_unigram_surprisal_uniform_and_skewed(spark):
     assert got == {1: (4, 4 * s_half), 2: (4, 4 * s_eighth)}
     # the skewed doc is the more "surprising" one
     assert got[2][1] > got[1][1]
+
+
+def test_chunk_tokens_coverage_properties_exhaustive(spark):
+    """Every token count 1..100: the overlap chunker must tile the doc -
+    chunk i holds exactly min(W, n - i*S) tokens, the chunk count is
+    ceil(max(n-W,0)/S)+1, and the tail is covered (no token beyond the
+    last chunk). Exhaustive over n, not sampled."""
+    from pyspark_data_engineering_assignment_spark.operators.textstats import (
+        chunk_tokens,
+    )
+
+    W, S = 32, 24
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"]
+        for r in chunk_tokens(df, width=W, stride=S).collect()
+    }
+    for n in range(1, 101):
+        expected_chunks = (max(n - W, 0) + S - 1) // S + 1
+        idxs = sorted(i for (d, i) in got if d == n)
+        assert idxs == list(range(expected_chunks)), (n, idxs)
+        for i in idxs:
+            assert got[(n, i)] == min(W, n - i * S), (n, i, got[(n, i)])
+        # tail covered: last chunk reaches the final token
+        assert (expected_chunks - 1) * S + got[(n, expected_chunks - 1)] == n
