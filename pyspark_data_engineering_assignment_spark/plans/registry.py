@@ -2365,3 +2365,66 @@ def user_trailing_hour_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_1h"),
         F.sum(cents).over(w).cast("long").alias("cents_1h"),
     )
+
+
+@register(
+    "events_zorder_keys",
+    None,
+    doc="Z-order (Morton) clustering keys over (user_id, cents): the "
+    "shift-mask interleave ladder behind the z-ordered writer "
+    "(functions/zorder.py), as pure integer expressions both engines "
+    "compute identically - the layout key a lakehouse Z-ORDER job "
+    "sorts 100 TB by so parquet row groups prune on EITHER column. "
+    "Top-level per-key row counts keep the result compact. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH c AS (
+        SELECT CAST(user_id & 2147483647 AS BIGINT) AS a,
+               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    & 2147483647 AS BIGINT) AS b
+        FROM events
+    ),
+    sa AS (
+        SELECT a, b,
+               ((a | (a << 16)) & 281470681808895) AS a1,
+               ((b | (b << 16)) & 281470681808895) AS b1
+        FROM c
+    ),
+    sb AS (
+        SELECT a, b,
+               ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
+               ((b1 | (b1 << 8)) & 71777214294589695) AS b2
+        FROM sa
+    ),
+    sc AS (
+        SELECT a, b,
+               ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
+               ((b2 | (b2 << 4)) & 1085102592571150095) AS b3
+        FROM sb
+    ),
+    sd AS (
+        SELECT a, b,
+               ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
+               ((b3 | (b3 << 2)) & 3689348814741910323) AS b4
+        FROM sc
+    ),
+    se AS (
+        SELECT a, b,
+               ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
+               ((b4 | (b4 << 1)) & 6148914691236517205) AS b5
+        FROM sd
+    )
+    SELECT (a5 | (b5 << 1)) AS zkey, count(*) AS n_rows
+    FROM se GROUP BY 1
+    """,
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.zorder import zorder_key
+
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    return (
+        e.select(zorder_key(F.col("user_id"), cents).alias("zkey"))
+        .groupBy("zkey")
+        .agg(F.count("*").alias("n_rows"))
+    )
