@@ -32,26 +32,28 @@ SF = "/root/testdata/sf0.01"
 # them and floors at 3s, then runs at sf0.01 - an order of magnitude
 # of headroom per query.
 REFERENCE_SF01_SECONDS = {
+    "minhash_lsh_neardup": 4.58,  # md5 audit mode: the oracle-exact config
     "ann_ivf_topk": 3.99,
     "corpus_curation_funnel": 3.19,
     "doc_contamination_screen": 3.16,
-    "minhash_lsh_neardup": 2.73,
     "conversion_lag_stats": 2.11,
     "doc_boilerplate_shingles": 2.04,
     "event_reach_setops_kmv": 1.69,
     "doc_repetition_stats": 1.69,
     "doc_tfidf_topterms": 1.62,
-    "patid1_upgrade": 1.62,
-    "ann_cosine_topk": 1.61,
-    "sole_failing_suppliers": 1.57,
+    "patid1_upgrade": 1.67,
+    "ann_cosine_topk": 1.66,
+    "sole_failing_suppliers": 1.77,
     "simhash_neardup": 1.55,
     "event_class_totals_salted": 1.49,
     "embedding_neardup": 1.26,
     "big_quantity_orders": 1.22,
     "doc_quality_features": 1.11,
+    "revenue_by_nation": 1.08,
     "nations_above_revenue_share": 1.04,
     "brand_type_revenue": 1.02,
     "doc_incremental_dedup": 1.00,
+    "events_props_json": 0.98,
     "small_quantity_part_revenue": 0.99,
 }
 DEFAULT_BUDGET = 3.0
