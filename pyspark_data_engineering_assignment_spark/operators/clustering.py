@@ -1,0 +1,142 @@
+"""Deterministic fixed-point k-means (Lloyd's) as DataFrame iterations.
+
+Why this exists next to pyspark.ml's KMeans (which IVF training uses):
+float k-means is irreproducible across engines - and across RUNS -
+because centroid means sum doubles in shuffle order and seeding is RNG
+state. This variant makes every quantity an integer:
+
+  * vectors fixed-pointed per element: floor(x * 1e6) (element-wise
+    IEEE op, identical everywhere);
+  * distances are integer folds (max |x_e6| ~ 5e6 over 64 dims keeps
+    the squared-distance sum < 2^53, far inside BIGINT);
+  * centroid update is exact integer floor-division of per-dim sums
+    (Spark ``(s - pmod(s, n)) div n`` == DuckDB ``s // n`` - truncating
+    ``div`` alone would disagree with floor on negative sums);
+  * seeding is the ``n_cells`` vectors with the smallest
+    (md5(id), id) - a deterministic hash rank, no RNG.
+
+Every iteration is therefore a pure function of the input - retries,
+partitioning, and engine cannot change a single centroid coordinate,
+which is what lets the registry ORACLE-CHECK an iterative ML training
+loop value-for-value (the one thing the pyspark.ml path can never do).
+
+Scale: each iteration is one explode-free assignment pass (centroids
+are literal arrays - n_cells x dim ints, metadata-sized) plus one
+(cell, dim) aggregation. The only driver crossings are the seed rows
+and the per-iteration centroid table (n_cells rows) - the same
+centroid-sized crossing pyspark.ml's driver makes. Iterations are
+sequential by definition; cost is iters x one-pass-over-corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def _fixpoint(vec_col):
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * SCALE).cast("long")
+    )
+
+
+def _sqdist(v, c):
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans_fixedpoint(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; return one row per cell:
+    (cell, n_vectors, centroid) where centroid is the final
+    array<bigint> of e6 fixed-point coordinates and n_vectors counts
+    the final assignment against those centroids."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("vid"), _fixpoint(F.col(vec_col)).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seeds = (
+            v.withColumn("_h", F.md5(F.col("vid").cast("string")))
+            .orderBy("_h", "vid")
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = [list(r["v"]) for r in seeds]
+
+        def assign(cents: list[list[int]]):
+            # centroids ride a broadcast TABLE, not literals: the
+            # assignment plan is byte-identical every round, so codegen
+            # compiles it once (literal centroids re-compiled a large
+            # expression tree per round - measured 4x the cost here)
+            cent_df = spark.createDataFrame(
+                [(ci, cents[ci]) for ci in range(len(cents))],
+                "cell long, c array<bigint>",
+            )
+            pairs = v.crossJoin(F.broadcast(cent_df))
+            w = Window.partitionBy("vid").orderBy(
+                _sqdist(F.col("v"), F.col("c")).asc(), F.col("cell").asc()
+            )
+            return (
+                pairs.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select("vid", "v", "cell")
+            )
+
+        for _ in range(iters):
+            sums = (
+                assign(centroids)
+                .select("cell", F.posexplode("v").alias("d", "val"))
+                .groupBy("cell", "d")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .select(
+                    "cell",
+                    "d",
+                    # exact floor-div (truncating div alone would
+                    # disagree with floor on negative sums)
+                    F.expr("(s - pmod(s, n)) div n").alias("m"),
+                )
+            )
+            rows = (
+                sums.groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("d", "m"))),
+                        lambda s: s["m"],
+                    ).alias("c")
+                )
+                .collect()
+            )
+            got = {int(r["cell"]): list(r["c"]) for r in rows}
+            # empty cells keep their previous centroid
+            centroids = [got.get(ci, centroids[ci]) for ci in range(n_cells)]
+
+        final = assign(centroids)
+        counts = final.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+        cent_df = spark.createDataFrame(
+            [(ci, centroids[ci]) for ci in range(n_cells)],
+            "cell long, centroid array<bigint>",
+        )
+        return (
+            cent_df.join(counts, on="cell", how="left")
+            .select(
+                "cell",
+                F.coalesce("n_vectors", F.lit(0)).cast("long").alias("n_vectors"),
+                "centroid",
+            )
+        )
+    finally:
+        v.unpersist()

@@ -481,3 +481,103 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_sum").cast("long").alias("sum_err2_e12"),
         F.max("row_max").cast("long").alias("max_err2_e12"),
     )
+
+
+def _kmeans_oracle(
+    n_cells: int = 8, iters: int = 3, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    """Unrolled DuckDB Lloyd iterations mirroring
+    operators/clustering.kmeans_fixedpoint: every quantity an integer,
+    so three rounds of training hash-match value-for-value."""
+    dist = (
+        "list_reduce(list_transform(list_zip(v.v, c.c), "
+        "l -> (l[1]-l[2])*(l[1]-l[2])), (x, y) -> x + y)"
+    )
+    parts = [
+        f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+                   AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS c FROM (
+            SELECT vid, v, row_number() OVER (
+                ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS rn
+            FROM v) AS seeded
+        WHERE rn <= {n_cells}
+    )"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{t} AS (
+        SELECT vid, v, cell FROM (
+            SELECT v.vid, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.vid
+                                      ORDER BY {dist}, c.cell) AS rk
+            FROM v, {prev} c) AS ranked
+        WHERE rk = 1
+    ),
+    s{t} AS (
+        SELECT cell, i, CAST(sum(v[i]) AS BIGINT) AS s, count(*) AS n
+        FROM a{t}, unnest(range(1, {dim + 1})) d(i)
+        GROUP BY 1, 2
+    ),
+    m{t} AS (
+        -- exact FLOOR division (DuckDB // truncates HUGEINT toward
+        -- zero): subtract the positive mod, then the division is exact
+        SELECT cell,
+               list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                    ORDER BY i) AS c
+        FROM s{t} GROUP BY 1
+    ),
+    c{t} AS (
+        SELECT p.cell, COALESCE(m{t}.c, p.c) AS c
+        FROM {prev} p LEFT JOIN m{t} ON p.cell = m{t}.cell
+    )"""
+        )
+        prev = f"c{t}"
+    parts.append(
+        f""",
+    fin AS (
+        SELECT vid, cell FROM (
+            SELECT v.vid, c.cell,
+                   row_number() OVER (PARTITION BY v.vid
+                                      ORDER BY {dist}, c.cell) AS rk
+            FROM v, {prev} c) AS ranked
+        WHERE rk = 1
+    )
+    SELECT c.cell, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_vectors,
+           c.c AS centroid
+    FROM {prev} c
+    LEFT JOIN (SELECT cell, count(*) AS n FROM fin GROUP BY 1) n
+      ON c.cell = n.cell"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "embedding_kmeans_cells",
+    None,
+    doc="Deterministic fixed-point k-means, 8 cells x 3 Lloyd rounds "
+    "(operators/clustering.kmeans_fixedpoint): an ITERATIVE ML "
+    "TRAINING LOOP that is value-hash oracle-checked - e6 fixed-point "
+    "vectors, integer distance folds, exact floor-division centroid "
+    "updates, md5-rank seeding (no RNG anywhere), empty cells keep "
+    "their centroid. Float k-means (pyspark.ml, used by IVF) cannot "
+    "be cross-engine-checked even in principle: its centroid means "
+    "sum doubles in shuffle order. Driver crossings are seed rows + "
+    "per-round centroid tables (n_cells rows - metadata, same as "
+    "pyspark.ml's driver). Driver-window neutral (local_oracle).",
+    local_oracle=_kmeans_oracle(),
+)
+def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.clustering import (
+        kmeans_fixedpoint,
+    )
+
+    return kmeans_fixedpoint(_t(spark, sf_dir, "embeddings"))

@@ -32,6 +32,9 @@ SF = "/root/testdata/sf0.01"
 # them and floors at 3s, then runs at sf0.01 - an order of magnitude
 # of headroom per query.
 REFERENCE_SF01_SECONDS = {
+    # iterative trainer: 8 sequential jobs of fixed overhead, not data
+    # cost (2000 vectors) - see operators/clustering.py
+    "embedding_kmeans_cells": 12.42,
     "minhash_lsh_neardup": 4.58,  # md5 audit mode: the oracle-exact config
     "ann_ivf_topk": 3.99,
     "corpus_curation_funnel": 3.19,
