@@ -140,3 +140,95 @@ def kmeans_fixedpoint(
         )
     finally:
         v.unpersist()
+
+
+def ivf_det_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Deterministic IVF top-k built on ``kmeans_fixedpoint``: corpus
+    vectors live in their nearest deterministic cell; each query probes
+    its ``n_probe`` nearest cells and ranks candidates by exact-fold
+    cosine. Unlike the pyspark.ml-trained IVF (sampled k-means, RNG
+    seeds), every stage here - training, assignment, probing, ranking -
+    is a pure function of the input, so the whole retrieval path is
+    cross-engine reproducible (verified against DuckDB in
+    tests/test_clustering.py). Same scale shape as the float IVF: the
+    scan becomes a bucket-sized hash join on cell id."""
+    from pyspark.sql import Window
+
+    from pyspark_data_engineering_assignment_spark.functions.vectors import (
+        dot,
+        l2_norm,
+    )
+
+    spark = df.sparkSession
+    cells = kmeans_fixedpoint(
+        df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
+    ).select("cell", F.col("centroid").alias("c"))
+
+    def nearest_cells(frame, n: int, out: str):
+        pairs = frame.crossJoin(F.broadcast(cells))
+        w = Window.partitionBy("vid").orderBy(
+            _sqdist(F.col("v"), F.col("c")).asc(), F.col("cell").asc()
+        )
+        return (
+            pairs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .select("vid", "cell")
+            .withColumnRenamed("vid", out)
+        )
+
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _fixpoint(F.col(vec_col)).alias("v"),
+    )
+    corpus = (
+        nearest_cells(base, 1, "neighbor_id")
+        .join(
+            base.select(
+                F.col("vid").alias("neighbor_id"),
+                F.col("vec").alias("cvec"),
+            ),
+            on="neighbor_id",
+        )
+        .withColumn("_cn", l2_norm(F.col("cvec")))
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _fixpoint(F.col(vec_col)).alias("v"),
+    )
+    probes = (
+        nearest_cells(qbase, n_probe, "query_id")
+        .join(
+            qbase.select(F.col("vid").alias("query_id"), F.col("vec").alias("qvec")),
+            on="query_id",
+        )
+        .withColumn("_qn", l2_norm(F.col("qvec")))
+    )
+    pairs = F.broadcast(probes).join(corpus, on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cos"
+        ),
+    ).distinct()  # a neighbor reachable via two probed cells ranks once
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
