@@ -2428,3 +2428,65 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("zkey")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@register(
+    "user_status_scd2",
+    None,
+    doc="SCD2 history build from a change feed - the warehouse shape "
+    "that turns an event stream into validity intervals: per user, "
+    "collapse consecutive same-status events to change points (lag "
+    "compare), then each change point's interval runs to the next "
+    "change (lead), open-ended + is_current on the last. Two window "
+    "functions over ONE user_id partitioning - the second window "
+    "reuses the first's sort and exchange. Timestamps, strings and "
+    "flags only: hash-exact. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, ts AS valid_from, event_type AS status
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
+               AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "status",
+        "valid_from",
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

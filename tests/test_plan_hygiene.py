@@ -346,3 +346,11 @@ def test_sql_exists_becomes_semi_join(plans):
     assert "PushedFilters: [IsNotNull(o_orderdate)" in p or (
         "o_orderdate" in [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
     )
+
+
+def test_scd2_windows_share_one_exchange(simple_plans):
+    """user_status_scd2: both window passes key on user_id - the second
+    must reuse the first's exchange (one hash partitioning total; a
+    second sort is fine, a second shuffle is not)."""
+    p = simple_plans["user_status_scd2"]
+    assert p.count("Exchange hashpartitioning") == 1, p
