@@ -2490,3 +2490,54 @@ def user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "events_quality_report",
+    None,
+    doc="Declarative data-quality report (tools/expectations.py - the "
+    "Deequ shape): five rules over events compiled into ONE "
+    "aggregation pass (every rule is an aggregate expression; the "
+    "whole report costs a single scan at any table size), unpivoted "
+    "to a row per rule. Integer counts only, hash-exact - the quality "
+    "report itself is oracle-checked. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    WITH agg AS (
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (user_id IS NULL) AS v0,
+               count(*) - count(DISTINCT event_id) AS v1,
+               count(*) FILTER (value IS NULL OR value < 0
+                                OR value > 1000000) AS v2,
+               count(*) FILTER (event_type IS NULL OR event_type NOT IN
+                   ('click', 'purchase', 'error', 'signup', 'view')) AS v3,
+               count(*) FILTER (event_id IS NULL OR event_id <= 0) AS v4
+        FROM events
+    )
+    SELECT r.rule, r.violations, agg.n_rows,
+           CASE WHEN r.violations = 0 THEN 1 ELSE 0 END AS passed
+    FROM agg, (
+        SELECT 'not_null(user_id)' AS rule, v0 AS violations FROM agg
+        UNION ALL SELECT 'unique(event_id)', v1 FROM agg
+        UNION ALL SELECT 'between(value)', v2 FROM agg
+        UNION ALL SELECT 'in_set(event_type)', v3 FROM agg
+        UNION ALL SELECT 'positive(event_id)', v4 FROM agg
+    ) r
+    """,
+)
+def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.tools.expectations import (
+        quality_report,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return quality_report(
+        e,
+        [
+            ("not_null", "user_id"),
+            ("unique", "event_id"),
+            ("between", "value", 0, 1_000_000),
+            ("in_set", "event_type", ["click", "purchase", "error", "signup", "view"]),
+            ("positive", "event_id"),
+        ],
+    )

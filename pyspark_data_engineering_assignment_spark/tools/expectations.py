@@ -1,0 +1,70 @@
+"""Declarative data-quality expectations, evaluated in ONE pass.
+
+The Deequ/Great-Expectations shape without the framework: a rule list
+compiles to a single aggregation over the table (every rule is one
+aggregate expression), then unpivots to one row per rule - so a 100 TB
+table pays exactly one scan for its whole quality report, and the
+aggregates ride partial/final hash aggregation like any other groupBy.
+
+Supported rules:
+  ("not_null", col)            - violations = null count
+  ("unique", col)              - violations = rows - distinct values
+  ("between", col, lo, hi)     - violations = rows outside [lo, hi]
+  ("in_set", col, values)      - violations = rows outside the set
+  ("positive", col)            - violations = rows <= 0
+
+The report is integer counts only - cross-engine hash-exact, so the
+quality report itself can be oracle-checked (see
+``events_quality_report`` in the registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Rule = tuple
+
+
+def _violations(rule: Rule) -> Column:
+    kind, col = rule[0], rule[1]
+    c = F.col(col)
+    if kind == "not_null":
+        return F.count_if(c.isNull())
+    if kind == "unique":
+        return F.count(F.lit(1)) - F.countDistinct(c)
+    if kind == "between":
+        lo, hi = rule[2], rule[3]
+        return F.count_if(c.isNull() | (c < lo) | (c > hi))
+    if kind == "in_set":
+        return F.count_if(c.isNull() | ~c.isin(list(rule[2])))
+    if kind == "positive":
+        return F.count_if(c.isNull() | (c <= 0))
+    raise ValueError(f"unknown rule kind: {kind}")
+
+
+def _rule_name(rule: Rule) -> str:
+    return f"{rule[0]}({rule[1]})"
+
+
+def quality_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """One row per rule: (rule, violations, n_rows, passed). Exactly one
+    aggregation job over ``df`` regardless of rule count."""
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        _violations(r).alias(f"_v{i}") for i, r in enumerate(rules)
+    ]
+    wide = df.agg(*aggs)
+    stack = F.expr(
+        "stack({n}, {args})".format(
+            n=len(rules),
+            args=", ".join(
+                f"'{_rule_name(r)}', _v{i}" for i, r in enumerate(rules)
+            ),
+        )
+    ).alias("rule", "violations")
+    return wide.select(stack, F.col("_n").alias("n_rows")).select(
+        "rule",
+        F.col("violations").cast("long").alias("violations"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.when(F.col("violations") == 0, 1).otherwise(0).alias("passed"),
+    )
