@@ -2541,3 +2541,62 @@ def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("positive", "event_id"),
         ],
     )
+
+
+@register(
+    "user_cdc_state",
+    None,
+    doc="CDC apply (Debezium/Delta-CDF shape): the event feed read as a "
+    "change stream - signup=INSERT, click/view/purchase=UPSERT, "
+    "error=DELETE - materialized to final per-key state by "
+    "last-writer-wins in (ts, event_id) order: one row_number window "
+    "per user keeps the latest op, a filter drops keys whose latest op "
+    "is the delete. ONE window shuffle regardless of ops-per-key; the "
+    "same plan maintains a 100 TB keyed table from a change feed "
+    "without ever storing more than the winning row per key "
+    "downstream. Cents fixed-point keeps the state hash-exact. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH ops AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'signup' THEN 'insert'
+                    WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, ts, op, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM ops
+    )
+    SELECT user_id, op AS last_op, ts AS last_ts, cents AS last_cents
+    FROM ranked
+    WHERE rk = 1 AND op <> 'delete'
+    """,
+)
+def user_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+    )
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id", "ts", "event_id", op.alias("op"), cents.alias("cents")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("op") != "delete"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("ts").alias("last_ts"),
+            F.col("cents").alias("last_cents"),
+        )
+    )

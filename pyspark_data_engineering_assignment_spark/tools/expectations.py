@@ -68,3 +68,22 @@ def quality_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.when(F.col("violations") == 0, 1).otherwise(0).alias("passed"),
     )
+
+
+def streaming_quality_metrics(df: DataFrame, name: str, rules: list[Rule]) -> DataFrame:
+    """Ride the SAME rules on a streaming DataFrame as observed metrics:
+    one violation counter per rule (plus n_rows) lands in every
+    micro-batch's ``StreamingQueryProgress.observedMetrics[name]`` - the
+    per-batch quality telemetry a production ingest alerts on, costing
+    zero extra passes over the stream. ``unique`` rules are rejected:
+    distinct-aggregates cannot ride a streaming observe (cross-batch
+    uniqueness needs keyed state; use ``dedup_stream_by_key`` there)."""
+    if any(r[0] == "unique" for r in rules):
+        raise ValueError(
+            "unique rules need keyed state, not an observe metric"
+        )
+    metrics = {"n_rows": F.count(F.lit(1))}
+    for r in rules:
+        metrics[_rule_name(r)] = _violations(r)
+    cols = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(name, cols[0], *cols[1:])

@@ -50,3 +50,60 @@ def test_quality_report_is_single_pass(spark):
     p = plan_buf.getvalue()
     # one scan feeding one aggregation chain - no self-join/union of scans
     assert p.count("Range (0, 100") == 1, p
+
+
+def test_streaming_quality_metrics_per_batch(spark, tmp_path):
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from pyspark_data_engineering_assignment_spark.tools.expectations import (
+        streaming_quality_metrics,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "v": [1.0, -2.0, 3.0, None, 5.0, -6.0],
+        }
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    now = time.time()
+    for i in range(3):  # 2 rows per file -> 3 batches
+        p = os.path.join(src, f"c{i}.csv")
+        rows.iloc[i * 2 : (i + 1) * 2].to_csv(p, index=False)
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.format("csv").option("header", "true")
+        .schema("id long, v double").option("maxFilesPerTrigger", "1").load(src)
+    )
+    instrumented = streaming_quality_metrics(
+        stream, "quality", [("positive", "v"), ("not_null", "v")]
+    )
+    sink = f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        instrumented.groupBy().count()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    audits = [
+        p["observedMetrics"]["quality"]
+        for p in q.recentProgress
+        if p["observedMetrics"]
+    ]
+    assert sum(a["n_rows"] for a in audits) == 6
+    # -2.0, NULL, -6.0 violate positive; NULL violates not_null
+    assert sum(a["positive(v)"] for a in audits) == 3
+    assert sum(a["not_null(v)"] for a in audits) == 1
+
+    with pytest.raises(ValueError):
+        streaming_quality_metrics(stream, "x", [("unique", "id")])
