@@ -2600,3 +2600,104 @@ def user_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").alias("last_cents"),
         )
     )
+
+
+@register(
+    "referential_integrity_report",
+    None,
+    doc="Cross-table data quality: orphaned-foreign-key counts for "
+    "every edge of the star schema (lineitem->orders/part/supplier, "
+    "orders->customer), each edge one anti-join against the DISTINCT "
+    "key set of the parent (the anti-join probes a distinct-key "
+    "build side - parent tables are never scanned twice at full "
+    "width). The row-per-edge report is the multi-table complement of "
+    "events_quality_report's single-table rules. All integers, "
+    "hash-exact. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS edge,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    """,
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(child, child_key, parent, parent_key, edge):
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(parent_key).distinct()
+        n = c.join(
+            p, c[child_key] == p[parent_key], "left_anti"
+        ).agg(F.count("*").alias("orphans"))
+        return n.select(F.lit(edge).alias("edge"), "orphans")
+
+    edges = [
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem.l_orderkey -> orders"),
+        orphans("lineitem", "l_partkey", "part", "p_partkey",
+                "lineitem.l_partkey -> part"),
+        orphans("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                "lineitem.l_suppkey -> supplier"),
+        orphans("orders", "o_custkey", "customer", "c_custkey",
+                "orders.o_custkey -> customer"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+@register(
+    "returnflag_melt_roundtrip",
+    None,
+    doc="Native unpivot (Spark 4 DataFrame.unpivot / melt): the "
+    "returnflag pivot table melted back to long form - pivot and "
+    "unpivot are inverse reshapes, so the melted rows must equal the "
+    "plain groupBy aggregation the pivot started from (minus the "
+    "fillna zeros the pivot fabricated, filtered out to make the "
+    "inverse exact). Covers the official wide-to-long API the "
+    "expectations module hand-rolls with stack(). Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS qty_e2
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def returnflag_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    statuses = ["F", "O"]
+    wide = (
+        l.select("l_returnflag", "l_linestatus", qty_e2.alias("q"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", statuses)
+        .agg(F.sum("q"))
+        .fillna(0)
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=statuses,
+            variableColumnName="l_linestatus",
+            valueColumnName="qty_e2",
+        )
+        .filter(F.col("qty_e2") != 0)  # drop the pivot's fabricated zeros
+        .select("l_returnflag", "l_linestatus", F.col("qty_e2").cast("long"))
+    )
