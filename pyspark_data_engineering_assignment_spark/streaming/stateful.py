@@ -358,3 +358,88 @@ def running_spend_anomalies(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_CDC_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("last_op", StringType(), True),
+        StructField("last_ts_micros", LongType(), True),
+        StructField("last_cents", LongType(), True),
+    ]
+)
+_CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_micros", LongType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("op", StringType(), True),
+        StructField("cents", LongType(), True),
+    ]
+)
+
+
+def cdc_apply_stream(
+    changes: DataFrame,
+    key_col: str,
+    ts_micros_col: str,
+    seq_col: str,
+    op_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Streaming CDC apply: keyed last-writer-wins state over an
+    insert/upsert/delete change feed - the streaming twin of the batch
+    ``user_cdc_state`` window query. Per key the state is ONE winning
+    row (ts, seq, op, cents); each batch's rows compete against it on
+    the (ts, seq) total order, out-of-order and replayed deliveries
+    lose to a newer winner, and a winning delete is held as a TOMBSTONE
+    (emitted with op='delete') rather than dropped - dropping state
+    would let an older replayed upsert resurrect the key, the classic
+    CDC-apply bug. Each batch emits every touched key's current state;
+    downstream filters tombstones. State size is exactly one row per
+    live key, sharded by the groupBy hash."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        best = None  # (ts, seq, op, cents)
+        for row in pdf.itertuples(index=False):
+            cand = (
+                int(row.ts_micros),
+                int(row.seq),
+                str(row.op),
+                None if pd.isna(row.cents) else int(row.cents),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if state.exists:
+            ts, seq, op, cents = state.get
+            if (ts, seq) > (best[0], best[1]):
+                best = (ts, seq, op, cents)
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "last_op": [best[2]],
+                "last_ts_micros": [best[0]],
+                "last_cents": [best[3]],
+            }
+        )
+
+    return (
+        changes.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_micros_col).cast("long").alias("ts_micros"),
+            F.col(seq_col).cast("long").alias("seq"),
+            F.col(op_col).cast("string").alias("op"),
+            F.col(cents_col).cast("long").alias("cents"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_CDC_OUT_SCHEMA,
+            stateStructType=_CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
