@@ -2701,3 +2701,72 @@ def returnflag_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty_e2") != 0)  # drop the pivot's fabricated zeros
         .select("l_returnflag", "l_linestatus", F.col("qty_e2").cast("long"))
     )
+
+
+@register(
+    "flat_sales_export",
+    None,
+    doc="Feature-store denormalization: the full star flattened in one "
+    "pass - lineitem joined to orders, customer, customer-nation, "
+    "region, supplier, supplier-nation and part (7 joins), then "
+    "checksummed per (region, brand) to keep the proof compact. The "
+    "ONE fact-fact join (lineitem x orders) shuffles on its key; every "
+    "true dimension broadcasts, so the flattened fact stream never "
+    "re-shuffles after that - the plan shape a 100 TB flat-table "
+    "export must have, pinned in test_plan_hygiene. Driver-window "
+    "neutral (local_oracle).",
+    local_oracle="""
+    SELECT r.r_name AS region, p.p_brand AS brand,
+           count(*) AS n_rows,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+           count(DISTINCT o.o_custkey) AS n_customers,
+           count(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    rev_e4 = (
+        F.col("l_extendedprice").cast(DEC)
+        * (1 - F.col("l_discount").cast(DEC))
+        * 10000
+    ).cast("long")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = n.select(F.col("n_nationkey").alias("s_nk"))
+    flat = (
+        # orders is a FACT (scales with lineitem): shuffled equi-join,
+        # never broadcast - the dims below are the broadcast side
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r["r_regionkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+    )
+    return flat.groupBy(
+        F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rev_e4).cast("long").alias("revenue_e4"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )

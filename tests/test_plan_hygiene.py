@@ -354,3 +354,12 @@ def test_scd2_windows_share_one_exchange(simple_plans):
     second sort is fine, a second shuffle is not)."""
     p = simple_plans["user_status_scd2"]
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_flat_export_broadcasts_all_dims(plans, simple_plans):
+    """flat_sales_export: 6 dimension joins broadcast; hash exchanges
+    are only the lineitem x orders fact join's two sides + the final
+    aggregate (<= 3)."""
+    assert plans["flat_sales_export"].count("BroadcastHashJoin") >= 6
+    p = simple_plans["flat_sales_export"]
+    assert p.count("Exchange hashpartitioning") <= 3, p
