@@ -36,6 +36,7 @@ REFERENCE_SF01_SECONDS = {
     # cost (2000 vectors) - see operators/clustering.py
     "embedding_kmeans_cells": 12.42,
     "minhash_lsh_neardup": 4.58,  # md5 audit mode: the oracle-exact config
+    "flat_sales_export": 2.60,  # two countDistincts over the flat star
     "ann_ivf_topk": 3.99,
     "corpus_curation_funnel": 3.19,
     "doc_contamination_screen": 3.16,
