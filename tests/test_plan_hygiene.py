@@ -363,3 +363,17 @@ def test_flat_export_broadcasts_all_dims(plans, simple_plans):
     assert plans["flat_sales_export"].count("BroadcastHashJoin") >= 6
     p = simple_plans["flat_sales_export"]
     assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_ri_report_keeps_anti_joins(plans):
+    """referential_integrity_report: all four FK edges stay LeftAnti
+    probes (never a full outer + null filter)."""
+    assert plans["referential_integrity_report"].count("LeftAnti") >= 4
+
+
+def test_cdc_state_single_window_exchange(simple_plans):
+    """user_cdc_state: last-writer-wins is ONE window shuffle on
+    user_id; WindowGroupLimit should bound the per-key sort."""
+    p = simple_plans["user_cdc_state"]
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "WindowGroupLimit" in p or "Window" in p
