@@ -1599,3 +1599,58 @@ def doc_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
     )
+
+
+@register(
+    "doc_prefix_editdist_pairs",
+    None,
+    doc="Edit-distance near-dup pairs - the string-metric family member "
+    "beside set-based (Jaccard), bit-based (SimHash) and hash-based "
+    "(MinHash) dedup: document prefixes (first 5 tokens) compared by "
+    "levenshtein <= 5 within first-token buckets. The bucket key "
+    "bounds the quadratic verify exactly like the capped Jaccard "
+    "query; levenshtein itself is a JVM builtin with a DuckDB twin, "
+    "so the pair set and distances are hash-exact. At 100 TB the "
+    "bucket would be a (token, length-band) composite to keep the "
+    "blow-up bounded; the verify cost model is identical. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string(list_slice(string_split(trim(text), ' '),
+                                          1, 5), ' ') AS prefix,
+               string_split(trim(text), ' ')[1] AS bucket
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+    FROM t a JOIN t b
+      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 5
+    """,
+)
+def doc_prefix_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("prefix"),
+        tokens(F.col("text"))[0].alias("bucket"),
+    )
+    a = t.alias("a")
+    b = t.hint("shuffle_hash").alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+    )
