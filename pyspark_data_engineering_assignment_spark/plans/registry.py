@@ -2770,3 +2770,45 @@ def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
     )
+
+
+@register(
+    "value_hour_regression_stats",
+    None,
+    doc="Sufficient statistics for correlation/regression, per event "
+    "type: n, Σx, Σy, Σxy, Σx², Σy² with x = cents and y = hour of "
+    "day - ALL integer sums, so the export is hash-exact where a "
+    "float corr() could never be (engines sum doubles in different "
+    "orders). This is how distributed ML actually fits linear models: "
+    "ship order-independent integer moments in ONE aggregation pass, "
+    "derive slope/intercept/r on the driver in constant time. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(hour(ts) AS BIGINT) AS y
+        FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2,
+           CAST(sum(y * y) AS BIGINT) AS sum_y2
+    FROM c GROUP BY 1
+    """,
+)
+def value_hour_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    x = (F.col("value").cast(DEC) * 100).cast("long")
+    y = F.hour("ts").cast("long")
+    c = e.select("event_type", x.alias("x"), y.alias("y"))
+    return c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+    )
