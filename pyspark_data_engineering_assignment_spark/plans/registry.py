@@ -2500,8 +2500,10 @@ def user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation pass (every rule is an aggregate expression; the "
     "whole report costs a single scan at any table size), unpivoted "
     "to a row per rule. Integer counts only, hash-exact - the quality "
-    "report itself is oracle-checked. Driver-window neutral "
-    "(local_oracle).",
+    "report itself is oracle-checked. The positive(event_id) rule "
+    "INTENTIONALLY fails (event ids start at 0): a report where every "
+    "rule passes proves nothing about the failure path. Driver-window "
+    "neutral (local_oracle).",
     local_oracle="""
     WITH agg AS (
         SELECT count(*) AS n_rows,
