@@ -213,3 +213,21 @@ def test_interval_left_outer_join_emits_unmatched_after_watermark(
 
     assert run(streaming=False) == EXPECTED_OUTER
     assert run(streaming=True) == EXPECTED_OUTER
+
+
+def test_interval_right_outer_batch_semantics(spark, tmp_path):
+    """rightOuter: clicks with no purchase within the hour emit
+    null-padded (batch mode pins the semantics; the streaming path
+    shares the watermark mechanics with leftOuter)."""
+    cdir, bdir = str(tmp_path / "c2"), str(tmp_path / "b2")
+    _write(cdir, pd.DataFrame(CLICKS, columns=["user", "click_ts", "click_id"]))
+    _write(bdir, pd.DataFrame(BUYS, columns=["user", "buy_ts", "amount"]))
+    clicks = spark.read.csv(cdir, header=True, schema=CLICK_SCHEMA)
+    buys = spark.read.csv(bdir, header=True, schema=BUY_SCHEMA)
+    joined = interval_join_streams(
+        buys, clicks, ["user"], "buy_ts", "click_ts",
+        max_lag="1 hour", how="rightOuter",
+    ).select("click_id", "amount")
+    got = {(r["click_id"], r["amount"]) for r in joined.collect()}
+    # click 1 attributed (5.0); click 3 attributed (11.0); click 2 unmatched
+    assert got == {(1, 5.0), (3, 11.0), (2, None)}
