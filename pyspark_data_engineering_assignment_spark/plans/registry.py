@@ -2814,3 +2814,94 @@ def value_hour_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
     )
+
+
+@register(
+    "value_histogram",
+    None,
+    doc="Fixed-width histogram via width_bucket (50 bins over [0, 500) "
+    "+ overflow bins 0/51): the single-pass distribution profile that "
+    "precedes any schema-on-read numeric column at scale - one "
+    "hash-agg shuffle of at most 52 rows, vs the sort a percentile "
+    "would cost. DuckDB has no width_bucket, so the oracle applies "
+    "the SQL-standard closed form (floor(v*nb/(hi-lo))+1 with "
+    "under/overflow bins) - verified bin-identical to Spark's builtin "
+    "over every SF's actual values. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 500 THEN 51
+                     ELSE floor(value * 50 / 500) + 1 END AS BIGINT) AS bin,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.width_bucket(F.col("value"), F.lit(0), F.lit(500), F.lit(50))
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "event_burst_compaction",
+    None,
+    doc="Proximity dedup / burst compaction: repeated (user, type) "
+    "events within 5 minutes of the PREVIOUS KEPT event collapse to "
+    "their first occurrence - the telemetry compactor that turns "
+    "retry storms into single facts. Burst boundaries are "
+    "gaps-and-islands (gap > 5 min starts a burst; running sum of "
+    "boundary markers = burst id), so 'relative to last kept' - which "
+    "looks iterative - is two stacked windows on ONE (user, type) "
+    "partitioning. Output: one row per burst with its size. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH g AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_burst
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    b AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS burst_id
+        FROM g
+    )
+    SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+           min(ts) AS first_ts, CAST(min(event_id) AS BIGINT) AS keeper_event,
+           count(*) AS n_collapsed
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def event_burst_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_over = (
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    )
+    new_burst = F.when(
+        F.lag("ts").over(w).isNull() | (gap_over > 300), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("new_burst", new_burst)
+        .withColumn("burst_id", F.sum("new_burst").over(wsum).cast("long"))
+        .groupBy("user_id", "event_type", "burst_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min("event_id").cast("long").alias("keeper_event"),
+            F.count("*").alias("n_collapsed"),
+        )
+    )
