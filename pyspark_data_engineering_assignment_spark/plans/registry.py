@@ -2905,3 +2905,94 @@ def event_burst_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_collapsed"),
         )
     )
+
+
+@register(
+    "purchase_attribution_linear",
+    None,
+    doc="Linear multi-touch attribution, integer-exact: every purchase "
+    "splits its cents equally across the SAME USER's clicks in the "
+    "preceding hour, remainder cents to the EARLIEST touch so credit "
+    "sums reconcile to revenue TO THE CENT (floating splits never "
+    "re-total). Shape: an interval join (purchase x prior clicks "
+    "within the bound - the stream-stream join's batch twin) -> "
+    "per-purchase touch count window -> div/pmod credit split -> "
+    "per-click credit rollup. Purchases with no touch in the window "
+    "fall out (unattributed), counted by the caller via anti join. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.cents, c.click_id, c.cts,
+               count(*) OVER (PARTITION BY p.purchase_id) AS n_touches,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.cts, c.click_id) AS touch_rank
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.cts < p.pts
+         AND c.cts >= p.pts - INTERVAL 1 HOUR
+    ),
+    credited AS (
+        SELECT click_id,
+               (cents - (((cents % n_touches) + n_touches) % n_touches))
+                   // n_touches
+               + CASE WHEN touch_rank = 1
+                      THEN ((cents % n_touches) + n_touches) % n_touches
+                      ELSE 0 END AS credit_cents
+        FROM touches
+    )
+    SELECT click_id, CAST(sum(credit_cents) AS BIGINT) AS credit_cents,
+           count(*) AS n_purchases_touched
+    FROM credited GROUP BY 1
+    """,
+)
+def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        cents.alias("cents"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    touches = p.join(
+        c,
+        on=[
+            F.col("p_user") == F.col("c_user"),
+            F.col("cts") < F.col("pts"),
+            F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"),
+        ],
+    )
+    wc = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("cts", "click_id")
+    # exact floor-div + positive-mod remainder (cents are non-negative,
+    # but the construction matches the repo-wide floor-div convention)
+    base = F.expr("(cents - pmod(cents, n_touches)) div n_touches")
+    rem = F.expr("pmod(cents, n_touches)")
+    credited = (
+        touches.withColumn("n_touches", F.count("*").over(wc))
+        .withColumn("touch_rank", F.row_number().over(wr))
+        .select(
+            "click_id",
+            (
+                base + F.when(F.col("touch_rank") == 1, rem).otherwise(0)
+            ).alias("credit_cents"),
+        )
+    )
+    return credited.groupBy("click_id").agg(
+        F.sum("credit_cents").cast("long").alias("credit_cents"),
+        F.count("*").alias("n_purchases_touched"),
+    )
