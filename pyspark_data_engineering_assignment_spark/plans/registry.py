@@ -2996,3 +2996,70 @@ def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit_cents").cast("long").alias("credit_cents"),
         F.count("*").alias("n_purchases_touched"),
     )
+
+
+@register(
+    "value_winsorized_stats",
+    None,
+    doc="Winsorized (robust) statistics per event type: cents clamped "
+    "into the type's exact [p10, p90] rank-based band, then "
+    "integer-summed - the outlier-trimmed mean ingredients that "
+    "survive cross-engine where a trimmed float mean cannot. "
+    "Thresholds are EXACT percentiles (cume_dist <= q boundary "
+    "values, the registry's standard rank-based path), computed in "
+    "one window pass and joined back as a per-type broadcast; the "
+    "clamp is elementwise; sums are BIGINT. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               cume_dist() OVER (PARTITION BY event_type
+                                 ORDER BY cents) AS cd
+        FROM c
+    ),
+    bounds AS (
+        SELECT event_type,
+               min(CASE WHEN cd >= 0.10 THEN cents END) AS lo,
+               min(CASE WHEN cd >= 0.90 THEN cents END) AS hi
+        FROM ranked GROUP BY 1
+    )
+    SELECT c.event_type, count(*) AS n,
+           CAST(b.lo AS BIGINT) AS p10_cents,
+           CAST(b.hi AS BIGINT) AS p90_cents,
+           CAST(sum(greatest(b.lo, least(b.hi, c.cents))) AS BIGINT)
+               AS winsorized_sum_cents
+    FROM c JOIN bounds b ON c.event_type = b.event_type
+    GROUP BY 1, 3, 4
+    """,
+)
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    c = e.select("event_type", cents.alias("cents"))
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    ranked = c.withColumn("cd", F.cume_dist().over(wr))
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("cd") >= 0.10, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cd") >= 0.90, F.col("cents"))).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
+    return (
+        c.join(F.broadcast(bounds), on="event_type")
+        .groupBy(
+            "event_type",
+            F.col("lo").cast("long").alias("p10_cents"),
+            F.col("hi").cast("long").alias("p90_cents"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(clamped).cast("long").alias("winsorized_sum_cents"),
+        )
+        .select(
+            "event_type", "n", "p10_cents", "p90_cents", "winsorized_sum_cents"
+        )
+    )
