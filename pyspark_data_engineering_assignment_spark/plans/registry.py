@@ -3063,3 +3063,58 @@ def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "p10_cents", "p90_cents", "winsorized_sum_cents"
         )
     )
+
+
+@register(
+    "value_drift_bins",
+    None,
+    doc="Distribution drift ingredients (the PSI table): the value "
+    "histogram computed separately for the stream's early and late "
+    "halves - split at the exact midpoint of the observed time range "
+    "(integer epoch-micros arithmetic, a two-row broadcast bound "
+    "aggregate) - emitting per-bin (n_early, n_late) INTEGER counts. "
+    "The population-stability-index fold (sum of (pa-pb)*ln(pa/pb)) "
+    "is driver-side constant-time float math over these counts; "
+    "shipping counts instead of the PSI keeps the export hash-exact "
+    "and lets monitoring recompute any divergence metric (PSI, KL, "
+    "chi-square) without another scan. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    ),
+    c AS (
+        SELECT CAST(CASE WHEN value < 0 THEN 0
+                         WHEN value >= 500 THEN 51
+                         ELSE floor(value * 50 / 500) + 1 END AS BIGINT)
+                   AS bin,
+               CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 0 END AS early
+        FROM events, bounds b
+    )
+    SELECT bin,
+           CAST(sum(early) AS BIGINT) AS n_early,
+           CAST(sum(1 - early) AS BIGINT) AS n_late
+    FROM c GROUP BY 1
+    """,
+)
+def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # integer midpoint (div, not float /: micros sums sit near the
+    # 2^53 double-exactness cliff - keep the arithmetic in BIGINT)
+    mid = e.agg(
+        F.min(F.unix_micros("ts")).alias("_lo"),
+        F.max(F.unix_micros("ts")).alias("_hi"),
+    ).select(F.expr("(_lo + _hi) div 2").alias("mid"))
+    binned = e.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("value") < 0, 0)
+        .when(F.col("value") >= 500, 51)
+        .otherwise(F.floor(F.col("value") * 50 / 500) + 1)
+        .cast("long")
+        .alias("bin"),
+        F.when(F.unix_micros("ts") <= F.col("mid"), 1).otherwise(0).alias("early"),
+    )
+    return binned.groupBy("bin").agg(
+        F.sum("early").cast("long").alias("n_early"),
+        F.sum(1 - F.col("early")).cast("long").alias("n_late"),
+    )
