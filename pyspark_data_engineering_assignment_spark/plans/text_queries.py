@@ -140,8 +140,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT doc_id,
                list_distinct(string_split(trim(text), ' ')) AS toks,
-               string_split(trim(text), ' ')[1] || ' ' ||
-                   COALESCE(string_split(trim(text), ' ')[2], '') AS bucket
+               string_split(trim(text), ' ')[1] AS bucket
         FROM documents
     ),
     capped AS (
