@@ -3118,3 +3118,65 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("early").cast("long").alias("n_early"),
         F.sum(1 - F.col("early")).cast("long").alias("n_late"),
     )
+
+
+@register(
+    "user_spend_drawdown",
+    None,
+    doc="Per-user maximum drawdown of cumulative spend: running-peak "
+    "minus running-total, maximized - NESTED running windows (a "
+    "running max OVER a running sum) on one user_id partitioning, "
+    "the risk-analytics window mechanic the simpler cumulative "
+    "queries don't exercise. Cents arithmetic throughout; with "
+    "non-negative spends the drawdown is trivially 0, so the series "
+    "is SIGNED: purchases add, refund-like error events subtract - "
+    "giving a real peak-to-trough number. One shuffle; both windows "
+    "and the final aggregate reuse it. Driver-window neutral "
+    "(local_oracle).",
+    local_oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN -1 ELSE 1 END
+               * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta
+        FROM events
+    ),
+    c1 AS (
+        SELECT user_id, ts, event_id, sum(delta) OVER w AS bal
+        FROM s
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+        SELECT user_id, bal, max(bal) OVER w AS peak
+        FROM c1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents
+    FROM c GROUP BY 1
+    """,
+)
+def user_spend_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "error", -1).otherwise(1)
+        * (F.col("value").cast(DEC) * 100).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        e.select("user_id", "ts", "event_id", delta.alias("delta"))
+        .withColumn("bal", F.sum("delta").over(w))
+        .withColumn("peak", F.max("bal").over(w))
+    )
+    return c.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("bal"))
+        .cast("long")
+        .alias("max_drawdown_cents"),
+        F.max("peak").cast("long").alias("peak_cents"),
+    )
