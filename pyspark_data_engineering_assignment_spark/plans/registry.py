@@ -3180,3 +3180,45 @@ def user_spend_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown_cents"),
         F.max("peak").cast("long").alias("peak_cents"),
     )
+
+
+@register(
+    "user_top_spend_days_ties",
+    None,
+    doc="Top spending day per user WITH TIES: rank() (not row_number) "
+    "keeps every day tied at the maximum - the keep-all-ties top-k "
+    "semantics the deterministic-tie-break queries deliberately avoid, "
+    "here exercised on integer cents so tie detection is exact (float "
+    "daily sums would tie or not depending on engine addition order). "
+    "Day-grain aggregate then one window on the user partitioning. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day, cents
+    FROM (SELECT *, rank() OVER (PARTITION BY user_id
+                                 ORDER BY cents DESC) AS rk
+          FROM daily) r
+    WHERE rk = 1
+    """,
+)
+def user_top_spend_days_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    daily = (
+        e.select("user_id", F.to_date("ts").alias("day"), cents.alias("c"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cents").desc())
+    return (
+        daily.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        # day as ISO string: pandas widens DATE to midnight timestamps
+        # on one engine but not the other, so the hash compares strings
+        .select("user_id", F.col("day").cast("string").alias("day"), "cents")
+    )
