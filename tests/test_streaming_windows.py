@@ -140,3 +140,68 @@ def test_append_mode_emits_closed_windows_and_drops_late(spark, tmp_path):
         ("2024-01-01 10:00:00", "x", 1, 100),    # late 16.00 NOT counted
         ("2024-01-01 12:00:00", "x", 2, 4000),   # 12:05 + 12:30
     ]
+
+
+@pytest.mark.slow
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    """Native session_window on a stream (complete mode) == the same
+    operator in batch mode over the same rows - merging sessions across
+    micro-batch boundaries is exactly the state machine this verifies,
+    so the feed is chunked mid-session (by event id, not time)."""
+    import os
+    import time as _time
+    import uuid
+
+    import pandas as pd
+
+    from pyspark_data_engineering_assignment_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark_data_engineering_assignment_spark.streaming.windows import (
+        session_windowed_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev = ev.sort_values("event_id")[["event_id", "ts", "user_id", "value"]]
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    now = _time.time()
+    step = (len(ev) + 3) // 4
+    for i in range(4):
+        p = os.path.join(src, f"c{i}.csv")
+        ev.iloc[i * step : (i + 1) * step].to_csv(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.format("csv").option("header", "true")
+        .schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_windowed_events(stream, "30 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    def keyed(rows):
+        return {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["n_events"],
+                r["total_value_cents"],
+            )
+            for r in rows
+        }
+
+    streamed = keyed(spark.table(sink).collect())
+    batch = keyed(
+        session_windowed_events(
+            load_table(spark, sf, "events"), "30 minutes"
+        ).collect()
+    )
+    assert streamed == batch
