@@ -443,3 +443,67 @@ def cdc_apply_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_EXPIRING_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("expired", LongType(), True),
+    ]
+)
+_EXPIRING_STATE_SCHEMA = StructType([StructField("n", LongType(), True)])
+
+
+def expiring_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ttl_minutes: int = 60,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Keyed running counts whose state EXPIRES by event time: a key
+    idle for ``ttl_minutes`` past the watermark emits one final row
+    (expired=1) and its state is removed - the eviction discipline
+    every custom stateful operator needs at 100 TB, where 'keep state
+    for every key ever seen' (what running_pair_counts legitimately
+    does for the reference's cumulative semantics) is a memory leak
+    for unbounded key domains. Uses EventTimeTimeout: deterministic
+    under replay because expiry is driven by the watermark, not wall
+    clock - an availableNow drain with a late flush row expires
+    everything before it reproducibly (pinned in tests)."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "expired": [1]}
+            )
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        n = (state.get[0] if state.exists else 0) + len(pdf)
+        state.update((n,))
+        # ttl measured from this batch's newest event for the key
+        # (the Python GroupState API takes one absolute ms timestamp)
+        newest_ms = int(pdf["_ts"].astype("datetime64[ms]").astype("int64").max())
+        state.setTimeoutTimestamp(newest_ms + ttl_minutes * 60_000)
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "expired": [0]})
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).alias("_ts"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EXPIRING_OUT_SCHEMA,
+            stateStructType=_EXPIRING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import uuid
 
+import pytest
+
 import pandas as pd
 
 from pyspark_data_engineering_assignment_spark.schemas import TRANSACTION_SCHEMA
@@ -463,3 +465,74 @@ def test_running_spend_anomalies_stream_equals_batch_window(spark, tmp_path):
     }
     assert stream_flagged == batch_flagged
     assert batch_flagged  # spikes guarantee a non-vacuous comparison
+
+
+@pytest.mark.slow
+def test_event_time_ttl_expires_idle_keys(spark, tmp_path):
+    """expiring_counts: a key idle for ttl past the watermark emits its
+    final count with expired=1 and its state is REMOVED (re-appearing
+    later restarts from zero) - eviction driven by event time, so the
+    drain is deterministic."""
+    import os
+    import time as _time
+    import uuid
+
+    import pandas as pd
+
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        expiring_counts,
+    )
+
+    rows_by_file = [
+        # t=0: key a twice, key b once
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:01:00"),
+         ("b", "2024-01-01 10:00:00")],
+        # +30min: b active again; a idle
+        [("b", "2024-01-01 10:30:00")],
+        # +3h flush: advances the watermark past everyone's ttl
+        [("c", "2024-01-01 13:00:00")],
+        # next trigger: timeouts FIRE for a and b here (a key with data
+        # in the same trigger would take the data path instead - Spark's
+        # timeout contract - so this batch carries only filler key d)
+        [("d", "2024-01-01 13:05:00")],
+        # a RE-APPEARS after expiry: must restart from zero
+        [("a", "2024-01-01 13:10:00")],
+    ]
+    src = str(tmp_path / "ttl_in")
+    os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate(rows_by_file):
+        p = os.path.join(src, f"c{i}.csv")
+        pd.DataFrame(rows, columns=["k", "ts"]).to_csv(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.format("csv").option("header", "true")
+        .schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    sink = f"ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        expiring_counts(stream, "k", "ts", ttl_minutes=60,
+                        watermark_delay="10 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    import pyspark.sql.functions as F
+    emitted = [
+        (r["key"], r["n_events"], r["expired"])
+        for r in spark.table(sink)
+        .withColumn("_i", F.monotonically_increasing_id())
+        .orderBy("_i")
+        .collect()
+    ]
+    # a and b must each expire exactly once, with their final pre-idle counts
+    assert emitted.count(("a", 2, 1)) == 1, emitted
+    assert emitted.count(("b", 2, 1)) == 1, emitted
+    # a's post-expiry re-appearance restarted from zero
+    assert ("a", 1, 0) in emitted[-2:] or ("a", 1, 0) in emitted, emitted
+    assert ("a", 3, 0) not in emitted, emitted  # state really was removed
