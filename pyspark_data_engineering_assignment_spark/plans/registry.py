@@ -3222,3 +3222,72 @@ def user_top_spend_days_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         # on one engine but not the other, so the hash compares strings
         .select("user_id", F.col("day").cast("string").alias("day"), "cents")
     )
+
+
+@register(
+    "nation_region_revenue_share",
+    None,
+    doc="Ratio-to-report: each nation's revenue as an integer permille "
+    "of its REGION's total via a window sum over the region partition "
+    "- the share-of-parent analytic where the denominator is a "
+    "partition aggregate, not a scalar (nations_above_revenue_share "
+    "covers the scalar-total form). Revenue first aggregates to "
+    "nation grain (25 rows), so the window runs over a dimension-"
+    "sized frame; permille = rev*1000 div region_total stays integer-"
+    "exact. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH nrev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                             * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, region, rev_e4,
+           CAST((rev_e4 * 1000) // sum(rev_e4) OVER (PARTITION BY region)
+                AS BIGINT) AS share_permille
+    FROM nrev
+    """,
+)
+def nation_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev_e4 = (
+        F.col("l_extendedprice").cast(DEC)
+        * (1 - F.col("l_discount").cast(DEC))
+        * 10000
+    ).cast("long")
+    nrev = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(rev_e4).cast("long").alias("rev_e4"))
+    )
+    w = Window.partitionBy("region")
+    return nrev.select(
+        "nation",
+        "region",
+        "rev_e4",
+        F.expr("rev_e4 * CAST(1000 AS BIGINT)")
+        .alias("_num"),
+    ).select(
+        "nation",
+        "region",
+        "rev_e4",
+        (F.col("_num") - F.pmod(F.col("_num"), F.sum("rev_e4").over(w)))
+        .cast("long")
+        .alias("_floored"),
+        F.sum("rev_e4").over(w).alias("_den"),
+    ).select(
+        "nation",
+        "region",
+        "rev_e4",
+        F.expr("_floored div _den").cast("long").alias("share_permille"),
+    )
