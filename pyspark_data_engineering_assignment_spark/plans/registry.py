@@ -3291,3 +3291,83 @@ def nation_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_e4",
         F.expr("_floored div _den").cast("long").alias("share_permille"),
     )
+
+
+@register(
+    "activity_dow_hour_heatmap",
+    None,
+    doc="Calendar seasonality profile: activity and cents by (ISO "
+    "day-of-week, hour) - the load-shape heatmap capacity planning "
+    "reads before sizing a cluster's autoscaling bands. dayofweek is "
+    "the one calendar extractor the registry hadn't exercised; "
+    "weekday() (0=Monday) is used because Spark's dayofweek() is "
+    "Sunday-based while DuckDB's ISO dow is Monday-based - the "
+    "convention mismatch every cross-engine calendar query must pick "
+    "a side on explicitly. One hash-agg to <= 168 rows. "
+    "Driver-window neutral (local_oracle).",
+    local_oracle="""
+    SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow_mon0,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def activity_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    return (
+        e.select(
+            F.weekday("ts").cast("long").alias("dow_mon0"),
+            F.hour("ts").cast("long").alias("hour"),
+            cents.alias("c"),
+        )
+        .groupBy("dow_mon0", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("c").cast("long").alias("cents"),
+        )
+    )
+
+
+@register(
+    "null_safe_category_join",
+    None,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): error "
+    "events get a NULL category (nullif), and the join to the "
+    "category reference STILL matches the NULL row to the reference's "
+    "NULL entry - the semantics a plain equi-join silently drops "
+    "(NULL = NULL is NULL, and at 100 TB those dropped rows are an "
+    "unnoticed data loss, not an error). EqualNullSafe keys also "
+    "hash-partition normally, so the plan is a standard broadcast "
+    "join, not a nested loop. Driver-window neutral (local_oracle).",
+    local_oracle="""
+    WITH cat AS (
+        SELECT nullif(event_type, 'error') AS category, count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    ref AS (
+        SELECT * FROM (VALUES ('click', 10), ('purchase', 20),
+                              ('signup', 30), ('view', 40),
+                              (NULL, -1)) AS t(category, weight)
+    )
+    SELECT cat.category, cat.n_events, CAST(ref.weight AS BIGINT) AS weight
+    FROM cat JOIN ref ON cat.category IS NOT DISTINCT FROM ref.category
+    """,
+)
+def null_safe_category_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cat = (
+        e.select(F.nullif(F.col("event_type"), F.lit("error")).alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n_events"))
+    )
+    ref = e.sparkSession.createDataFrame(
+        [("click", 10), ("purchase", 20), ("signup", 30), ("view", 40),
+         (None, -1)],
+        "category string, weight long",
+    )
+    return cat.join(
+        F.broadcast(ref), cat["category"].eqNullSafe(ref["category"])
+    ).select(cat["category"], "n_events", F.col("weight").cast("long"))
