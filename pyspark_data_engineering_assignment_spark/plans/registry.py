@@ -345,7 +345,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left").select(
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "left").select(
         "o_orderkey",
         "o_custkey",
         F.coalesce(F.col("c_name"), F.lit("UNKNOWN")).alias("customer_name"),
@@ -729,9 +729,11 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="TPC-H Q14/Q17 shape over the part dimension: selective dim "
-    "filter pushed to the part scan, broadcast fact-dim join, fixed-point "
-    "revenue aggregation. Covers the one driver table no other query "
-    "touched.",
+    "filter pushed to the part scan, fixed-point revenue aggregation. "
+    "part scales linearly with sf (unlike nation/region), so it gets "
+    "NO broadcast hint - AQE broadcasts it at small sf from measured "
+    "size and falls back to a shuffled join at scale. Covers the one "
+    "driver table no other query touched.",
 )
 def brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -743,7 +745,7 @@ def brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type")
         .agg(
             F.count("*").alias("n_items"),
@@ -1375,8 +1377,11 @@ def event_reach_setops_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair - lineitem x orders fact-fact join with TWO independent "
     "dimension chains (supplier->nation, customer->nation via orders), "
     "filtered to the pair in both directions, grouped by (supp_nation, "
-    "cust_nation, ship_year). All four dimensions broadcast; the only "
-    "big shuffle is the fact-fact join. Revenue fixed-pointed to e4 "
+    "cust_nation, ship_year). The nation aliases (25 rows, fixed "
+    "cardinality) broadcast by hint; customer and supplier scale with "
+    "sf so they carry NO hint - AQE picks broadcast vs shuffle from "
+    "measured size. The only guaranteed big shuffle is the fact-fact "
+    "join. Revenue fixed-pointed to e4 "
     "BIGINT per the registry convention. Driver-window neutral "
     "(local_oracle).",
     local_oracle="""
@@ -1426,9 +1431,9 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .filter(pair)
         .groupBy(
@@ -1480,7 +1485,7 @@ def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .select(
             "c_custkey",
             "o_orderkey",
@@ -1767,8 +1772,9 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier (EXISTS -> semi join on orderkey, suppkey <>) where NO "
     "other supplier returned (NOT EXISTS -> anti join on orderkey, "
     "suppkey <>). All three order-grained inputs hash on l_orderkey so "
-    "the semi and anti joins reuse one co-partitioning; the supplier "
-    "dim broadcasts. Counts are of DISTINCT (order, supplier) pairs, "
+    "the semi and anti joins reuse one co-partitioning; supplier "
+    "scales with sf so it carries NO broadcast hint (AQE sizes that "
+    "join). Counts are of DISTINCT (order, supplier) pairs, "
     "so the result is grain-stable however lineitem splits. "
     "Driver-window neutral (local_oracle).",
     local_oracle="""
@@ -1822,7 +1828,7 @@ def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_failure.join(
-            F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"]
+            s, F.col("l_suppkey") == s["s_suppkey"]
         )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -1838,8 +1844,9 @@ def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each part's (count, sum_qty), lineitem joins back on the SAME key "
     "(the aggregate side's exchange is reused - no second shuffle of "
     "it), and the avg compare is division-free integer math "
-    "(qty_e2 * 5 * n < sum_qty_e2 is exactly qty < 0.2 * avg). The "
-    "part dim broadcasts; revenue is fixed-point cents. Driver-window "
+    "(qty_e2 * 5 * n < sum_qty_e2 is exactly qty < 0.2 * avg). part "
+    "scales with sf so it carries no broadcast hint (AQE decides); "
+    "revenue is fixed-point cents. Driver-window "
     "neutral (local_oracle).",
     local_oracle="""
     WITH pa AS (
@@ -1871,7 +1878,7 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         qty_e2 * 5 * F.col("n_li") < F.col("sum_qty_e2")
     )
     return (
-        small.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        small.join(p, F.col("l_partkey") == p["p_partkey"])
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_small"),
@@ -2198,7 +2205,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue_e4").alias("_mx"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue_e4") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue_e4")
     )
 
@@ -2712,11 +2719,14 @@ def returnflag_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass - lineitem joined to orders, customer, customer-nation, "
     "region, supplier, supplier-nation and part (7 joins), then "
     "checksummed per (region, brand) to keep the proof compact. The "
-    "ONE fact-fact join (lineitem x orders) shuffles on its key; every "
-    "true dimension broadcasts, so the flattened fact stream never "
-    "re-shuffles after that - the plan shape a 100 TB flat-table "
-    "export must have, pinned in test_plan_hygiene. Driver-window "
-    "neutral (local_oracle).",
+    "fact-fact join (lineitem x orders) shuffles on its key. Only the "
+    "FIXED-cardinality dims (nation=25, region=5) carry broadcast "
+    "hints; customer/supplier/part grow linearly with sf (customer is "
+    "~15B rows at 100 TB) so they carry NO hint - AQE broadcasts them "
+    "while they fit and switches to shuffled joins at scale, which is "
+    "the only plan contract that survives the 100 TB design point. "
+    "Pinned in test_plan_hygiene. Driver-window neutral "
+    "(local_oracle).",
     local_oracle="""
     SELECT r.r_name AS region, p.p_brand AS brand,
            count(*) AS n_rows,
@@ -2754,15 +2764,15 @@ def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sn = n.select(F.col("n_nationkey").alias("s_nk"))
     flat = (
-        # orders is a FACT (scales with lineitem): shuffled equi-join,
-        # never broadcast - the dims below are the broadcast side
+        # orders/customer/supplier/part all scale with sf: no broadcast
+        # hints (AQE sizes those joins); only nation/region are hinted
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == r["r_regionkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(p, F.col("l_partkey") == p["p_partkey"])
     )
     return flat.groupBy(
         F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
@@ -3264,7 +3274,7 @@ def nation_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 10000
     ).cast("long")
     nrev = (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))

@@ -65,8 +65,41 @@ def test_column_pruning_reaches_scan(plans):
 def test_dimension_joins_broadcast(plans):
     for name in ["revenue_by_nation", "order_enrichment", "patid1_upgrade"]:
         assert "BroadcastHashJoin" in plans[name], name
-    # the 5-way chain must not sort-merge the small dims
+    # order_enrichment joins customer WITHOUT a hint (customer scales
+    # with sf - a forced broadcast OOMs at 100 TB); at bench sf the
+    # size-based planner still picks broadcast, asserted above
     assert plans["order_enrichment"].count("SortMergeJoin") == 0
+
+
+def _hint_count(spark, name):
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def test_no_broadcast_hint_on_scaling_tables(spark, plans):
+    """customer/part/supplier row counts are proportional to sf (customer
+    is ~15B rows at 100 TB) - a broadcast HINT overrides Spark's size
+    check with no AQE safety net, so those tables must carry NO hint.
+    Pin each query's hint count to exactly its bounded inputs (nation=25,
+    region=5, scalar aggregates), and pin that the size-based planner
+    still broadcasts the small sides at bench sf (BroadcastHashJoin in
+    the physical plan) - size-adaptive, not size-assuming."""
+    expected_hints = {
+        "order_enrichment": 0,
+        "brand_type_revenue": 0,
+        "nation_pair_trade_volume": 2,  # the two nation aliases
+        "big_quantity_orders": 0,
+        "sole_failing_suppliers": 0,
+        "small_quantity_part_revenue": 0,
+        "top_revenue_suppliers": 1,  # the 1-row scalar-max aggregate
+        "flat_sales_export": 3,  # nation x2 + region
+        "nation_region_revenue_share": 2,  # nation + region
+    }
+    for name, n_hints in expected_hints.items():
+        assert _hint_count(spark, name) == n_hints, name
+        assert "BroadcastHashJoin" in plans[name], name
 
 
 def test_semi_and_anti_joins_stay_semi_anti(plans):
@@ -357,9 +390,12 @@ def test_scd2_windows_share_one_exchange(simple_plans):
 
 
 def test_flat_export_broadcasts_all_dims(plans, simple_plans):
-    """flat_sales_export: 6 dimension joins broadcast; hash exchanges
-    are only the lineitem x orders fact join's two sides + the final
-    aggregate (<= 3)."""
+    """flat_sales_export: at bench sf ALL 6 dimension joins still run as
+    broadcasts - but only nation/region get there by hint; customer,
+    supplier and part are chosen by the size-based planner (no hint, see
+    test_no_broadcast_hint_on_scaling_tables), so at 100 TB they degrade
+    gracefully to shuffled joins instead of OOMing. Hash exchanges stay
+    bounded (fact-fact join sides + final aggregate)."""
     assert plans["flat_sales_export"].count("BroadcastHashJoin") >= 6
     p = simple_plans["flat_sales_export"]
     assert p.count("Exchange hashpartitioning") <= 3, p
