@@ -233,20 +233,17 @@ def lsh_bucketed_topk(
     )
 
 
-def ivf_topk(
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
-    exclude_self: bool = True,
     train_fraction: float | None = None,
     max_iter: int = 5,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k.
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF coarse quantizer and assign the corpus - the
+    EXPENSIVE, run-once half of IVF retrieval.
 
     1. train k-means centroids on the corpus (optionally a sample -
        at 100 TB you train on ~1e6 sampled vectors, never the full set;
@@ -254,13 +251,16 @@ def ivf_topk(
        density-following cells, not converged clusters - measured at
        sf0.1: 3.6x faster fit for +0.6% training cost, same recall),
     2. assign every corpus vector to its nearest cell (one ml transform,
-       distributed),
-    3. each query ranks the (tiny, broadcast) centroid table by L2 and
-       probes its ``n_probe`` nearest cells,
-    4. hash-join queries x corpus on the cell id, cosine, window top-k.
+       distributed).
 
-    Shuffle cost ~ corpus/n_cells x n_probe per query against a hash
-    join - same shape as the LSH path but with data-adaptive buckets.
+    Returns ``(centroids, assigned)``: centroids is (cell, centroid
+    array<double>) - n_cells rows, metadata-sized; assigned is
+    (neighbor_id, cvec, cell, _cn) - the cell-partitioned corpus with
+    per-row L2 norms precomputed. Both are plain DataFrames: persist
+    them once (``persist_ivf_index``) and serve MANY query batches via
+    ``probe_ivf`` without ever re-running the fit - the real 100 TB
+    shape, where the index is built by a scheduled job and probed by
+    every retrieval request thereafter.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -274,7 +274,7 @@ def ivf_topk(
         k=n_cells, seed=seed, featuresCol="features", maxIter=max_iter
     ).fit(train)
 
-    c = (
+    assigned = (
         model.transform(corpus.withColumn("features", to_vec))
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -287,6 +287,61 @@ def ivf_topk(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
     )
+    return centroids, assigned
+
+
+def persist_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    **build_kwargs,
+) -> None:
+    """Materialize the IVF index (centroids + cell-assigned corpus) as
+    parquet under ``path``, idempotently: if the index already exists
+    the k-means fit is NOT re-run. ``load_ivf_index`` reads it back."""
+    import os
+
+    if os.path.exists(f"{path}/_SUCCESS_INDEX"):
+        return
+    centroids, assigned = build_ivf_index(corpus, **build_kwargs)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # cell-partitioned layout: a probe of n_probe cells scans only those
+    # directories (partition pruning), the on-disk analog of the hash
+    # join's bucket locality
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assigned"
+    )
+    with open(f"{path}/_SUCCESS_INDEX", "w") as fh:
+        fh.write("ok\n")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read a persisted IVF index: (centroids, assigned)."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assigned"),
+    )
+
+
+def probe_ivf(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a prebuilt IVF index - the CHEAP, run-per-request half.
+
+    3. each query ranks the (tiny, broadcast) centroid table by L2 and
+       probes its ``n_probe`` nearest cells,
+    4. hash-join queries x corpus on the cell id, cosine, window top-k.
+
+    Pure DataFrame composition over the index frames: NO pyspark.ml
+    import, no fit jobs (pinned in tests/test_similarity.py) - probing
+    never pays the training cost again. Shuffle cost ~ corpus/n_cells x
+    n_probe per query against a hash join."""
     l2sq = F.aggregate(
         F.zip_with(
             F.col("qvec").cast("array<double>"),
@@ -306,7 +361,7 @@ def ivf_topk(
         .select("query_id", "qvec", "cell")
         .withColumn("_qn", l2_norm(F.col("qvec")))
     )
-    pairs = F.broadcast(probed).join(c, on="cell")
+    pairs = F.broadcast(probed).join(assigned, on="cell")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     # norms hoisted below the join: one dot per candidate pair
@@ -320,6 +375,43 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+    train_fraction: float | None = None,
+    max_iter: int = 5,
+) -> DataFrame:
+    """One-shot IVF top-k: ``build_ivf_index`` + ``probe_ivf`` fused
+    (kept for ad-hoc/bench use; a served index persists the build half
+    once instead - see ``persist_ivf_index``)."""
+    centroids, assigned = build_ivf_index(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        seed=seed,
+        train_fraction=train_fraction,
+        max_iter=max_iter,
+    )
+    return probe_ivf(
+        centroids,
+        assigned,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
     )
 
 

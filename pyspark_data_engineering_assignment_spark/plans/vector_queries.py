@@ -336,6 +336,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, train_fraction=0.2)
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{tag}")
+
+
+@register(
+    "ann_ivf_probe_topk",
+    None,
+    doc="IVF probe over a PREBUILT, persisted index - the served-"
+    "retrieval shape. ann_ivf_topk retrains its quantizer inside every "
+    "invocation, which is the right cost model for an ad-hoc query but "
+    "the wrong one for a reused index: at 100 TB the index (centroids + "
+    "cell-assigned corpus, operators/similarity.build_ivf_index) is "
+    "built by ONE scheduled job and probed by every retrieval batch "
+    "thereafter. This entry materializes the index once per sf dir "
+    "(persist_ivf_index: idempotent, cell-partitioned parquet so a "
+    "probe's n_probe cells prune at the scan) and serves queries via "
+    "probe_ivf - pure DataFrame composition, zero pyspark.ml fit jobs "
+    "on the probe path (pinned: tests/test_similarity.py monkeypatches "
+    "KMeans.fit to raise and the probe still runs). Rows-only check; "
+    "probe==fused-path equality and recall@5 vs brute force pinned in "
+    "tests.",
+)
+def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        load_ivf_index,
+        persist_ivf_index,
+        probe_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivf_index_path(sf_dir)
+    persist_ivf_index(emb, path, train_fraction=0.2)
+    centroids, assigned = load_ivf_index(spark, path)
+    return probe_ivf(
+        centroids, assigned, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 @register(
     "label_standardized_embeddings",
     None,

@@ -1,0 +1,105 @@
+"""sf0.1 -> sf1.0 scaling sweep (SCALING.md evidence).
+
+Runs the most expensive registry queries at the bench sf AND at a 10x
+scale-up built by ``tools/scaleup.py``, reporting warm wall-time ratios.
+A linear-scaling operator on fixed cores should ratio <= ~10x; at sf0.1
+many plans are overhead-dominated (fixed per-query costs: planning, task
+launch, exchange setup), so healthy ratios land well UNDER 10. Anything
+materially over ~12x is flagged as super-linear and must be explained.
+
+Usage::
+
+    python -m pyspark_data_engineering_assignment_spark.tools.scaling_sweep \
+        [--build] [--queries name1,name2,...]
+
+``--build`` materializes the scaled dir first (idempotent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark_data_engineering_assignment_spark.plans import QUERIES
+from pyspark_data_engineering_assignment_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scratch/sf1.0"
+
+# The bench's most expensive queries (BENCH_DETAIL.json warm order) plus
+# every query whose broadcast-hint removal round 7 must smoke out, plus
+# the exact-baseline ANN (documented quadratic) as a known-shape control.
+DEFAULT_QUERIES = [
+    "minhash_lsh_neardup",
+    "flat_sales_export",
+    "sole_failing_suppliers",
+    "doc_boilerplate_shingles",
+    "rollup_lineitem_status",
+    "patid1_upgrade",
+    "simhash_neardup",
+    "doc_contamination_screen",
+    "embedding_kmeans_cells",
+    "revenue_by_nation",
+    "ann_ivf_topk",
+    "nations_above_revenue_share",
+    "nation_region_revenue_share",
+    "big_quantity_orders",
+    "pricing_summary",
+    "small_quantity_part_revenue",
+    "nation_pair_trade_volume",
+    "brand_type_revenue",
+    "ann_cosine_topk",
+    "events_props_json",
+]
+
+
+def _warm_time(spark, name: str, sf_dir: str) -> float:
+    """Noop-sink execution time of the JIT-warm second run (same protocol
+    as bench.py's warm column)."""
+    spec = QUERIES[name]
+    df = spec.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return round(elapsed, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build", action="store_true")
+    ap.add_argument("--queries", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="scaling_sweep")
+    if args.build:
+        from pyspark_data_engineering_assignment_spark.tools.scaleup import (
+            build_scaled_dir,
+        )
+
+        build_scaled_dir(spark, SRC, DST, 10)
+
+    names = args.queries.split(",") if args.queries else DEFAULT_QUERIES
+    # JVM + Arrow worker warmup (same as bench.py)
+    spark.read.parquet(f"{SRC}/lineitem.parquet").count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    rows = []
+    for name in names:
+        t_small = _warm_time(spark, name, SRC)
+        t_big = _warm_time(spark, name, DST)
+        ratio = round(t_big / t_small, 2) if t_small > 0 else float("inf")
+        rows.append(
+            {"query": name, "sf0.1_s": t_small, "sf1.0_s": t_big, "ratio": ratio}
+        )
+        print(json.dumps(rows[-1], separators=(",", ":")), flush=True)
+    print(json.dumps({"sweep": rows}, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ NONEMPTY_AT_SF0_001 = {
     "simhash_neardup",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_probe_topk",
     "label_standardized_embeddings",
 }
 

@@ -188,3 +188,68 @@ def test_ivf_beats_lsh_on_clustered_data_at_equal_probe_cost(spark):
     r_ivf = sum(len(exact[q] & ivf.get(q, set())) for q in exact) / denom
     assert r_ivf >= 0.9, f"IVF recall {r_ivf} on clustered data"
     assert r_ivf >= r_lsh + 0.15, f"IVF {r_ivf} does not beat LSH {r_lsh}"
+
+
+def test_ivf_probe_path_runs_zero_fit_jobs(spark, emb, tmp_path, monkeypatch):
+    """The build-once/probe-many contract: once the index is persisted,
+    probing launches NO k-means fit. Pin it the strong way - after the
+    build, KMeans.fit is monkeypatched to raise, and the probe path must
+    still plan AND execute, because it is pure DataFrame composition
+    over the persisted index frames."""
+    from pyspark.ml.clustering import KMeans
+
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        ivf_topk,
+        load_ivf_index,
+        persist_ivf_index,
+        probe_ivf,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    persist_ivf_index(emb, path, n_cells=8)
+    # idempotence: a second persist call must not retrain either
+    monkeypatch.setattr(
+        KMeans,
+        "fit",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("probe path ran a KMeans fit")
+        ),
+    )
+    persist_ivf_index(emb, path, n_cells=8)
+    centroids, assigned = load_ivf_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    probed = probe_ivf(centroids, assigned, queries, k=5, n_probe=4)
+    rows = probed.collect()
+    assert len(rows) == N_QUERIES * 5
+    # probe == fused path (same params, same quantizer seed): the split
+    # refactor must not change a single result
+    monkeypatch.undo()
+    fused = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, fused.collect()))
+
+
+def test_ivf_probe_registry_entry_recall(spark):
+    """ann_ivf_probe_topk (probe over the persisted sf-dir index)
+    matches the recall bar of the fused entry on the driver embeddings
+    table, and the probe plan carries no Python/ml stages."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb_t = spark.read.parquet(f"{sf}/embeddings.parquet")
+    exact = _topk_map(
+        brute_force_topk(emb_t, emb_t.filter(F.col("vec_id") < 10), k=5)
+    )
+    probed_df = QUERIES["ann_ivf_probe_topk"].fn(spark, sf)
+    approx = _topk_map(probed_df)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.5, f"probe-path recall@5 = {recall}"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed_df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
