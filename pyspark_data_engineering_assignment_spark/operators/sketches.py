@@ -115,6 +115,7 @@ def kmv_set_cardinality(
     value_col: str,
     k: int = 256,
     hex_chars: int = HEX_CHARS,
+    max_groups: int = 256,
 ) -> DataFrame:
     """Distinct-count set algebra across group pairs from MERGED sketches:
     for every unordered pair (a, b) of ``group_col`` values, estimate
@@ -131,9 +132,16 @@ def kmv_set_cardinality(
 
     Scale: the per-group sketch build is the same O(groups x k) shuffle
     as kmv_distinct_estimate; the pairing stage operates on sketches
-    only - O(pairs x k) rows, independent of raw cardinality. With G
-    groups there are G(G-1)/2 pairs: fine for enum-like group columns
-    (the use case); an unbounded group domain should pre-filter pairs.
+    only - O(pairs x k) rows, independent of raw cardinality. **The
+    pairwise output is inherently O(G^2) in the number of groups G**
+    (G(G-1)/2 pairs x up to 2k sketch rows each): right for enum-like
+    group columns (the use case), wrong for an unbounded group domain.
+    The ``max_groups`` guard (default 256 -> <= 32,640 pairs) makes
+    that bound LOUD: the sketch build counts its groups (O(G) rows,
+    already materialized for the pairing stage) and raises ValueError
+    instead of silently planning a quadratic join - callers with a
+    larger legitimate enum raise the cap consciously; callers with an
+    id-like group column get an error, not a 10^12-pair plan.
 
     Groups with fewer than k distinct hashes carry their exact set, so
     small-range pairs degrade gracefully to near-exact answers (same
@@ -170,6 +178,16 @@ def kmv_set_cardinality(
     per_group = sketch.groupBy(group_col).agg(
         F.count("*").alias("n_topk"), F.max("h").alias("kth")
     )
+    n_groups = per_group.count()  # sketch is persisted; O(G) rows
+    if n_groups > max_groups:
+        sketch.unpersist()
+        raise ValueError(
+            f"kmv_set_cardinality: {n_groups} groups would produce "
+            f"{n_groups * (n_groups - 1) // 2} pairs (O(G^2)); the "
+            f"pairwise-set-algebra output is only meaningful for "
+            f"enum-like group columns. Raise max_groups (={max_groups}) "
+            f"explicitly if the domain is genuinely this large."
+        )
     groups = per_group.select(F.col(group_col).alias("g"))
     pairs = (
         groups.alias("a")

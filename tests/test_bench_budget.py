@@ -101,3 +101,33 @@ def test_registry_queries_within_budget(spark):
         if elapsed > _budget(name):
             over.append((name, round(elapsed, 2), _budget(name)))
     assert not over, f"queries over budget (name, seconds, budget): {over}"
+
+
+@pytest.mark.slow
+def test_pricing_summary_scan_rate_floor(spark):
+    """The simplest scan-agg query's throughput is the canary for
+    session-wide decay (it went 1.17M -> 735k -> 610k rows/s over
+    rounds 3-5 before the codegen-cache root cause was found). Pin the
+    round-6 committed value as a floor: >= 850k lineitem rows/s at
+    sf0.1, min-of-3 JIT-warm runs (min, because this suite shares a
+    session with 120 other plans and GC/compilation of a NEIGHBOR must
+    not fail the canary - sustained capability is what is pinned)."""
+    sf01 = "/root/testdata/sf0.1"
+    spec = QUERIES["pricing_summary"]
+    rows = spark.read.parquet(f"{sf01}/lineitem.parquet").count()
+    df = spec.fn(spark, sf01)
+    df.write.format("noop").mode("overwrite").save()  # JIT warm
+    best = min(
+        _timed_noop(df) for _ in range(3)
+    )
+    rate = rows / best
+    assert rate >= 850_000, (
+        f"pricing_summary scan rate {rate:,.0f} rows/s < 850k floor "
+        f"(best warm {best:.3f}s over {rows:,} rows)"
+    )
+
+
+def _timed_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0

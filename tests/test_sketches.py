@@ -135,3 +135,19 @@ def test_cms_never_undercounts_and_bounds_overshoot(spark):
     for r in rows:
         assert r["freq_est"] >= r["exact_count"], r
         assert r["freq_est"] <= r["exact_count"] + slack, (r, slack)
+
+
+def test_kmv_setops_group_domain_guard(spark):
+    """The pairwise output is O(G^2) by construction; an id-like group
+    column must raise loudly instead of planning a quadratic join."""
+    import pytest
+
+    df = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("g"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="O\\(G\\^2\\)"):
+        kmv_set_cardinality(df, "g", "v", k=16, max_groups=10)
+    # raising the cap consciously unblocks the same call
+    assert kmv_set_cardinality(df, "g", "v", k=16, max_groups=64).count() == (
+        40 * 39 // 2
+    )
