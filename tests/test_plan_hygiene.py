@@ -389,6 +389,62 @@ def test_scd2_windows_share_one_exchange(simple_plans):
     assert p.count("Exchange hashpartitioning") == 1, p
 
 
+def test_registry_hint_budget(spark):
+    """Registry-wide join-hint budget: EVERY query's analyzed-plan
+    ResolvedHint count is pinned. A hint overrides the planner's size
+    check (round 7 removed nine forced broadcasts of sf-scaling
+    tables that would OOM at 100 TB), so adding one anywhere must be a
+    REVIEWED change - bump this table consciously, with the bounded-
+    cardinality argument in the query's docstring. Queries not listed
+    pin to zero. The allowed hints are broadcast of fixed-cardinality
+    inputs (nation/region, scalar/centroid/threshold/spine aggregates,
+    bounded eval slices) and shuffle_hash on LSH-family self-joins."""
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    expected = {
+        "ann_cosine_topk": 1,
+        "ann_int8_topk": 1,
+        "ann_ivf_probe_topk": 2,
+        "ann_ivf_topk": 2,
+        "ann_lsh_topk": 1,
+        "doc_contamination_screen": 1,
+        "doc_prefix_editdist_pairs": 3,
+        "doc_tfidf_topterms": 1,
+        "doc_unigram_surprisal": 2,
+        "embedding_kmeans_cells": 1,
+        "embedding_neardup": 1,
+        "event_reach_setops_kmv": 2,
+        "events_hourly_gapfill": 1,
+        "flat_sales_export": 3,
+        "minhash_lsh_neardup": 3,
+        "nation_pair_trade_volume": 2,
+        "nation_region_revenue_share": 2,
+        "nations_above_revenue_share": 3,
+        "ngram_jaccard_neardup_capped": 3,
+        "null_safe_category_join": 1,
+        "patid1_upgrade": 2,
+        "revenue_by_nation": 2,
+        "rich_inactive_customers": 1,
+        "simhash_neardup": 1,
+        "top_revenue_suppliers": 1,
+        "user_heavy_hitters_cms": 1,
+        "value_drift_bins": 1,
+        "value_winsorized_stats": 1,
+    }
+    wrong = {}
+    for name, spec in QUERIES.items():
+        got = (
+            spec.fn(spark, SF)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+            .count("ResolvedHint")
+        )
+        if got != expected.get(name, 0):
+            wrong[name] = (got, expected.get(name, 0))
+    assert not wrong, f"hint count drift (query: (got, pinned)): {wrong}"
+
+
 def test_flat_export_broadcasts_all_dims(plans, simple_plans):
     """flat_sales_export: at bench sf ALL 6 dimension joins still run as
     broadcasts - but only nation/region get there by hint; customer,
