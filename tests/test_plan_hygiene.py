@@ -469,3 +469,13 @@ def test_cdc_state_single_window_exchange(simple_plans):
     p = simple_plans["user_cdc_state"]
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "WindowGroupLimit" in p or "Window" in p
+
+
+def test_ivf_probe_scan_is_dynamically_pruned(plans):
+    """ann_ivf_probe_topk: the persisted index is cell-partitioned
+    parquet and the probe joins on cell, so Spark plants a dynamic-
+    partition-pruning filter on the index scan - a probe of n_probe
+    cells READS only those cells' files. At 100 TB this is the
+    difference between scanning 4/16ths of the corpus and all of it."""
+    p = plans["ann_ivf_probe_topk"]
+    assert "dynamicpruning" in p.lower(), p
