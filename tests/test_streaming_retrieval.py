@@ -1,0 +1,73 @@
+"""Batch==stream contract #11: a stream of query vectors probing the
+static persisted IVF index returns EXACTLY the batch probe's results.
+
+The serving shape: the index is built once (persist_ivf_index), queries
+arrive as micro-batches; each batch runs the same probe_ivf operator,
+so streamed-union == batch-all-at-once must hold row-for-row (modulo
+batch boundaries, which don't affect per-query top-k - every query is
+self-contained)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.slow
+def test_streamed_probe_equals_batch_probe(spark, tmp_path):
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        load_ivf_index,
+        persist_ivf_index,
+        probe_ivf,
+    )
+    from pyspark_data_engineering_assignment_spark.streaming.retrieval import (
+        probe_ivf_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    index_path = str(tmp_path / "index")
+    persist_ivf_index(emb, index_path, n_cells=8)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    # feed the 10 queries as 3 parquet chunks -> 3 micro-batches
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    qpd = queries.toPandas().sort_values("vec_id")
+    for i, lo in enumerate(range(0, 10, 4)):
+        qpd.iloc[lo : lo + 4].to_parquet(os.path.join(src, f"chunk{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "results")
+    probe_ivf_stream(
+        stream, index_path, out, str(tmp_path / "ckpt"), k=5, n_probe=4
+    ).awaitTermination()
+
+    centroids, assigned = load_ivf_index(spark, index_path)
+    batch = probe_ivf(centroids, assigned, queries, k=5, n_probe=4)
+    streamed = spark.read.parquet(out).select(
+        "query_id", "neighbor_id", "cos", "rank"
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # replay idempotence: re-running a batch overwrites, not appends
+    df0 = pd.read_parquet(os.path.join(src, "chunk0.parquet"))
+    replay = spark.createDataFrame(df0, schema=queries.schema)
+    probe_ivf(centroids, assigned, replay, k=5, n_probe=4).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch_id=0")
+    streamed2 = spark.read.parquet(out).select(
+        "query_id", "neighbor_id", "cos", "rank"
+    )
+    assert sorted(map(tuple, streamed2.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
