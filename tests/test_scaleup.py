@@ -1,0 +1,131 @@
+"""tools/scaleup.py correctness: the scaled dir must preserve the
+source's relational structure (else the SCALING.md sweep measures an
+artifact, not the engine).
+
+  * fact/dim tables grow exactly factor-x; nation/region stay fixed;
+  * every FK still resolves (copy i's facts reference copy i's dims) -
+    checked with the engine's own referential-integrity anti-joins;
+  * per-key group sizes are preserved (join fan-out identical);
+  * document copies are NOT near-duplicates of their source (the
+    every-4th-token tag breaks cross-copy shingles), so near-dup
+    workloads are not artificially inflated.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+from pyspark_data_engineering_assignment_spark.tools.scaleup import build_scaled_dir
+
+SRC = "/root/testdata/sf0.001"
+FACTOR = 3
+
+
+@pytest.fixture(scope="module")
+def scaled(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("scaled") / "sfX")
+    build_scaled_dir(spark, SRC, dst, FACTOR)
+    return dst
+
+
+@pytest.mark.slow
+def test_cardinalities(spark, scaled):
+    for name, fixed in [
+        ("nation", True),
+        ("region", True),
+        ("customer", False),
+        ("orders", False),
+        ("lineitem", False),
+        ("events", False),
+        ("documents", False),
+        ("embeddings", False),
+    ]:
+        n_src = load_table(spark, SRC, name).count()
+        n_dst = load_table(spark, scaled, name).count()
+        assert n_dst == (n_src if fixed else n_src * FACTOR), name
+
+
+@pytest.mark.slow
+def test_foreign_keys_resolve(spark, scaled):
+    """Zero orphans on every FK edge of the scaled star (the same
+    anti-join probes the registry's referential_integrity_report runs)."""
+    l = load_table(spark, scaled, "lineitem")
+    o = load_table(spark, scaled, "orders")
+    c = load_table(spark, scaled, "customer")
+    s = load_table(spark, scaled, "supplier")
+    p = load_table(spark, scaled, "part")
+    n = load_table(spark, scaled, "nation")
+    for child, key, parent, pkey in [
+        (l, "l_orderkey", o, "o_orderkey"),
+        (l, "l_partkey", p, "p_partkey"),
+        (l, "l_suppkey", s, "s_suppkey"),
+        (o, "o_custkey", c, "c_custkey"),
+        (c, "c_nationkey", n, "n_nationkey"),
+        (s, "s_nationkey", n, "n_nationkey"),
+    ]:
+        orphans = child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        ).count()
+        assert orphans == 0, f"{key} -> {pkey}: {orphans} orphans"
+
+
+@pytest.mark.slow
+def test_group_sizes_preserved(spark, scaled):
+    """Per-order lineitem counts keep the SAME distribution: the scaled
+    data adds orders, it must not change any order's size (join fan-out
+    and agg skew profiles stay identical to the source)."""
+    def dist(sf_dir):
+        return {
+            r["n"]: r["cnt"]
+            for r in load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count("*").alias("n"))
+            .groupBy("n")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    src_d = dist(SRC)
+    dst_d = dist(scaled)
+    assert dst_d == {k: v * FACTOR for k, v in src_d.items()}
+
+
+@pytest.mark.slow
+def test_document_copies_not_near_duplicates(spark, scaled):
+    """Cross-copy 8-gram overlap must be ~zero: a pure text copy would
+    make every doc a near-dup of its replicas and quadratically inflate
+    near-dup query outputs. doc_id stride is 1e9, so copy k of source
+    doc d is d + k*1e9."""
+    docs = load_table(spark, scaled, "documents")
+    stride = 10 ** 9
+    grams = docs.select(
+        (F.col("doc_id") % stride).alias("src_id"),
+        (F.col("doc_id") / stride).cast("long").alias("copy"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.size(F.split(F.col("text"), " ")) - 8
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), i + 1, 8)
+                ),
+            )
+        ).alias("g"),
+    )
+    a = grams.filter(F.col("copy") == 0).alias("a")
+    b = grams.filter(F.col("copy") == 1).alias("b")
+    shared = (
+        a.join(
+            b,
+            on=[
+                F.col("a.src_id") == F.col("b.src_id"),
+                F.col("a.g") == F.col("b.g"),
+            ],
+        )
+        .select("a.src_id")
+        .count()
+    )
+    total = grams.filter(F.col("copy") == 0).count()
+    assert shared / max(total, 1) < 0.01, (shared, total)
