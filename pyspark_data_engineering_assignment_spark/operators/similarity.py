@@ -322,6 +322,79 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def republish_ivf_index(
+    corpus: DataFrame,
+    base_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    audit_sample: int = 20,
+    min_recall: float = 0.5,
+    k: int = 5,
+    n_probe: int = 4,
+    **build_kwargs,
+) -> str:
+    """Write-audit-publish for the served index (same protocol as the
+    batch WAP writer in sources/writers.py): BUILD a new index version
+    under ``base_path/v=N``, AUDIT it (recall@k of the new index's probe
+    vs exact brute force over ``audit_sample`` corpus queries - a bad
+    quantizer fit must never reach readers), then PUBLISH by atomically
+    rewriting the ``LATEST`` pointer (write-temp + os.replace). Readers
+    (``resolve_ivf_index`` -> ``load_ivf_index``) always see either the
+    old complete index or the new complete index, never a partial one;
+    a failed audit raises and leaves ``LATEST`` untouched.
+
+    Returns the published version path."""
+    import os
+    import tempfile
+
+    spark = corpus.sparkSession
+    versions = [
+        int(d[2:])
+        for d in (os.listdir(base_path) if os.path.isdir(base_path) else [])
+        if d.startswith("v=") and d[2:].isdigit()
+    ]
+    new_path = f"{base_path}/v={max(versions, default=0) + 1}"
+    persist_ivf_index(
+        corpus, new_path, id_col=id_col, vec_col=vec_col, **build_kwargs
+    )
+
+    centroids, assigned = load_ivf_index(spark, new_path)
+    audit_q = corpus.orderBy(id_col).limit(audit_sample)
+    approx = probe_ivf(
+        centroids, assigned, audit_q, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    exact = brute_force_topk(corpus, audit_q, k=k, id_col=id_col, vec_col=vec_col)
+
+    def _topk(df):
+        out: dict = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = _topk(exact), _topk(approx)
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    recall = hits / max(total, 1)
+    if recall < min_recall:
+        raise ValueError(
+            f"IVF index audit failed: recall@{k} = {recall:.3f} < "
+            f"{min_recall} - NOT publishing {new_path}; LATEST unchanged"
+        )
+
+    fd, tmp = tempfile.mkstemp(dir=base_path, prefix=".latest_")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(new_path + "\n")
+    os.replace(tmp, f"{base_path}/LATEST")
+    return new_path
+
+
+def resolve_ivf_index(base_path: str) -> str:
+    """Follow the ``LATEST`` pointer written by ``republish_ivf_index``."""
+    with open(f"{base_path}/LATEST") as fh:
+        return fh.read().strip()
+
+
 def probe_ivf(
     centroids: DataFrame,
     assigned: DataFrame,

@@ -253,3 +253,36 @@ def test_ivf_probe_registry_entry_recall(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_ivf_index_write_audit_publish(spark, emb, tmp_path):
+    """Index lifecycle WAP: versioned builds, recall audit gate, atomic
+    LATEST pointer - readers see old-complete or new-complete, never a
+    partial or low-recall index."""
+    import pytest as _pytest
+
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        load_ivf_index,
+        probe_ivf,
+        republish_ivf_index,
+        resolve_ivf_index,
+    )
+
+    base = str(tmp_path / "index_base")
+    v1 = republish_ivf_index(emb, base, n_cells=8, audit_sample=10)
+    assert resolve_ivf_index(base) == v1 and v1.endswith("v=1")
+    # republish -> v=2, pointer advances
+    v2 = republish_ivf_index(emb, base, n_cells=8, audit_sample=10)
+    assert resolve_ivf_index(base) == v2 and v2.endswith("v=2")
+    # failed audit (impossible bar): raises, pointer STAYS on v2
+    with _pytest.raises(ValueError, match="audit failed"):
+        republish_ivf_index(
+            emb, base, n_cells=8, audit_sample=10, min_recall=1.01
+        )
+    assert resolve_ivf_index(base) == v2
+    # the published index serves probes
+    centroids, assigned = load_ivf_index(spark, resolve_ivf_index(base))
+    got = probe_ivf(
+        centroids, assigned, emb.filter(F.col("vec_id") < 5), k=5
+    ).count()
+    assert got == 25
