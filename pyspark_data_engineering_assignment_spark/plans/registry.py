@@ -199,7 +199,16 @@ def patid3_dei(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="PatId1 'UPGRADE' shape (Mechanism Y.py:231-239): active merchants x "
     "hot pairs x batch-local low-weight transactions under an exact "
     "per-(merchant,category) 1st-percentile weight threshold; semi-joins "
-    "replace the reference's inner-join-then-project (survey §2.4).",
+    "replace the reference's inner-join-then-project (survey §2.4). "
+    "Round-7 scale fix from the sf10 sweep: the thresholds and "
+    "active_merchants joins lost their broadcast hints - both are keyed "
+    "by merchant_id (l_suppkey), which scales with sf (100k suppliers "
+    "at sf10, ~100M at 100 TB), so AQE sizes those joins; measured sf1->"
+    "sf10 ratio 13.3x -> 9.3x and sf10 wall time -11%. A persist of the "
+    "4x-referenced tx join was ALSO measured and REJECTED (sf10 +30%: "
+    "materialization + lost codegen fusion cost more than the recompute "
+    "saves). (The STREAMING pattern's thresholds come from the bounded "
+    "importance dim and keep their hint - patterns/detect.py.)",
 )
 def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -216,7 +225,7 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     low_weight = (
         tx.alias("t")
         .join(
-            F.broadcast(thresholds.alias("thr")),
+            thresholds.alias("thr"),
             on=[
                 F.col("t.merchant_id") == F.col("thr.merchant_id"),
                 F.col("t.category") == F.col("thr.category"),
@@ -235,7 +244,7 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 2)
     )
     return (
-        low_weight.join(F.broadcast(active_merchants), on="merchant_id", how="left_semi")
+        low_weight.join(active_merchants, on="merchant_id", how="left_semi")
         .join(hot_pairs, on=["customer_id", "merchant_id"], how="left_semi")
         .select("customer_id", "merchant_id")
     )

@@ -1161,12 +1161,16 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_contamination_screen",
     None,
     doc="Benchmark decontamination (operators/dedup.contamination_screen): "
-    "per training doc (doc_id < 480), how many of its distinct 8-token "
-    "shingles occur anywhere in the held-out eval slice (doc_id >= 480) "
-    "- the n-gram-overlap screen run against benchmarks before "
-    "training. Eval shingle set DISTINCTs small and broadcasts; one "
-    "explode + broadcast-left join + groupBy(doc). Integer outputs, "
-    "hash-exact. Driver-window neutral (local_oracle).",
+    "per training doc (doc_id >= 100 - the slice that GROWS with the "
+    "corpus), how many of its distinct 8-token shingles occur anywhere "
+    "in the held-out eval slice (doc_id < 100 - FIXED 100 docs at every "
+    "sf, like a real benchmark suite) - the n-gram-overlap screen run "
+    "against benchmarks before training. The bounded eval side is the "
+    "one that DISTINCTs small and broadcasts; one explode + broadcast-"
+    "left join + groupBy(doc). Round 7 note: the roles were originally "
+    "inverted (eval = the scaling slice) and the sf10 sweep caught it - "
+    "a 100x-growing broadcast side, the same hazard class as the "
+    "removed broadcast hints. Integer outputs, hash-exact.",
     local_oracle="""
     WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS l
                  FROM documents),
@@ -1175,8 +1179,8 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(list_slice(l, i, i + 7), ' '))))
                AS shingle
            FROM tok),
-    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 480),
-    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 480)
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 100),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 100)
     SELECT tr.doc_id, count(*) AS n_shingles,
            CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_contaminated
@@ -1191,7 +1195,7 @@ def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return contamination_screen(
-        d.filter(F.col("doc_id") < 480), d.filter(F.col("doc_id") >= 480), n=8
+        d.filter(F.col("doc_id") >= 100), d.filter(F.col("doc_id") < 100), n=8
     )
 
 

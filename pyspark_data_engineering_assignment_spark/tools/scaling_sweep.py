@@ -72,6 +72,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--queries", default=None)
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--dst", default=DST)
     args = ap.parse_args()
 
     spark = get_spark(app_name="scaling_sweep")
@@ -80,22 +82,22 @@ def main() -> None:
             build_scaled_dir,
         )
 
-        build_scaled_dir(spark, SRC, DST, 10)
+        build_scaled_dir(spark, args.src, args.dst, 10)
 
     names = args.queries.split(",") if args.queries else DEFAULT_QUERIES
     # JVM + Arrow worker warmup (same as bench.py)
-    spark.read.parquet(f"{SRC}/lineitem.parquet").count()
+    spark.read.parquet(f"{args.src}/lineitem.parquet").count()
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
     rows = []
     for name in names:
-        t_small = _warm_time(spark, name, SRC)
-        t_big = _warm_time(spark, name, DST)
+        t_small = _warm_time(spark, name, args.src)
+        t_big = _warm_time(spark, name, args.dst)
         ratio = round(t_big / t_small, 2) if t_small > 0 else float("inf")
         rows.append(
-            {"query": name, "sf0.1_s": t_small, "sf1.0_s": t_big, "ratio": ratio}
+            {"query": name, "src_s": t_small, "dst_s": t_big, "ratio": ratio}
         )
         print(json.dumps(rows[-1], separators=(",", ":")), flush=True)
     print(json.dumps({"sweep": rows}, separators=(",", ":")))

@@ -422,7 +422,6 @@ def test_registry_hint_budget(spark):
         "nations_above_revenue_share": 3,
         "ngram_jaccard_neardup_capped": 3,
         "null_safe_category_join": 1,
-        "patid1_upgrade": 2,
         "revenue_by_nation": 2,
         "rich_inactive_customers": 1,
         "simhash_neardup": 1,
