@@ -738,16 +738,19 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     """
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(text), ' ')) AS toks,
+               string_split(trim(text), ' ')[1] AS bucket
+        FROM documents
+    ),
+    capped AS (
+        SELECT doc_id, toks, bucket FROM d
+        QUALIFY count(*) OVER (PARTITION BY bucket) <= 64
+    ),
+    pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM (SELECT doc_id,
-                     list_distinct(string_split(trim(text), ' ')) AS toks,
-                     string_split(trim(text), ' ')[1] AS bucket
-              FROM documents) a
-        JOIN (SELECT doc_id,
-                     list_distinct(string_split(trim(text), ' ')) AS toks,
-                     string_split(trim(text), ' ')[1] AS bucket
-              FROM documents) b
+        FROM capped a JOIN capped b
           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         WHERE 100 * len(list_intersect(a.toks, b.toks))
               >= 70 * len(list_distinct(a.toks || b.toks))
@@ -765,19 +768,25 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY 1
     """,
-    doc="Duplicate clustering: connected components over the exact-"
-    "Jaccard near-dup pairs (the green ngram_jaccard_neardup baseline). "
-    "Spark side is iterative min-label propagation with localCheckpoint "
-    "lineage cuts (operators/dedup.py duplicate_clusters); the oracle "
-    "computes the same components via a recursive CTE transitive "
-    "closure. cluster_id = min doc_id in the component.",
+    doc="Duplicate clustering: connected components over the CAPPED "
+    "exact-Jaccard near-dup pairs (max_bucket_size=64, mirrored in the "
+    "oracle with QUALIFY - round 7: the sf10 smoke caught these two "
+    "clustering queries still feeding from the UNCAPPED first-token "
+    "pair generator, 106s of their 131s at sf10; the capped generator "
+    "is the registry's stated production contract). Spark side is "
+    "iterative min-label propagation with localCheckpoint lineage cuts "
+    "(operators/dedup.py duplicate_clusters); the oracle computes the "
+    "same components via a recursive CTE transitive closure. "
+    "cluster_id = min doc_id in the component.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.operators.dedup import (
         duplicate_clusters,
     )
 
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_pct=70, max_bucket_size=64
+    )
     return duplicate_clusters(pairs)
 
 
@@ -1057,7 +1066,8 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_canonical",
     None,
     doc="Keeper selection over duplicate clusters (operators/dedup."
-    "canonical_docs): join dedup_clusters output to the corpus and pick "
+    "canonical_docs), over the same CAPPED pair generator as "
+    "dedup_clusters (round-7 sf10 fix): join clusters to the corpus and pick "
     "the largest member (tie: lowest id) per cluster via max(struct) in "
     "a single map-side-partial hash aggregate - O(clusters) shuffle "
     "rows, no per-cluster sort. The 'which rows survive' step after "
@@ -1065,16 +1075,19 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(recursive CTE) + first(ORDER BY) selection. Driver-window "
     "neutral (local_oracle).",
     local_oracle="""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(text), ' ')) AS toks,
+               string_split(trim(text), ' ')[1] AS bucket
+        FROM documents
+    ),
+    capped AS (
+        SELECT doc_id, toks, bucket FROM d
+        QUALIFY count(*) OVER (PARTITION BY bucket) <= 64
+    ),
+    pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM (SELECT doc_id,
-                     list_distinct(string_split(trim(text), ' ')) AS toks,
-                     string_split(trim(text), ' ')[1] AS bucket
-              FROM documents) a
-        JOIN (SELECT doc_id,
-                     list_distinct(string_split(trim(text), ' ')) AS toks,
-                     string_split(trim(text), ' ')[1] AS bucket
-              FROM documents) b
+        FROM capped a JOIN capped b
           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         WHERE 100 * len(list_intersect(a.toks, b.toks))
               >= 70 * len(list_distinct(a.toks || b.toks))
@@ -1109,7 +1122,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold_pct=70)
+    pairs = ngram_jaccard_pairs(d, threshold_pct=70, max_bucket_size=64)
     return canonical_docs(duplicate_clusters(pairs), d)
 
 
