@@ -306,8 +306,12 @@ def _embedding_neardup_oracle(
     "folds make buckets and cosines bit-identical cross-engine. "
     "Planted-near-dup detection additionally tested in "
     "tests/test_similarity.py (distinguishes '0 rows because no "
-    "near-dups exist' from broken). Driver-window neutral "
-    "(local_oracle).",
+    "near-dups exist' from broken). SCALE NOTE (round-7 sf10 smoke): "
+    "n_planes=8 is pinned for the bit-exact oracle and right for bench "
+    "sf; bucket work grows ~occupancy^2, so at larger corpora raise "
+    "n_planes ~log2(corpus) - measured at 200k vectors: 1008s @ 8 "
+    "planes -> 15.9s @ 16 with ~98% of true pairs retained. "
+    "Driver-window neutral (local_oracle).",
     local_oracle=_embedding_neardup_oracle(),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,12 +109,28 @@ def _replicate_documents(df: DataFrame, factor: int) -> DataFrame:
 
 
 def _replicate_embeddings(df: DataFrame, factor: int) -> DataFrame:
+    """Copy *i* = circular-roll(vec, i mod dim) * sign, sign flipping
+    every ``dim`` copies, plus a small per-(copy, dim) offset. Round-7
+    fix: the original perturbation-only copies stayed cosine-aligned
+    (cos ~0.9998 to their source), so every copy group was a genuine
+    near-dup cluster and embedding near-dup OUTPUT grew quadratically
+    in the factor - a copy artifact, not a property of real 10x data
+    (the text tables already avoided this via token tagging). Rolling
+    de-correlates copies (random-ish vectors' rotations are near-
+    orthogonal) while preserving norms exactly; the sign flip keeps
+    copies i and i+dim (same roll) from re-aligning, so no cross-copy
+    near-dups up to factor = 2*dim."""
     copies = df.withColumn("_copy", F.explode(F.lit(list(range(factor)))))
     stride = 10 ** 9
-    perturbed = F.transform(
+    dim = F.size(F.col("embedding"))
+    shift = F.col("_copy") % dim
+    sign = F.when(
+        (F.col("_copy").cast("long") / 64).cast("long") % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0)).cast("float")
+    rolled = F.transform(
         F.col("embedding"),
         lambda v, j: (
-            v
+            F.element_at(F.col("embedding"), ((j + shift) % dim) + 1) * sign
             + ((F.col("_copy") * 31 + j) % 7 - F.lit(3)).cast("float")
             * F.lit(0.003).cast("float")
             * F.when(F.col("_copy") == 0, F.lit(0.0)).otherwise(F.lit(1.0)).cast(
@@ -124,7 +140,7 @@ def _replicate_embeddings(df: DataFrame, factor: int) -> DataFrame:
     )
     return (
         copies.withColumn("vec_id", F.col("vec_id") + F.col("_copy").cast("long") * F.lit(stride))
-        .withColumn("embedding", perturbed)
+        .withColumn("embedding", rolled)
         .drop("_copy")
     )
 

@@ -129,3 +129,53 @@ def test_document_copies_not_near_duplicates(spark, scaled):
     )
     total = grams.filter(F.col("copy") == 0).count()
     assert shared / max(total, 1) < 0.01, (shared, total)
+
+
+@pytest.mark.slow
+def test_embedding_copies_not_near_duplicates(spark, scaled):
+    """Cross-copy cosine must sit below the near-dup threshold (0.9):
+    perturbation-only copies stayed aligned (cos ~0.9998) and inflated
+    near-dup output quadratically in the factor; the roll + sign-flip
+    replication de-correlates them while preserving norms."""
+    from pyspark_data_engineering_assignment_spark.functions.vectors import (
+        cosine,
+    )
+
+    emb = load_table(spark, scaled, "embeddings")
+    stride = 10 ** 9
+    base = emb.select(
+        (F.col("vec_id") % stride).alias("src_id"),
+        (F.col("vec_id") / stride).cast("long").alias("copy"),
+        F.col("embedding"),
+    )
+    a = base.filter(F.col("copy") == 0).alias("a")
+    b = base.filter(F.col("copy") == 1).alias("b")
+    aligned = (
+        a.join(b, F.col("a.src_id") == F.col("b.src_id"))
+        .select(
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.9)
+        .count()
+    )
+    assert aligned == 0, f"{aligned} cross-copy near-dup pairs"
+    # norms preserved by the roll (rotation is norm-invariant; the small
+    # additive offset moves them by < 1%)
+    from pyspark_data_engineering_assignment_spark.functions.vectors import (
+        l2_norm,
+    )
+
+    drift = (
+        a.join(b, F.col("a.src_id") == F.col("b.src_id"))
+        .select(
+            (
+                F.abs(
+                    l2_norm(F.col("a.embedding")) - l2_norm(F.col("b.embedding"))
+                )
+                / l2_norm(F.col("a.embedding"))
+            ).alias("d")
+        )
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    assert drift < 0.05, drift
