@@ -169,8 +169,18 @@ def main() -> None:
 
     times: dict[str, float] = {}
     times_warm: dict[str, float] = {}
+    times_build: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):
+        # Plan construction is timed SEPARATELY (round 7, queries_build):
+        # queries with eager stages (duplicate_clusters' label-propagation
+        # localCheckpoints, the KMV group-count guard, IVF index build)
+        # do real work inside fn(), which the save-only headline timer
+        # misses - but folding it into "queries" would also bill every
+        # lazy query's py4j plan-building (~0.25s each, +50% on the
+        # total) and break cross-round comparability of the headline.
+        t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
+        times_build[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
@@ -206,6 +216,7 @@ def main() -> None:
     detail = {
         "queries": times,
         "queries_warm": times_warm,
+        "queries_build": times_build,
         "total": total,
         "total_warm": round(sum(times_warm.values()), 3),
         "lineitem_rows": lineitem_rows,

@@ -741,7 +741,8 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE d AS (
         SELECT doc_id,
                list_distinct(string_split(trim(text), ' ')) AS toks,
-               string_split(trim(text), ' ')[1] AS bucket
+               array_to_string(list_slice(string_split(trim(text), ' '), 1, 2),
+                               ' ') AS bucket
         FROM documents
     ),
     capped AS (
@@ -768,12 +769,16 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY 1
     """,
-    doc="Duplicate clustering: connected components over the CAPPED "
-    "exact-Jaccard near-dup pairs (max_bucket_size=64, mirrored in the "
-    "oracle with QUALIFY - round 7: the sf10 smoke caught these two "
-    "clustering queries still feeding from the UNCAPPED first-token "
-    "pair generator, 106s of their 131s at sf10; the capped generator "
-    "is the registry's stated production contract). Spark side is "
+    doc="Duplicate clustering: connected components over exact-Jaccard "
+    "near-dup pairs from a TWO-TOKEN blocking key + bucket cap 64 "
+    "(both mirrored in the oracle). Round-7 sf10 lesson, in two steps: "
+    "the smoke caught these queries feeding from the uncapped "
+    "first-token generator (106s of 131s at sf10 was pair generation); "
+    "capping alone then produced EMPTY results at sf0.1+ because the "
+    "corpus has only 30 distinct first tokens - every bucket blew the "
+    "cap. The production posture is SELECTIVE KEY FIRST (two-token "
+    "prefix: hottest sf0.1 bucket = 14 docs, real pairs at every sf), "
+    "cap as a guard, same as doc_prefix_editdist_pairs. Spark side is "
     "iterative min-label propagation with localCheckpoint lineage cuts "
     "(operators/dedup.py duplicate_clusters); the oracle computes the "
     "same components via a recursive CTE transitive closure. "
@@ -784,8 +789,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_clusters,
     )
 
+    d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold_pct=70, max_bucket_size=64
+        d,
+        threshold_pct=70,
+        bucket_expr=F.array_join(F.slice(tokens(F.col("text")), 1, 2), " "),
+        max_bucket_size=64,
     )
     return duplicate_clusters(pairs)
 
@@ -1066,8 +1075,8 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_canonical",
     None,
     doc="Keeper selection over duplicate clusters (operators/dedup."
-    "canonical_docs), over the same CAPPED pair generator as "
-    "dedup_clusters (round-7 sf10 fix): join clusters to the corpus and pick "
+    "canonical_docs), over the same two-token-blocked + capped pair "
+    "generator as dedup_clusters (round-7 sf10 fix): join clusters to the corpus and pick "
     "the largest member (tie: lowest id) per cluster via max(struct) in "
     "a single map-side-partial hash aggregate - O(clusters) shuffle "
     "rows, no per-cluster sort. The 'which rows survive' step after "
@@ -1078,7 +1087,8 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE d AS (
         SELECT doc_id,
                list_distinct(string_split(trim(text), ' ')) AS toks,
-               string_split(trim(text), ' ')[1] AS bucket
+               array_to_string(list_slice(string_split(trim(text), ' '), 1, 2),
+                               ' ') AS bucket
         FROM documents
     ),
     capped AS (
@@ -1122,7 +1132,12 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold_pct=70, max_bucket_size=64)
+    pairs = ngram_jaccard_pairs(
+        d,
+        threshold_pct=70,
+        bucket_expr=F.array_join(F.slice(tokens(F.col("text")), 1, 2), " "),
+        max_bucket_size=64,
+    )
     return canonical_docs(duplicate_clusters(pairs), d)
 
 
