@@ -16,6 +16,10 @@ from pyspark_data_engineering_assignment_spark.plans import vector_queries  # no
 # packing), clustering and the flat export - into the driver's window.
 # A promoted query's docstring may still say "driver-window neutral";
 # this rotation supersedes that remark by design.
+# ROUND 8+: rotate again - swap this round's 15 promotions back (or
+# demote other long-green entries) and promote ~15 from the local-
+# oracle pool the driver has never sampled, until every oracle-
+# bearing query has had at least one driver-checked round.
 _PROMOTE = [
     "nation_pair_trade_volume",
     "big_quantity_orders",
