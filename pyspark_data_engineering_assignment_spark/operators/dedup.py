@@ -293,6 +293,25 @@ def simhash_signatures(
     return sums.select("doc_id", packed.alias("simhash"))
 
 
+def recommended_band_bits(
+    corpus_rows: int, target_occupancy: int = 8, nbits: int = 64
+) -> int:
+    """Occupancy-scaled SimHash band width: 2^band_bits buckets per band
+    sized so the expected bucket holds ~``target_occupancy`` docs (the
+    same law as similarity.recommended_n_planes - within-bucket pairing
+    grows ~occupancy^2; the sf10 sweep measured 12.4x for 10x data at
+    fixed 16-bit bands). Wider bands trade recall: the pigeonhole
+    guarantee covers hamming < nbits/band_bits, so callers choosing
+    width for scale should re-check their radius. Clamped so at least
+    two bands remain."""
+    import math
+
+    if corpus_rows <= 0:
+        return 8
+    want = math.ceil(math.log2(max(corpus_rows / target_occupancy, 2)))
+    return max(4, min(nbits // 2, want))
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -183,6 +183,26 @@ def _probe_buckets(sig, n_planes: int, probe_bits: int):
     return F.array(*buckets)
 
 
+def recommended_n_planes(
+    corpus_rows: int, target_occupancy: int = 8
+) -> int:
+    """Occupancy-scaled hyperplane count: 2^n_planes buckets sized so the
+    expected bucket holds ~``target_occupancy`` vectors. Within-bucket
+    work grows ~occupancy^2, so n_planes must grow ~log2(corpus) - the
+    round-7 sf10 sweep measured the cliff directly: 200k vectors at the
+    8-plane default (occupancy ~780) cost 1008s; 16 planes (occupancy
+    ~3) cost 15.9s with ~98% of true near-dup pairs retained. Clamped to
+    [4, 24]: fewer than 4 planes can't band, more than 2^24 buckets
+    stops paying below ~10^9 vectors. The registered bench queries pin
+    their plane count for oracle reproducibility; production callers
+    pass ``n_planes=recommended_n_planes(corpus.count())``."""
+    import math
+
+    if corpus_rows <= 0:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(max(corpus_rows / target_occupancy, 2)))))
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

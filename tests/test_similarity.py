@@ -286,3 +286,27 @@ def test_ivf_index_write_audit_publish(spark, emb, tmp_path):
         centroids, assigned, emb.filter(F.col("vec_id") < 5), k=5
     ).count()
     assert got == 25
+
+
+def test_recommended_n_planes_tracks_corpus_size():
+    """The occupancy law the sf10 sweep measured, as code: buckets scale
+    with the corpus so expected occupancy stays ~constant."""
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        recommended_band_bits,
+    )
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        recommended_n_planes,
+    )
+
+    assert recommended_n_planes(2_000) == 8  # the bench-sf default
+    assert recommended_n_planes(200_000) == 15  # the sf10 case (~12.6s zone)
+    assert recommended_n_planes(0) == 4
+    assert recommended_n_planes(10**12) == 24  # clamp
+    # expected occupancy within [target/2, 2*target] wherever unclamped
+    for n in (10_000, 1_000_000, 100_000_000):
+        planes = recommended_n_planes(n)
+        occ = n / (2 ** planes)
+        assert 4 <= occ <= 16, (n, planes, occ)
+    assert recommended_band_bits(50_000) == 13
+    assert recommended_band_bits(500_000) == 16
+    assert recommended_band_bits(10**12, nbits=64) == 32  # >= 2 bands
