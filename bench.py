@@ -199,8 +199,22 @@ def main() -> None:
         # total stays the cold sum for cross-round comparability.
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        times_warm[name] = round(time.perf_counter() - t0, 3)
+        warm = time.perf_counter() - t0
         spark.catalog.clearCache()
+        # CONVERGED warm for the deep plans (round 8): run 2 can still
+        # pay residual JIT on the deepest plan shapes (r7's committed
+        # minhash warm read 3.42s vs 2.5-2.8s solo-converged), which
+        # poisons round-over-round warm diffs. For queries whose run-2
+        # exceeds 1s, warm = BEST of runs 2..4 - the extra runs cost
+        # ~2x the slow tail only; fast queries keep the single run-2
+        # figure. Methodology noted in COVERAGE.md.
+        if warm > 1.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                warm = min(warm, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+        times_warm[name] = round(warm, 3)
 
     total = round(sum(times.values()), 3)
     lineitem_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()

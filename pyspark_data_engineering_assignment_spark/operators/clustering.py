@@ -142,56 +142,57 @@ def kmeans_fixedpoint(
         v.unpersist()
 
 
-def ivf_det_topk(
-    df: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 8,
-    iters: int = 3,
-    n_probe: int = 2,
-) -> DataFrame:
-    """Deterministic IVF top-k built on ``kmeans_fixedpoint``: corpus
-    vectors live in their nearest deterministic cell; each query probes
-    its ``n_probe`` nearest cells and ranks candidates by exact-fold
-    cosine. Unlike the pyspark.ml-trained IVF (sampled k-means, RNG
-    seeds), every stage here - training, assignment, probing, ranking -
-    is a pure function of the input, so the whole retrieval path is
-    cross-engine reproducible (verified against DuckDB in
-    tests/test_clustering.py). Same scale shape as the float IVF: the
-    scan becomes a bucket-sized hash join on cell id."""
+def _nearest_cells(frame: DataFrame, cells: DataFrame, n: int, out: str) -> DataFrame:
+    """Rank the (tiny, broadcast) centroid table by exact integer
+    squared distance for every row of ``frame`` (vid, v) and keep the
+    ``n`` nearest: (out, cell). The centroid broadcast is a legitimate
+    forced hint - n_cells rows, metadata-sized at any corpus."""
     from pyspark.sql import Window
 
-    from pyspark_data_engineering_assignment_spark.functions.vectors import (
-        dot,
-        l2_norm,
+    pairs = frame.crossJoin(F.broadcast(cells))
+    w = Window.partitionBy("vid").orderBy(
+        _sqdist(F.col("v"), F.col("c")).asc(), F.col("cell").asc()
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .select("vid", "cell")
+        .withColumnRenamed("vid", out)
     )
 
-    spark = df.sparkSession
-    cells = kmeans_fixedpoint(
-        df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
-    ).select("cell", F.col("centroid").alias("c"))
 
-    def nearest_cells(frame, n: int, out: str):
-        pairs = frame.crossJoin(F.broadcast(cells))
-        w = Window.partitionBy("vid").orderBy(
-            _sqdist(F.col("v"), F.col("c")).asc(), F.col("cell").asc()
-        )
-        return (
-            pairs.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= n)
-            .select("vid", "cell")
-            .withColumnRenamed("vid", out)
-        )
-
-    base = df.select(
+def _det_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _fixpoint(F.col(vec_col)).alias("v"),
     )
+
+
+def build_ivf_det_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the DETERMINISTIC IVF index - the expensive, run-once half
+    of the fixed-point retrieval path. Returns ``(cells, corpus)``:
+    cells is (cell, c array<bigint> e6 centroid) - n_cells rows,
+    metadata-sized; corpus is (neighbor_id, cvec, _cn, cell) - every
+    vector in its nearest deterministic cell with its L2 norm
+    precomputed. Unlike ``similarity.build_ivf_index`` (pyspark.ml
+    sampled k-means - RNG seeds, float shuffle-order sums), every
+    quantity here is a pure function of the input, so a probe over the
+    persisted index is value-hash reproducible cross-engine."""
+    from pyspark_data_engineering_assignment_spark.functions.vectors import l2_norm
+
+    cells = kmeans_fixedpoint(
+        df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
+    ).select("cell", F.col("centroid").alias("c"))
+    base = _det_base(df, id_col, vec_col)
     corpus = (
-        nearest_cells(base, 1, "neighbor_id")
+        _nearest_cells(base, cells, 1, "neighbor_id")
         .join(
             base.select(
                 F.col("vid").alias("neighbor_id"),
@@ -201,22 +202,70 @@ def ivf_det_topk(
         )
         .withColumn("_cn", l2_norm(F.col("cvec")))
     )
-    qbase = queries.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        _fixpoint(F.col(vec_col)).alias("v"),
+    return cells, corpus
+
+
+def persist_ivf_det_index(df: DataFrame, path: str, **build_kwargs) -> None:
+    """Materialize the deterministic IVF index as parquet under
+    ``path``, idempotently (same marker discipline as
+    ``similarity.persist_ivf_index``). The corpus is cell-partitioned
+    so a probe's n_probe cells prune at the scan."""
+    import os
+
+    if os.path.exists(f"{path}/_SUCCESS_INDEX"):
+        return
+    cells, corpus = build_ivf_det_index(df, **build_kwargs)
+    cells.write.mode("overwrite").parquet(f"{path}/centroids")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    with open(f"{path}/_SUCCESS_INDEX", "w") as fh:
+        fh.write("ok\n")
+
+
+def load_ivf_det_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read a persisted deterministic IVF index: (cells, corpus)."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/corpus"),
     )
+
+
+def probe_ivf_det(
+    cells: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a deterministic IVF index - the cheap, run-per-request
+    half: each query ranks the broadcast centroids by exact integer
+    distance, probes its ``n_probe`` nearest cells (a hash join that
+    dynamically prunes the cell-partitioned corpus scan), and ranks
+    candidates by exact-fold cosine. No broadcast hint on the query
+    side: per-request batches are tiny and AQE broadcasts them from
+    size, but a forced hint would OOM if a backlog drains into one
+    huge batch (same reasoning as similarity.probe_ivf, round 8)."""
+    from pyspark.sql import Window
+
+    from pyspark_data_engineering_assignment_spark.functions.vectors import (
+        dot,
+        l2_norm,
+    )
+
+    qbase = _det_base(queries, id_col, vec_col)
     probes = (
-        nearest_cells(qbase, n_probe, "query_id")
+        _nearest_cells(qbase, cells, n_probe, "query_id")
         .join(
             qbase.select(F.col("vid").alias("query_id"), F.col("vec").alias("qvec")),
             on="query_id",
         )
         .withColumn("_qn", l2_norm(F.col("qvec")))
     )
-    pairs = F.broadcast(probes).join(corpus, on="cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    pairs = probes.join(corpus, on="cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -231,4 +280,35 @@ def ivf_det_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_det_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Deterministic IVF top-k: ``build_ivf_det_index`` +
+    ``probe_ivf_det`` fused. Unlike the pyspark.ml-trained IVF (sampled
+    k-means, RNG seeds), every stage - training, assignment, probing,
+    ranking - is a pure function of the input, so the whole retrieval
+    path is cross-engine reproducible (verified against DuckDB in
+    tests/test_clustering.py). Same scale shape as the float IVF: the
+    scan becomes a bucket-sized hash join on cell id."""
+    cells, corpus = build_ivf_det_index(
+        df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
+    )
+    return probe_ivf_det(
+        cells,
+        corpus,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
     )

@@ -307,7 +307,9 @@ def recommended_band_bits(
     import math
 
     if corpus_rows <= 0:
-        return 8
+        # same lower clamp as the general case (and as
+        # similarity.recommended_n_planes's degenerate return)
+        return 4
     want = math.ceil(math.log2(max(corpus_rows / target_occupancy, 2)))
     return max(4, min(nbits // 2, want))
 

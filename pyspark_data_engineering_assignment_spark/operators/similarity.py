@@ -454,7 +454,16 @@ def probe_ivf(
         .select("query_id", "qvec", "cell")
         .withColumn("_qn", l2_norm(F.col("qvec")))
     )
-    pairs = F.broadcast(probed).join(assigned, on="cell")
+    # no broadcast hint on the probed side: per-request batches are
+    # usually tiny and AQE broadcasts them from SIZE, but probe_ivf is
+    # also fed by probe_ivf_stream's micro-batches, which are unbounded
+    # (availableNow drains any backlog into one batch) - a forced
+    # broadcast there is the same OOM-at-scale hazard round 7 removed
+    # from nine registry queries. Un-hinted, a huge batch degrades
+    # gracefully to a shuffled join; DPP on the cell-partitioned index
+    # scan still fires (pinned in test_ivf_probe_scan_is_dynamically_
+    # pruned).
+    pairs = probed.join(assigned, on="cell")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     # norms hoisted below the join: one dot per candidate pair

@@ -124,8 +124,12 @@ def _replicate_embeddings(df: DataFrame, factor: int) -> DataFrame:
     stride = 10 ** 9
     dim = F.size(F.col("embedding"))
     shift = F.col("_copy") % dim
+    # flip period = the ACTUAL embedding dim (copies i and i+dim share a
+    # roll, so they must get opposite signs regardless of what dim is -
+    # a literal 64 was only correct for 64-d embeddings)
     sign = F.when(
-        (F.col("_copy").cast("long") / 64).cast("long") % 2 == 0, F.lit(1.0)
+        (F.col("_copy").cast("long") / dim.cast("long")).cast("long") % 2 == 0,
+        F.lit(1.0),
     ).otherwise(F.lit(-1.0)).cast("float")
     rolled = F.transform(
         F.col("embedding"),

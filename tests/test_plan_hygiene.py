@@ -32,19 +32,45 @@ def plan_text(df, mode: str = "formatted") -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    """Formatted plans (node details, PushedFilters/ReadSchema)."""
-    return {name: plan_text(QUERIES[name].fn(spark, SF)) for name in QUERIES}
+def dfs(spark):
+    """One DataFrame per registered query (built once, shared by both
+    plan-text fixtures and the output-schema pin - some queries run
+    eager work at build time, e.g. k-means training rounds)."""
+    return {name: QUERIES[name].fn(spark, SF) for name in QUERIES}
 
 
 @pytest.fixture(scope="module")
-def simple_plans(spark):
+def plans(dfs):
+    """Formatted plans (node details, PushedFilters/ReadSchema)."""
+    return {name: plan_text(df) for name, df in dfs.items()}
+
+
+@pytest.fixture(scope="module")
+def simple_plans(dfs):
     """Simple plans: each node once (for counting), codegen stages
     marked with ``*(id)``."""
-    return {
-        name: plan_text(QUERIES[name].fn(spark, SF), mode="simple")
-        for name in QUERIES
-    }
+    return {name: plan_text(df, mode="simple") for name, df in dfs.items()}
+
+
+def test_no_array_or_map_output_columns(dfs):
+    """Scalar-output pin, registry-wide: driver-side correctness
+    harnesses canonicalize result cells with a raw ``pandas
+    sort_values``, which throws ``TypeError: unhashable type: 'list'``
+    on list-typed cells - round 7's one gate red was exactly this
+    (``embedding_kmeans_cells``'s ``array<bigint>`` centroid). Every
+    registered query must therefore emit only scalar columns: arrays
+    are ``array_join``-ed to canonical strings or posexploded to one
+    row per element BEFORE the result boundary. This makes the whole
+    local-oracle pool safe to promote into the driver window."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = [
+        f"{name}.{f.name}: {f.dataType.simpleString()}"
+        for name, df in dfs.items()
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert offenders == [], offenders
 
 
 def test_filter_pushed_to_scan(plans):
@@ -404,8 +430,8 @@ def test_registry_hint_budget(spark):
     expected = {
         "ann_cosine_topk": 1,
         "ann_int8_topk": 1,
-        "ann_ivf_probe_topk": 2,
-        "ann_ivf_topk": 2,
+        "ann_ivf_probe_topk": 1,
+        "ann_ivf_topk": 1,
         "ann_lsh_topk": 1,
         "doc_contamination_screen": 1,
         "doc_prefix_editdist_pairs": 3,
@@ -413,6 +439,7 @@ def test_registry_hint_budget(spark):
         "doc_unigram_surprisal": 2,
         "embedding_kmeans_cells": 1,
         "embedding_neardup": 1,
+        "embedding_neardup_scaled": 1,
         "event_reach_setops_kmv": 2,
         "events_hourly_gapfill": 1,
         "flat_sales_export": 3,
@@ -425,6 +452,7 @@ def test_registry_hint_budget(spark):
         "revenue_by_nation": 2,
         "rich_inactive_customers": 1,
         "simhash_neardup": 1,
+        "simhash_neardup_scaled": 1,
         "top_revenue_suppliers": 1,
         "user_heavy_hitters_cms": 1,
         "value_drift_bins": 1,

@@ -310,3 +310,6 @@ def test_recommended_n_planes_tracks_corpus_size():
     assert recommended_band_bits(50_000) == 13
     assert recommended_band_bits(500_000) == 16
     assert recommended_band_bits(10**12, nbits=64) == 32  # >= 2 bands
+    # degenerate empty-corpus default agrees with the general lower
+    # clamp AND with recommended_n_planes's degenerate return
+    assert recommended_band_bits(0) == 4 == recommended_n_planes(0)
