@@ -53,6 +53,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--queries", default=None)
+    ap.add_argument(
+        "--include-local",
+        action="store_true",
+        help="also simulate every local_oracle query - pre-validates "
+        "FUTURE rotation promotions against the driver's "
+        "canonicalization before they ever enter the window",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="driver_gate_sim")
@@ -60,7 +67,12 @@ def main() -> None:
     names = (
         args.queries.split(",")
         if args.queries
-        else [n for n, s in QUERIES.items() if s.oracle is not None]
+        else [
+            n
+            for n, s in QUERIES.items()
+            if s.oracle is not None
+            or (args.include_local and s.local_oracle is not None)
+        ]
     )
     fails = []
     for name in names:
@@ -69,7 +81,7 @@ def main() -> None:
         rec = {"q": name}
         try:
             spdf = spec.fn(spark, args.sf_dir).toPandas()
-            dpdf = con.execute(spec.oracle).df()
+            dpdf = con.execute(spec.oracle or spec.local_oracle).df()
             rec["rows"] = [len(spdf), len(dpdf)]
             rec["rows_match"] = len(spdf) == len(dpdf)
             rec["schema_match"] = sorted(c.lower() for c in spdf.columns) == sorted(
