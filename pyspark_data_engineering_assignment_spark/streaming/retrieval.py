@@ -67,3 +67,49 @@ def probe_ivf_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def probe_ivf_det_stream(
+    query_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """``probe_ivf_stream``'s twin over the DETERMINISTIC persisted
+    index (clustering.persist_ivf_det_index): same foreachBatch shape,
+    same per-batch_id overwrite idempotence - but because the
+    fixed-point index makes every probe a pure function of the input,
+    the streamed output is not merely batch==stream equal, it is
+    value-hash reproducible cross-engine (the registered
+    ann_ivf_probe_topk query's oracle covers the identical path)."""
+    from pyspark_data_engineering_assignment_spark.operators.clustering import (
+        load_ivf_det_index,
+        probe_ivf_det,
+    )
+
+    spark = query_stream.sparkSession
+    cells, corpus = load_ivf_det_index(spark, index_path)
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe_ivf_det(
+            cells,
+            corpus,
+            batch_df,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        query_stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
