@@ -144,6 +144,177 @@ def test_single_shuffle_aggregations(simple_plans):
         assert simple_plans[name].count("HashAggregate") >= 2, name  # partial+final
 
 
+# Registry-wide SHUFFLE BUDGET: the number of shuffle Exchange nodes
+# (hash / range / SinglePartition — BroadcastExchange excluded) in every
+# registered query's simple-mode plan at sf0.001, pinned exactly. Every
+# shuffle is the unit of cost that grows with data at 100 TB; a refactor
+# that silently adds one to any query must trip this and force a
+# conscious budget update. High entries are deliberate, documented
+# shapes: event_reach_setops_kmv 20 (pairwise KMV set algebra, bounded
+# by max_groups), minhash_lsh_neardup 13 (audit-mode shingle->signature
+# ->band->verify pipeline), user_conversion_funnel 9 (per-stage
+# windows on one user partitioning), referential_integrity_report 8
+# (one per FK edge), patid1_upgrade 7 (threshold + 3-way enrichment).
+_EXCHANGE_NODE = None  # compiled lazily below
+
+
+def _shuffle_exchange_count(plan: str) -> int:
+    global _EXCHANGE_NODE
+    if _EXCHANGE_NODE is None:
+        import re
+
+        _EXCHANGE_NODE = re.compile(
+            r"^[\s+:*-]*Exchange "
+            r"(hashpartitioning|rangepartitioning|SinglePartition)",
+            re.M,
+        )
+    return len(_EXCHANGE_NODE.findall(plan))
+
+
+EXCHANGE_BUDGET = {
+    "activity_dow_hour_heatmap": 1,
+    "ann_cosine_topk": 1,
+    "ann_int8_topk": 1,
+    "ann_ivf_probe_topk": 2,
+    "ann_ivf_topk": 1,
+    "ann_lsh_topk": 1,
+    "big_quantity_orders": 1,
+    "brand_type_revenue": 1,
+    "chunk_dedup_stats": 2,
+    "conversion_lag_stats": 2,
+    "corpus_curation_funnel": 2,
+    "corpus_mix_weights": 1,
+    "customer_order_distribution": 2,
+    "customer_order_gaps": 1,
+    "customers_without_big_orders": 0,
+    "dedup_canonical": 1,
+    "dedup_clusters": 0,
+    "dedup_exact": 1,
+    "dedup_prefix_groups": 1,
+    "distinct_supplier_flags": 1,
+    "doc_boilerplate_shingles": 2,
+    "doc_bpe_token_stats": 0,
+    "doc_chunk_overlap": 0,
+    "doc_contamination_screen": 2,
+    "doc_incremental_dedup": 2,
+    "doc_language_id": 0,
+    "doc_length_batching": 1,
+    "doc_prefix_editdist_pairs": 4,
+    "doc_quality_features": 0,
+    "doc_repetition_stats": 0,
+    "doc_sequence_packing": 1,
+    "doc_split_leakage_safe": 2,
+    "doc_split_stratified": 1,
+    "doc_stratified_take": 1,
+    "doc_term_positions": 1,
+    "doc_tfidf_topterms": 4,
+    "doc_token_scrub": 1,
+    "doc_unigram_surprisal": 3,
+    "doc_winnowing": 0,
+    "embedding_kmeans_cells": 3,
+    "embedding_neardup": 2,
+    "embedding_neardup_scaled": 2,
+    "embedding_norms": 0,
+    "embedding_quantization_error": 1,
+    "event_burst_compaction": 1,
+    "event_class_totals_salted": 3,
+    "event_reach_setops_kmv": 20,
+    "event_transition_matrix": 2,
+    "events_grouping_sets": 1,
+    "events_hourly": 1,
+    "events_hourly_gapfill": 3,
+    "events_props_json": 2,
+    "events_props_variant": 2,
+    "events_quality_report": 2,
+    "events_sessions": 1,
+    "events_sliding_2h": 1,
+    "events_value_brackets": 1,
+    "events_zorder_keys": 1,
+    "flat_sales_export": 2,
+    "label_centroid_dims": 1,
+    "label_standardized_embeddings": 1,
+    "lang_stats": 1,
+    "media_binary_stats": 0,
+    "media_block_dedup": 2,
+    "media_byte_histogram": 0,
+    "media_frame_sample": 0,
+    "minhash_lsh_neardup": 13,
+    "nation_pair_trade_volume": 1,
+    "nation_region_revenue_share": 2,
+    "nations_above_revenue_share": 3,
+    "ngram_jaccard_neardup_capped": 4,
+    "null_safe_category_join": 1,
+    "order_enrichment": 0,
+    "orders_status_priority_cube": 1,
+    "patid1_upgrade": 7,
+    "patid2_child": 1,
+    "patid3_dei": 2,
+    "pricing_summary": 1,
+    "priority_order_counts_sql": 1,
+    "priority_orders_union": 1,
+    "purchase_asof_click": 2,
+    "purchase_attribution_linear": 2,
+    "referential_integrity_report": 8,
+    "returnflag_melt_roundtrip": 2,
+    "returnflag_pivot": 2,
+    "revenue_by_nation": 1,
+    "rich_inactive_customers": 2,
+    "rollup_lineitem_status": 1,
+    "shipmode_priority_matrix": 1,
+    "simhash_neardup": 5,
+    "simhash_neardup_scaled": 5,
+    "small_quantity_part_revenue": 2,
+    "sole_failing_suppliers": 4,
+    "suppliers_with_shipments": 0,
+    "text_quality": 0,
+    "token_frequency": 2,
+    "top_orders_per_customer": 1,
+    "top_revenue_suppliers": 3,
+    "urgent_and_high_value": 1,
+    "urgent_never_big": 1,
+    "user_cdc_state": 1,
+    "user_cohort_retention": 2,
+    "user_conversion_funnel": 9,
+    "user_event_setops": 3,
+    "user_heavy_hitters_cms": 3,
+    "user_moving_spend": 1,
+    "user_reach_hll": 2,
+    "user_reach_kmv": 4,
+    "user_running_spend": 1,
+    "user_spend_anomalies": 1,
+    "user_spend_drawdown": 1,
+    "user_status_scd2": 1,
+    "user_top_spend_days_ties": 2,
+    "user_trailing_hour_spend": 1,
+    "user_value_ewma": 1,
+    "value_decile_profile": 1,
+    "value_drift_bins": 2,
+    "value_histogram": 1,
+    "value_hour_regression_stats": 1,
+    "value_quantiles_approx": 1,
+    "value_quantiles_by_type": 1,
+    "value_winsorized_stats": 2,
+    "widget_parts_by_brand": 1,
+}
+
+
+def test_registry_exchange_budget(simple_plans):
+    """Every registered query's shuffle count matches its pinned budget
+    exactly — both directions matter: an unexplained extra exchange is
+    a scale regression, an unexplained missing one usually means a
+    join/agg collapsed into something that won't distribute."""
+    assert set(simple_plans) == set(EXCHANGE_BUDGET), (
+        "registry changed: regenerate EXCHANGE_BUDGET for "
+        f"added/removed {set(simple_plans) ^ set(EXCHANGE_BUDGET)}"
+    )
+    off = {
+        name: (_shuffle_exchange_count(p), EXCHANGE_BUDGET[name])
+        for name, p in simple_plans.items()
+        if _shuffle_exchange_count(p) != EXCHANGE_BUDGET[name]
+    }
+    assert not off, f"(actual, budget) mismatches: {off}"
+
+
 def test_no_row_at_a_time_python_anywhere(plans):
     for name, p in plans.items():
         assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
