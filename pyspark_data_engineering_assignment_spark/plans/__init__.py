@@ -29,7 +29,27 @@ from pyspark_data_engineering_assignment_spark.plans import vector_queries  # no
 #    funnel, transition matrix, drawdown, trailing-hour spend),
 #    similarity (int8 top-k) and robust stats (winsorized) - plus
 #    demotes long-green events_value_brackets to keep the window at 50.
-#    Never-sampled remaining after r8: ~29 (full coverage ~round 10).
+#
+# Never-sampled remaining after r8: exactly 32 (computed against
+# CORRECTNESS_r01-r07 + the r8 window). Plan, so rounds 9-10 are
+# mechanical (demote that round's proven promotions, promote these):
+#  * round 9 (16): simhash_neardup_scaled, embedding_neardup_scaled,
+#    ann_ivf_probe_topk, doc_prefix_editdist_pairs,
+#    doc_unigram_surprisal, doc_split_leakage_safe,
+#    events_quality_report, events_props_variant, user_event_setops,
+#    purchase_attribution_linear, value_histogram, value_drift_bins,
+#    user_top_spend_days_ties, doc_repetition_stats,
+#    media_frame_sample, events_zorder_keys
+#  * round 10 (16): activity_dow_hour_heatmap, chunk_dedup_stats,
+#    corpus_mix_weights, customer_order_distribution,
+#    doc_chunk_overlap, doc_length_batching, doc_stratified_take,
+#    event_burst_compaction, null_safe_category_join,
+#    priority_order_counts_sql, returnflag_melt_roundtrip,
+#    top_revenue_suppliers, user_moving_spend, user_spend_anomalies,
+#    value_decile_profile, value_hour_regression_stats
+# All 32 already pass driver-style canonicalization at sf0.01
+# (tools/driver_gate_sim.py --include-local validates the whole
+# local-oracle pool; run it before each promotion).
 _PROMOTE = [
     # held from round 7 (red in r07 for array output only; now scalar)
     "embedding_kmeans_cells",
