@@ -195,8 +195,15 @@ def _solo_converged_warm(name: str, runs: int = 4) -> float | None:
         for line in out.stdout.splitlines():
             if line.startswith("SOLO_WARM"):
                 return float(json.loads(line.split(None, 1)[1]))
-    except Exception:
-        pass
+        # No result line: surface why, loudly — a silent fallback would
+        # quietly re-admit the unstable in-session figure.
+        print(
+            f"SOLO-WARM FAILED for {name}: exit={out.returncode} "
+            f"stderr tail: {out.stderr[-500:]!r}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # timeout, spawn failure
+        print(f"SOLO-WARM FAILED for {name}: {exc!r}", file=sys.stderr)
     return None
 
 
@@ -288,7 +295,11 @@ def main() -> None:
                 "insession": times_warm[name],
                 "solo": round(solo, 3),
             }
-            times_warm[name] = round(min(times_warm[name], solo), 3)
+            # Commit the SOLO figure, not min(insession, solo): the
+            # polluted JVM's lucky mode can dip below solo, and taking
+            # the min would re-admit exactly the run-to-run noise the
+            # subprocess re-measurement exists to remove.
+            times_warm[name] = round(solo, 3)
 
     total = round(sum(times.values()), 3)
     lineitem_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()

@@ -435,21 +435,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, train_fraction=0.2)
 
 
-def _ivf_index_path(sf_dir: str) -> str:
+def _ivf_index_path(sf_dir: str, params: str = "") -> str:
     """Per-corpus cache location for the persisted IVF index.
 
     Keyed by a CONTENT fingerprint of the embeddings parquet (every
     file's name, size and mtime), not by the sf_dir string: a
     path-keyed cache silently serves a stale index if the embeddings
     at that path are ever regenerated (persist_ivf_index skips rebuild
-    whenever _SUCCESS_INDEX exists). Lives under the repo's own
-    ``.scratch`` dir, not the world-shared tempdir, so another local
-    user can't pre-plant or tamper with a predictable /tmp path."""
+    whenever _SUCCESS_INDEX exists). The fingerprint also folds in the
+    caller's build ``params`` string AND the source of the quantizer
+    code itself (kmeans_fixedpoint / build_ivf_det_index) — changing
+    n_cells/iters or any training logic must miss the cache, otherwise
+    the query serves results from the OLD quantizer while the SQL
+    oracle recomputes with the new one and the gate reds on correct
+    code. Lives under the repo's own ``.scratch`` dir, not the
+    world-shared tempdir, so another local user can't pre-plant or
+    tamper with a predictable /tmp path. Stale fingerprints (older
+    data/params/code) are pruned keep-last-4 by mtime so the cache
+    can't grow one full corpus copy per regeneration."""
     import hashlib
+    import inspect
     import os
+    import shutil
+
+    from pyspark_data_engineering_assignment_spark.operators import clustering
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     h = hashlib.md5(os.path.abspath(src).encode())
+    h.update(params.encode())
+    h.update(inspect.getsource(clustering.kmeans_fixedpoint).encode())
+    h.update(inspect.getsource(clustering.build_ivf_det_index).encode())
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
@@ -462,7 +477,19 @@ def _ivf_index_path(sf_dir: str) -> str:
     )
     scratch = os.path.join(repo_root, ".scratch", "ivf_cache")
     os.makedirs(scratch, exist_ok=True)
-    return os.path.join(scratch, f"ivf_index_{h.hexdigest()[:16]}")
+    current = os.path.join(scratch, f"ivf_index_{h.hexdigest()[:16]}")
+    stale = sorted(
+        (
+            os.path.join(scratch, d)
+            for d in os.listdir(scratch)
+            if d.startswith("ivf_index_")
+            and not os.path.join(scratch, d).startswith(current)
+        ),
+        key=os.path.getmtime,
+    )
+    for old in stale[:-3]:  # keep the 3 most recent besides current
+        shutil.rmtree(old, ignore_errors=True)
+    return current
 
 
 _KMEANS_DIST = (
@@ -651,7 +678,7 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = _ivf_index_path(sf_dir) + "_det"
+    path = _ivf_index_path(sf_dir, params="det:n_cells=8,iters=3") + "_det"
     persist_ivf_det_index(emb, path, n_cells=8, iters=3)
     cells, corpus = load_ivf_det_index(spark, path)
     return probe_ivf_det(

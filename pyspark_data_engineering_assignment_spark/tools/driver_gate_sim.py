@@ -79,6 +79,18 @@ def main() -> None:
         spec = QUERIES[name]
         t0 = time.perf_counter()
         rec = {"q": name}
+        if spec.oracle is None and spec.local_oracle is None:
+            # rows-only query: the driver only counts its rows — mirror
+            # that instead of feeding None to duckdb and recording a
+            # spurious gate-red.
+            try:
+                rec["rows_only"] = spec.fn(spark, args.sf_dir).count()
+            except Exception as e:
+                rec["err"] = f"{type(e).__name__}: {e}"[:160]
+                fails.append(name)
+            rec["s"] = round(time.perf_counter() - t0, 1)
+            print(json.dumps(rec), flush=True)
+            continue
         try:
             spdf = spec.fn(spark, args.sf_dir).toPandas()
             dpdf = con.execute(spec.oracle or spec.local_oracle).df()

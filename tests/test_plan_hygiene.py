@@ -155,19 +155,16 @@ def test_single_shuffle_aggregations(simple_plans):
 # ->band->verify pipeline), user_conversion_funnel 9 (per-stage
 # windows on one user partitioning), referential_integrity_report 8
 # (one per FK edge), patid1_upgrade 7 (threshold + 3-way enrichment).
-_EXCHANGE_NODE = None  # compiled lazily below
+import re
+
+_EXCHANGE_NODE = re.compile(
+    r"^[\s+:*-]*Exchange "
+    r"(hashpartitioning|rangepartitioning|SinglePartition)",
+    re.M,
+)
 
 
 def _shuffle_exchange_count(plan: str) -> int:
-    global _EXCHANGE_NODE
-    if _EXCHANGE_NODE is None:
-        import re
-
-        _EXCHANGE_NODE = re.compile(
-            r"^[\s+:*-]*Exchange "
-            r"(hashpartitioning|rangepartitioning|SinglePartition)",
-            re.M,
-        )
     return len(_EXCHANGE_NODE.findall(plan))
 
 
@@ -307,10 +304,13 @@ def test_registry_exchange_budget(simple_plans):
         "registry changed: regenerate EXCHANGE_BUDGET for "
         f"added/removed {set(simple_plans) ^ set(EXCHANGE_BUDGET)}"
     )
+    actual = {
+        name: _shuffle_exchange_count(p) for name, p in simple_plans.items()
+    }
     off = {
-        name: (_shuffle_exchange_count(p), EXCHANGE_BUDGET[name])
-        for name, p in simple_plans.items()
-        if _shuffle_exchange_count(p) != EXCHANGE_BUDGET[name]
+        name: (n, EXCHANGE_BUDGET[name])
+        for name, n in actual.items()
+        if n != EXCHANGE_BUDGET[name]
     }
     assert not off, f"(actual, budget) mismatches: {off}"
 

@@ -51,13 +51,20 @@ def scaled_dir(spark):
 
 
 def _warm_time(spark, name: str, sf_dir: str) -> float:
-    """Same protocol as tools/scaling_sweep.py: noop-sink time of the
-    JIT-warm second run."""
-    df = QUERIES[name].fn(spark, sf_dir)
+    """Noop-sink time of a JIT-warm run, INCLUDING plan construction:
+    the timed second pass re-invokes ``fn`` so eager build-time work is
+    measured too — the k-means sentinel runs all its Lloyd rounds
+    inside ``fn`` (per-round aggregates), and timing only the final
+    assignment pass would let the exact iterative-training hazard this
+    sentinel exists for blow up untimed. For the other sentinels
+    ``fn`` is pure plan construction (ms), so this matches
+    tools/scaling_sweep.py's warm-second-run protocol."""
+    df = QUERIES[name].fn(spark, sf_dir)  # run 1: warm JIT (build + plan)
     df.write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    df2 = QUERIES[name].fn(spark, sf_dir)  # timed: eager build included
+    df2.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
     spark.catalog.clearCache()
     return elapsed
