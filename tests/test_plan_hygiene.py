@@ -146,15 +146,26 @@ def test_single_shuffle_aggregations(simple_plans):
 
 # Registry-wide SHUFFLE BUDGET: the number of shuffle Exchange nodes
 # (hash / range / SinglePartition — BroadcastExchange excluded) in every
-# registered query's simple-mode plan at sf0.001, pinned exactly. Every
-# shuffle is the unit of cost that grows with data at 100 TB; a refactor
-# that silently adds one to any query must trip this and force a
-# conscious budget update. High entries are deliberate, documented
-# shapes: event_reach_setops_kmv 20 (pairwise KMV set algebra, bounded
-# by max_groups), minhash_lsh_neardup 13 (audit-mode shingle->signature
-# ->band->verify pipeline), user_conversion_funnel 9 (per-stage
-# windows on one user partitioning), referential_integrity_report 8
-# (one per FK edge), patid1_upgrade 7 (threshold + 3-way enrichment).
+# registered query's simple-mode plan at sf0.001, pinned exactly.
+# The counts come from the lineage_plans protocol — clear the session
+# cache, then rebuild every query in registry order — because cache
+# substitution is baked in at DataFrame ANALYSIS time: a frame persisted
+# by an earlier suite becomes an InMemoryRelation inside a later-built
+# plan, survives clearCache(), and prints its cached child plan inline
+# per reference, inflating counts with session history (minhash counted
+# 13 from an empty-cache start vs 33 when built mid-suite). Starting
+# from a guaranteed-empty cache in a fixed build order makes the counts
+# a pure function of the query definitions (frames persisted by earlier
+# queries IN THE SAME loop are part of those definitions and are
+# deliberately included). Every shuffle is the unit of cost that grows
+# with data at 100 TB; a refactor that silently adds one to any query
+# must trip this and force a conscious budget update. High entries are
+# deliberate, documented shapes: event_reach_setops_kmv 20 (pairwise
+# KMV set algebra, bounded by max_groups), minhash_lsh_neardup 13
+# (audit-mode shingle->signature->band->verify pipeline),
+# user_conversion_funnel 9 (per-stage join+min-agg chain on a shrinking
+# keyset), referential_integrity_report 8 (one per FK edge),
+# patid1_upgrade 7 (threshold + 3-way enrichment).
 import re
 
 _EXCHANGE_NODE = re.compile(
@@ -295,17 +306,32 @@ EXCHANGE_BUDGET = {
 }
 
 
-def test_registry_exchange_budget(simple_plans):
+@pytest.fixture(scope="module")
+def lineage_plans(spark):
+    """Simple plans REBUILT from an empty session cache. Cache
+    substitution happens at DataFrame analysis time — an InMemoryRelation
+    baked into a plan stays there after clearCache(), and its cached plan
+    prints inline PER REFERENCE, so node counts of the shared ``dfs``
+    fixture vary with whichever suites ran (and persisted frames) first
+    in the shared session (minhash counted 13 standalone vs 33
+    mid-suite). Clearing FIRST and rebuilding in registry order makes the
+    counts a pure function of the query definitions."""
+    spark.catalog.clearCache()
+    rebuilt = {name: QUERIES[name].fn(spark, SF) for name in QUERIES}
+    return {name: plan_text(df, mode="simple") for name, df in rebuilt.items()}
+
+
+def test_registry_exchange_budget(lineage_plans):
     """Every registered query's shuffle count matches its pinned budget
     exactly — both directions matter: an unexplained extra exchange is
     a scale regression, an unexplained missing one usually means a
     join/agg collapsed into something that won't distribute."""
-    assert set(simple_plans) == set(EXCHANGE_BUDGET), (
+    assert set(lineage_plans) == set(EXCHANGE_BUDGET), (
         "registry changed: regenerate EXCHANGE_BUDGET for "
-        f"added/removed {set(simple_plans) ^ set(EXCHANGE_BUDGET)}"
+        f"added/removed {set(lineage_plans) ^ set(EXCHANGE_BUDGET)}"
     )
     actual = {
-        name: _shuffle_exchange_count(p) for name, p in simple_plans.items()
+        name: _shuffle_exchange_count(p) for name, p in lineage_plans.items()
     }
     off = {
         name: (n, EXCHANGE_BUDGET[name])
