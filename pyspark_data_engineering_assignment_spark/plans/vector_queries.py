@@ -435,7 +435,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, train_fraction=0.2)
 
 
-def _ivf_index_path(sf_dir: str, params: str = "") -> str:
+def _ivf_index_path(
+    sf_dir: str, params: str = "", scratch_root: str | None = None
+) -> str:
     """Per-corpus cache location for the persisted IVF index.
 
     Keyed by a CONTENT fingerprint of the embeddings parquet (every
@@ -452,7 +454,10 @@ def _ivf_index_path(sf_dir: str, params: str = "") -> str:
     world-shared tempdir, so another local user can't pre-plant or
     tamper with a predictable /tmp path. Stale fingerprints (older
     data/params/code) are pruned keep-last-4 by mtime so the cache
-    can't grow one full corpus copy per regeneration."""
+    can't grow one full corpus copy per regeneration.
+
+    ``scratch_root`` overrides the cache parent dir (tests use a
+    tmpdir so exercising the pruning can't touch the real cache)."""
     import hashlib
     import inspect
     import os
@@ -472,10 +477,12 @@ def _ivf_index_path(sf_dir: str, params: str = "") -> str:
     elif os.path.exists(src):
         st = os.stat(src)
         h.update(f"|{st.st_size}:{st.st_mtime_ns}".encode())
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    scratch = os.path.join(repo_root, ".scratch", "ivf_cache")
+    if scratch_root is None:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        scratch_root = os.path.join(repo_root, ".scratch", "ivf_cache")
+    scratch = scratch_root
     os.makedirs(scratch, exist_ok=True)
     current = os.path.join(scratch, f"ivf_index_{h.hexdigest()[:16]}")
     stale = sorted(
