@@ -76,6 +76,20 @@ def kmeans_fixedpoint(
             .collect()
         )
         centroids = [list(r["v"]) for r in seeds]
+        if not centroids:
+            # An empty centroid table silently served by a probe would
+            # answer every query "no neighbors" - indistinguishable from
+            # a correct miss. Fail the build loudly instead.
+            raise ValueError(
+                "kmeans_fixedpoint: empty input - cannot train on 0 "
+                "vectors (did an upstream filter drop everything?)"
+            )
+        if len(centroids) < n_cells:
+            # k-means with k > n points degenerates to one cell per
+            # point; clamping (instead of indexing past the seed list)
+            # keeps tiny slices - a dev sample, a sparse partition -
+            # trainable with the same code path.
+            n_cells = len(centroids)
 
         def assign(cents: list[list[int]]):
             # centroids ride a broadcast TABLE, not literals: the

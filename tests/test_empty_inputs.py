@@ -1,0 +1,271 @@
+"""Empty-input robustness across the operator layer.
+
+At 100 TB, empty slices are routine — a date partition with no data, a
+filter that matches nothing, an incremental batch that deduped to zero
+rows — and an operator that works on 60k rows but throws on zero rows
+takes the whole pipeline down at 3am. Contract pinned here:
+
+  * row-transforming operators: empty in -> empty out, SAME columns,
+    no exception (downstream unions/joins keep working);
+  * trainers that cannot produce a model from nothing (k-means / IVF
+    build): a LOUD, typed error — never a silent empty model that a
+    probe would then serve as "no neighbors found".
+
+Every frame is built from an explicit schema (createDataFrame([], s))
+so the tests document exactly which input shape each operator needs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DOCS = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+EMB = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+        StructField("label", IntegerType(), True),
+    ]
+)
+EVENTS = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+PAIRS = StructType(
+    [
+        StructField("id_a", LongType(), False),
+        StructField("id_b", LongType(), False),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def docs0(spark):
+    return spark.createDataFrame([], DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb0(spark):
+    return spark.createDataFrame([], EMB)
+
+
+@pytest.fixture(scope="module")
+def events0(spark):
+    return spark.createDataFrame([], EVENTS)
+
+
+def _is_empty_with_columns(df, expected_cols=None):
+    rows = df.collect()
+    assert rows == []
+    if expected_cols is not None:
+        assert df.columns == expected_cols
+    return True
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_dedup_family_empty(docs0, spark):
+    from pyspark_data_engineering_assignment_spark.operators import dedup as d
+
+    assert _is_empty_with_columns(
+        d.exact_duplicate_groups(docs0), ["fingerprint", "n_docs", "keeper_id"]
+    )
+    assert _is_empty_with_columns(d.minhash_lsh_near_duplicates(docs0))
+    assert _is_empty_with_columns(d.simhash_near_duplicates(docs0))
+    assert _is_empty_with_columns(d.ngram_jaccard_pairs(docs0))
+    assert _is_empty_with_columns(d.boilerplate_shingles(docs0))
+    pairs0 = spark.createDataFrame([], PAIRS)
+    clusters = d.duplicate_clusters(pairs0)
+    assert _is_empty_with_columns(clusters)
+    assert _is_empty_with_columns(d.canonical_docs(clusters, docs0))
+
+
+def test_incremental_dedup_empty_sides(docs0, spark):
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        dedup_against_corpus,
+        contamination_screen,
+    )
+
+    fp0 = spark.createDataFrame(
+        [], StructType([StructField("fingerprint", StringType(), False)])
+    )
+    # empty new batch vs empty corpus
+    assert _is_empty_with_columns(dedup_against_corpus(docs0, fp0))
+    # non-empty new batch vs EMPTY corpus index: everything survives
+    new = docs0.sparkSession.createDataFrame(
+        [(1, "alpha beta gamma delta", 22)], DOCS
+    )
+    assert dedup_against_corpus(new, fp0).count() == 1
+    # contamination: empty eval corpus -> zero overlap reported, train
+    # rows still present (screen reports per-train-doc overlap)
+    out = contamination_screen(new, docs0)
+    assert out.count() <= 1
+    assert _is_empty_with_columns(contamination_screen(docs0, new))
+
+
+# ----------------------------------------------------------- similarity
+
+
+def test_similarity_family_empty(emb0, spark):
+    from pyspark_data_engineering_assignment_spark.operators import (
+        similarity as s,
+    )
+
+    one = spark.createDataFrame([(1, [1.0] * 64, 0)], EMB)
+    # empty corpus x empty queries / one-sided empties
+    assert _is_empty_with_columns(
+        s.brute_force_topk(emb0, emb0),
+        ["query_id", "neighbor_id", "cos", "rank"],
+    )
+    assert _is_empty_with_columns(s.brute_force_topk(emb0, one))
+    assert _is_empty_with_columns(s.brute_force_topk(one, emb0))
+    assert _is_empty_with_columns(s.int8_topk(emb0, emb0))
+    assert _is_empty_with_columns(s.lsh_bucketed_topk(emb0, emb0))
+    assert _is_empty_with_columns(s.lsh_bucketed_topk(one, emb0))
+    assert _is_empty_with_columns(s.embedding_near_duplicates(emb0))
+
+
+def test_kmeans_trainers_empty(emb0):
+    """Training on zero vectors must fail LOUDLY — an empty centroid
+    table silently served by a probe would answer every query with "no
+    neighbors", which is indistinguishable from a correct miss."""
+    from pyspark_data_engineering_assignment_spark.operators import clustering
+
+    with pytest.raises(ValueError, match="[Ee]mpty|no vectors|0 vectors"):
+        clustering.kmeans_fixedpoint(emb0).collect()
+    with pytest.raises(ValueError, match="[Ee]mpty|no vectors|0 vectors"):
+        cells, corpus = clustering.build_ivf_det_index(emb0)
+        cells.collect()
+
+
+def test_kmeans_corpus_smaller_than_k(spark):
+    """A corpus with fewer vectors than n_cells must clamp to one cell
+    per point, not index past the seed list (the pre-fix behavior was a
+    raw IndexError on ANY slice smaller than k — a dev sample or a
+    sparse partition would crash the build)."""
+    from pyspark_data_engineering_assignment_spark.operators import clustering
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(-i)], 0) for i in range(3)], EMB
+    )
+    out = clustering.kmeans_fixedpoint(tiny, n_cells=8, iters=2).collect()
+    assert len(out) == 3
+    assert sorted(r["n_vectors"] for r in out) == [1, 1, 1]
+
+
+# -------------------------------------------------------------- sketches
+
+
+def test_sketches_empty(events0, spark):
+    from pyspark_data_engineering_assignment_spark.operators import sketches as sk
+
+    assert _is_empty_with_columns(
+        sk.kmv_distinct_estimate(events0, ["event_type"], "user_id")
+    )
+    # set algebra: zero groups -> zero pairs, guard does not trip
+    assert _is_empty_with_columns(
+        sk.kmv_set_cardinality(events0, "event_type", "user_id")
+    )
+    sketch = sk.cms_sketch(events0, "user_id")
+    # an empty stream's sketch is all-zero counters (or no counters) —
+    # either way estimates for any candidate are 0
+    cand = spark.createDataFrame(
+        [(7,)], StructType([StructField("user_id", LongType(), False)])
+    )
+    est = sk.cms_estimate(cand, sketch, "user_id").collect()
+    assert all(r["freq_est"] == 0 for r in est)
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_sampling_empty(docs0):
+    from pyspark_data_engineering_assignment_spark.operators import sampling as sa
+
+    assert _is_empty_with_columns(sa.hash_split(docs0, "doc_id"))
+    assert _is_empty_with_columns(
+        sa.deterministic_sample(docs0, "doc_id", 0.25)
+    )
+    assert _is_empty_with_columns(
+        sa.stratified_take(docs0, ["text"], "doc_id", 5)
+    )
+    assert _is_empty_with_columns(sa.content_safe_split(docs0))
+
+
+# ------------------------------------------------------------ timeseries
+
+
+def test_timeseries_empty(events0):
+    from pyspark_data_engineering_assignment_spark.operators import (
+        timeseries as ts,
+    )
+
+    assert _is_empty_with_columns(
+        ts.resample_gapfill(events0, "event_type", "ts", "value")
+    )
+    assert _is_empty_with_columns(
+        ts.ewma_by_key(events0, ["user_id"], ["ts", "event_id"], "value")
+    )
+    out = ts.funnel_counts(
+        events0, "user_id", "ts", "event_type", ["view", "click"]
+    )
+    # funnel emits one row per stage even over no events — all zero
+    rows = out.collect()
+    assert all(r["n_users"] == 0 for r in rows)
+
+
+# -------------------------------------------------------- text / packing
+
+
+def test_textstats_empty(docs0):
+    from pyspark_data_engineering_assignment_spark.operators import (
+        textstats as tx,
+    )
+
+    assert _is_empty_with_columns(tx.language_id(docs0))
+    assert _is_empty_with_columns(tx.quality_features(docs0))
+    assert _is_empty_with_columns(tx.repetition_stats(docs0))
+    assert _is_empty_with_columns(tx.unigram_surprisal(docs0))
+    assert _is_empty_with_columns(tx.chunk_tokens(docs0))
+
+
+def test_packing_empty(spark):
+    from pyspark_data_engineering_assignment_spark.operators import packing as pk
+
+    df0 = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("n_tokens", LongType(), False),
+                StructField("shard", LongType(), False),
+            ]
+        ),
+    )
+    packed = pk.pack_concat_chunks(df0, "doc_id", "n_tokens", "shard")
+    assert _is_empty_with_columns(packed)
+    assert _is_empty_with_columns(pk.pack_summary(packed, "shard", "n_tokens"))
