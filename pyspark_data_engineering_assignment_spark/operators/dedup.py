@@ -41,9 +41,16 @@ def exact_duplicate_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Groups of exact duplicates (normalized-text md5). Returns one row
-    per duplicated fingerprint with the group size and the keeper (min id)."""
+    per duplicated fingerprint with the group size and the keeper (min id).
+
+    NULL text is missing data, not content: md5(NULL) is NULL and
+    groupBy puts all NULLs in ONE group, so without the filter two
+    documents whose text failed to load would be declared "duplicates"
+    and one silently deleted. NULL-text rows are excluded here — they
+    belong to a quality gate, not a dedup decision."""
     return (
-        docs.select(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fingerprint")
         )
         .groupBy("fingerprint")
@@ -574,6 +581,17 @@ def dedup_against_corpus(
     fingerprinted here; the corpus side arrives pre-fingerprinted
     because re-reading corpus text per batch is exactly what the index
     exists to avoid.
+
+    NULL text passes through UN-deduped: its fingerprint is NULL, which
+    (a) never equals a corpus fingerprint, so the anti join keeps the
+    row, and (b) must not collapse with OTHER null-text rows in the
+    within-batch keeper step - two failed loads are missing data, not
+    duplicates of each other, and the pre-fix window deleted all but
+    one of them. The keeper window therefore partitions on
+    coalesce(fingerprint, 'null:'||id) - per-row-unique for NULLs (so
+    each survives with rank 1, and a null-heavy batch doesn't funnel
+    into ONE window partition), collision-free against real md5 hex
+    (32 hex chars never start with 'null:').
     """
     fp = new_docs.withColumn(fingerprint_col, md5_fingerprint(F.col(text_col)))
     fresh = fp.join(
@@ -581,8 +599,12 @@ def dedup_against_corpus(
         on=fingerprint_col,
         how="left_anti",
     )
+    part_key = F.coalesce(
+        F.col(fingerprint_col),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
     keeper = F.row_number().over(
-        Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())
+        Window.partitionBy(part_key).orderBy(F.col(id_col).asc())
     )
     return fresh.withColumn("_rn", keeper).filter(F.col("_rn") == 1).drop("_rn")
 

@@ -1032,11 +1032,14 @@ def doc_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_incremental_dedup",
     None,
     doc="Incremental exact dedup (operators/dedup.dedup_against_corpus): "
-    "the new batch (sources src10-src19) deduped against the existing "
-    "corpus index (fingerprints of src0-src9) by anti join, then "
-    "within-batch keeper selection - the 'dedup the new crawl against "
-    "what we already have' step of incremental ingestion. "
-    "Driver-window neutral (local_oracle).",
+    "the new batch (sources src2-src9, lexicographically >= 'src1_') "
+    "deduped against the existing corpus index (fingerprints of src0, "
+    "src1, src10-src19) by anti join, then within-batch keeper "
+    "selection - the 'dedup the new crawl against what we already "
+    "have' step of incremental ingestion. The keeper window partitions "
+    "on coalesce(fingerprint, 'null:'||doc_id) so null-text rows pass "
+    "through un-deduped (missing data, not duplicates); mirrored in "
+    "the oracle, a no-op on this data (no null texts).",
     local_oracle="""
     WITH corpus AS (
         SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
@@ -1052,8 +1055,10 @@ def doc_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE c.fingerprint = b.fingerprint)
     )
     SELECT doc_id, source, fingerprint FROM (
-        SELECT *, row_number() OVER (PARTITION BY fingerprint
-                                     ORDER BY doc_id) AS rn
+        SELECT *, row_number() OVER (
+            PARTITION BY coalesce(fingerprint,
+                                  'null:' || CAST(doc_id AS VARCHAR))
+            ORDER BY doc_id) AS rn
         FROM fresh) WHERE rn = 1
     """,
 )

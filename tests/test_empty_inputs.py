@@ -127,6 +127,48 @@ def test_incremental_dedup_empty_sides(docs0, spark):
     assert _is_empty_with_columns(contamination_screen(docs0, new))
 
 
+def test_null_text_is_not_a_duplicate(spark):
+    """NULL text is missing data, not content. Pre-fix, md5(NULL)=NULL
+    plus null-grouping groupBy/window declared all null-text docs one
+    duplicate group and silently deleted all but one."""
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        dedup_against_corpus,
+        exact_duplicate_groups,
+    )
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    docs = spark.createDataFrame(
+        [(1, None, None), (2, None, None), (3, "same", 4), (4, "same", 4)],
+        DOCS,
+    )
+    groups = exact_duplicate_groups(docs).collect()
+    # the real duplicate pair groups; the two null-text docs do NOT
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 3 and groups[0]["n_docs"] == 2
+
+    fp0 = spark.createDataFrame(
+        [], StructType([StructField("fingerprint", StringType(), False)])
+    )
+    survivors = sorted(
+        r["doc_id"] for r in dedup_against_corpus(docs, fp0).collect()
+    )
+    # both null-text rows pass through; the exact pair keeps min id
+    assert survivors == [1, 2, 3]
+
+
+def test_null_text_gets_a_split(spark):
+    """content_safe_split must give null-text rows a real split label
+    (coalesced fingerprint), not a NULL that drops them from every
+    split filter."""
+    from pyspark_data_engineering_assignment_spark.operators.sampling import (
+        content_safe_split,
+    )
+
+    docs = spark.createDataFrame([(1, None, None), (2, "x", 1)], DOCS)
+    out = content_safe_split(docs).collect()
+    assert all(r["split"] is not None for r in out)
+
+
 # ----------------------------------------------------------- similarity
 
 
