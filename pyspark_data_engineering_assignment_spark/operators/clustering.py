@@ -65,7 +65,9 @@ def kmeans_fixedpoint(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    v = df.select(
+    # NULL vectors train nothing (NULL distance to every centroid) -
+    # same exclusion as _det_base
+    v = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"), _fixpoint(F.col(vec_col)).alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -176,7 +178,10 @@ def _nearest_cells(frame: DataFrame, cells: DataFrame, n: int, out: str) -> Data
 
 
 def _det_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(
+    # NULL vectors cannot be trained on or assigned to a cell (their
+    # distance to every centroid is NULL) - exclude them up front
+    # rather than letting them ride the window with arbitrary rank
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _fixpoint(F.col(vec_col)).alias("v"),

@@ -65,6 +65,10 @@ def brute_force_topk(
         "neighbor_id",
         (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
+    # A NULL or dimension-mismatched vector yields cos NULL (zip_with
+    # pads the short side with NULLs); such a candidate must not occupy
+    # a top-k slot - filter BEFORE ranking so real neighbors fill k.
+    scored = scored.filter(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -125,6 +129,11 @@ def int8_topk(
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    # NULL codes (a corrupt/missing vector) must not fall into the
+    # otherwise(0.0) branch - a score of 0.0 would outrank every real
+    # negative-cosine neighbor. Zero-NORM vectors legitimately score
+    # 0.0; NULL vectors are excluded from candidacy entirely.
+    pairs = pairs.filter(F.col("qv").isNotNull() & F.col("cv").isNotNull())
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -136,6 +145,9 @@ def int8_topk(
         .otherwise(F.lit(0.0))
         .alias("cos_int8"),
     )
+    # dimension-mismatched codes dot to NULL (zip_with pads) - same
+    # exclusion as the float path: no top-k slot for corrupt rows
+    scored = scored.filter(F.col("cos_int8").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_int8").desc(), F.col("neighbor_id")
     )
@@ -243,6 +255,10 @@ def lsh_bucketed_topk(
         "neighbor_id",
         (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
+    # A NULL or dimension-mismatched vector yields cos NULL (zip_with
+    # pads the short side with NULLs); such a candidate must not occupy
+    # a top-k slot - filter BEFORE ranking so real neighbors fill k.
+    scored = scored.filter(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

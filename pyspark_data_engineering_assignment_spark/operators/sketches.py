@@ -91,7 +91,11 @@ def kmv_distinct_estimate(
     division, which IEEE-754 round-to-nearest performs identically in
     Spark and DuckDB, so the floor'd BIGINT stays oracle-exact.
     """
-    hashed = df.select(
+    # COUNT(DISTINCT x) never counts NULL; neither does the sketch.
+    # Unfiltered, a NULL value hashes to a NULL h that sorts FIRST
+    # (asc nulls first), stealing a bottom-k slot AND inflating the
+    # small-range exact count by one.
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols, kmv_hash(F.col(value_col), hex_chars).alias("h")
     ).distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
@@ -158,7 +162,9 @@ def kmv_set_cardinality(
     """
     from pyspark import StorageLevel
 
-    hashed = df.select(
+    # same NULL exclusion as kmv_distinct_estimate: distinct-count
+    # semantics never count NULL
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
         group_col, kmv_hash(F.col(value_col), hex_chars).alias("h")
     ).distinct()
     w = Window.partitionBy(group_col).orderBy("h")

@@ -50,10 +50,16 @@ def resample_gapfill(
       locf_sum_cents - last OBSERVED bucket sum at-or-before this bucket
                        (null until the series' first observation),
       is_gap         - true where the bucket had no rows.
+
+    Rows with a NULL timestamp cannot be bucketed and are excluded
+    EXPLICITLY (pre-fix they vanished implicitly when the NULL bucket
+    fell outside the densified range - same result, invisible in the
+    plan); route them to a quality report, not a time series.
     """
     bucket = F.date_trunc(unit, F.col(ts_col))
     actual = (
-        df.groupBy(F.col(series_col), bucket.alias("bucket_ts"))
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(series_col), bucket.alias("bucket_ts"))
         .agg(
             F.count("*").alias("_n"),
             F.sum((F.col(value_col).cast(DEC) * 100).cast("long"))
@@ -124,6 +130,12 @@ def ewma_by_key(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    # A NULL observation would poison the fold permanently (every
+    # subsequent s_i = alpha*x + (1-alpha)*NULL stays NULL). Missing
+    # observations are SKIPPED - the recurrence folds over the key's
+    # non-null values and n_events counts observations actually used;
+    # a key with no usable observations is absent from the output.
+    df = df.filter(F.col(value_col).isNotNull())
     seq = F.array_sort(
         F.collect_list(
             F.struct(

@@ -968,7 +968,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
         SELECT DISTINCT event_type,
                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     ranked AS (
         SELECT event_type, h,
@@ -1315,7 +1315,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT event_type,
                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
                    + 1 AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     sk AS (
         SELECT event_type, h FROM (
@@ -1576,7 +1576,7 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, count(*) AS n_events,
            list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
                        (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_value
-    FROM events GROUP BY 1
+    FROM events WHERE value IS NOT NULL GROUP BY 1
     """,
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

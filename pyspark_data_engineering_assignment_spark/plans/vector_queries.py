@@ -42,7 +42,7 @@ _DUCK_COS = """
     SELECT query_id, neighbor_id, cos, rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) AS rank
-          FROM scored)
+          FROM scored WHERE cos IS NOT NULL)
     WHERE rank <= 5
     """,
     doc="Brute-force cosine top-5 for 10 query vectors: broadcast "
@@ -108,7 +108,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos_int8 DESC, neighbor_id)
                         AS rank
-          FROM scored)
+          FROM scored WHERE cos_int8 IS NOT NULL)
     WHERE rank <= 5
     """,
 )

@@ -219,6 +219,81 @@ def test_kmeans_corpus_smaller_than_k(spark):
     assert sorted(r["n_vectors"] for r in out) == [1, 1, 1]
 
 
+def test_corrupt_vectors_do_not_occupy_topk_slots(spark):
+    """A NULL or dimension-mismatched embedding scores NULL (zip_with
+    pads the short side) - pre-fix those candidates held top-k ranks,
+    and in the int8 path a NULL code fell into the otherwise(0.0)
+    branch, outranking every real negative-cosine neighbor."""
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        brute_force_topk,
+        int8_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0] * 64, 0),
+            (2, [-0.5] * 64, 0),  # real but anti-aligned: cos = -1
+            (3, None, 0),
+            (4, [1.0] * 32, 0),  # ragged
+        ],
+        EMB,
+    )
+    q = spark.createDataFrame([(10, [1.0] * 64, 0)], EMB)
+    out = brute_force_topk(corpus, q, k=3, exclude_self=False).collect()
+    assert sorted(r["neighbor_id"] for r in out) == [1, 2]
+    assert all(r["cos"] is not None for r in out)
+    out8 = int8_topk(corpus, q, k=3, exclude_self=False).collect()
+    assert sorted(r["neighbor_id"] for r in out8) == [1, 2]
+    # the anti-aligned neighbor keeps its genuine negative score -
+    # no corrupt row shadows it with a fake 0.0
+    assert min(r["cos_int8"] for r in out8) < 0
+
+
+def test_kmv_never_counts_null(spark):
+    from pyspark_data_engineering_assignment_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    EV = StructType(
+        [
+            StructField("event_type", StringType(), True),
+            StructField("user_id", LongType(), True),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("a", None)], EV
+    )
+    [r] = kmv_distinct_estimate(ev, ["event_type"], "user_id").collect()
+    assert r["distinct_est"] == 2  # COUNT(DISTINCT) semantics
+
+
+def test_null_observations_do_not_poison_ewma(spark, events0):
+    import datetime
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+        resample_gapfill,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "x", 1.0),
+        (2, t0 + datetime.timedelta(hours=1), 7, "x", None),
+        (3, t0 + datetime.timedelta(hours=2), 7, "x", 3.0),
+        (4, None, 7, "x", 5.0),
+    ]
+    evt = spark.createDataFrame(rows, events0.schema)
+    [r] = ewma_by_key(evt, ["user_id"], ["ts", "event_id"], "value").collect()
+    # folds over the non-null observations only (pre-fix: NULL forever)
+    assert r["n_events"] == 3 and r["ewma_value"] is not None
+    # gapfill: the null-ts row is excluded, the 3 timestamped rows
+    # produce exactly the 3 hourly buckets
+    buckets = resample_gapfill(evt, "event_type", "ts", "value").collect()
+    assert len(buckets) == 3
+    assert all(b["bucket_ts"] is not None for b in buckets)
+
+
 # -------------------------------------------------------------- sketches
 
 
