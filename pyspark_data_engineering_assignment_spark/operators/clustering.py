@@ -292,6 +292,10 @@ def probe_ivf_det(
             "cos"
         ),
     ).distinct()  # a neighbor reachable via two probed cells ranks once
+    # ragged (dimension-mismatched) vectors dot to NULL even after the
+    # _det_base null filter - same no-slot-for-corrupt-rows exclusion
+    # as the float top-k operators
+    scored = scored.filter(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

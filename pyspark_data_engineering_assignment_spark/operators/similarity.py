@@ -488,6 +488,9 @@ def probe_ivf(
         "neighbor_id",
         (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
+    # same corrupt-candidate exclusion as brute_force_topk: NULL cos
+    # (null/ragged vector on either side) never occupies a top-k slot
+    scored = scored.filter(F.col("cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
