@@ -181,13 +181,21 @@ def running_ewma(
         # independently would fold them out of order-col order,
         # breaking the bit-exact batch==stream contract.
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(order_cols)
-        for x in pdf[value_col].astype("float64"):
+        # NULL observations are SKIPPED, exactly like the batch twin
+        # (timeseries.ewma_by_key filters them): a null value arrives
+        # here as NaN, and folding NaN would poison the key's state
+        # FOREVER - silent divergence from batch, the worst kind.
+        for x in pdf[value_col].dropna().astype("float64"):
             ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
             n += 1
         state.update((n, ewma))
-        yield pd.DataFrame(
-            {"key": [key[0]], "n_events": [n], "ewma_value": [ewma]}
-        )
+        # a key activated only by null observations has no usable state
+        # yet; the batch twin omits such keys, so the stream emits
+        # nothing for them either
+        if n > 0:
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "ewma_value": [ewma]}
+            )
 
     return (
         events.select(

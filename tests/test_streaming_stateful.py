@@ -211,6 +211,88 @@ def test_running_ewma_stream_equals_batch_fold(spark, tmp_path):
     assert stream_vals == batch_vals  # bit-exact, including the doubles
 
 
+def test_running_ewma_skips_nulls_like_batch(spark, tmp_path):
+    """NULL observations arrive in the stateful UDF as NaN; folding one
+    would poison the key's EWMA state FOREVER (every later s_i inherits
+    the NaN) while the batch twin filters nulls - silent batch/stream
+    divergence. Both sides must skip them and agree bit-exactly."""
+    import numpy as np
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        running_ewma,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 60
+    vals = np.round(rng.exponential(20.0, n), 2)
+    vals[rng.random(n) < 0.25] = np.nan  # ~25% missing observations
+    rows = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": range(n),
+            "user_id": rng.integers(0, 5, n),
+            "value": vals,
+        }
+    )
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    import time as _time
+
+    now = _time.time()
+    for i in range(2):
+        p = os.path.join(src, f"chunk{i}.csv")
+        rows.iloc[i * 30 : (i + 1) * 30].to_csv(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    schema = "event_id long, ts long, user_id long, value double"
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = running_ewma(stream, "user_id", ["ts", "event_id"], "value")
+    sink = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink).toPandas()
+    final = (
+        emitted.sort_values("n_events").groupby("key").last().reset_index()
+    )
+    stream_vals = {
+        r["key"]: (r["n_events"], r["ewma_value"]) for _, r in final.iterrows()
+    }
+    assert all(
+        v == v for _, v in stream_vals.values()
+    ), "NaN leaked into streaming EWMA state"
+
+    # batch side reads the SAME csv files: a NaN written by pandas
+    # arrives as a true SQL NULL through csv ingestion on both paths
+    # (createDataFrame from pandas would instead carry float NaN,
+    # which isNotNull does not filter - a different hazard class)
+    batch_df = (
+        spark.read.format("csv").option("header", "true").schema(schema).load(src)
+    )
+    batch_vals = {
+        str(r["user_id"]): (r["n_events"], r["ewma_value"])
+        for r in ewma_by_key(
+            batch_df, ["user_id"], ["ts", "event_id"], "value"
+        ).collect()
+    }
+    assert stream_vals == batch_vals
+
+
 def test_running_ewma_key_spanning_multiple_arrow_chunks(spark, tmp_path):
     """One hot key whose single-batch rows span MANY Arrow record
     batches (maxRecordsPerBatch lowered to 16 for 120 rows), written in
