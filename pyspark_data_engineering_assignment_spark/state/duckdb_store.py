@@ -179,10 +179,18 @@ class DuckDBStateStore:
             f"{c} = coalesce({spec.name}.{c}, 0) + coalesce(EXCLUDED.{c}, 0)"
             for c in spec.sum_cols
         )
+        # NULL-keyed rows are EXCLUDED from keyed state, not inserted: a
+        # NULL key means the upstream row was unattributable (e.g. a
+        # malformed CSV line PERMISSIVE-nulled), and the PRIMARY KEY would
+        # reject it anyway - but failing here makes that one poison row
+        # crash the stream on every replay forever. The parquet backend
+        # applies the identical filter so both backends agree (pinned by
+        # test_null_keyed_rows_excluded_both_backends).
+        not_null = " AND ".join(f"{k} IS NOT NULL" for k in spec.key_cols)
         sql = (
             f"INSERT INTO {spec.name} "
             f"SELECT {keys}, {', '.join(agg_exprs)}, {ts_expr} AS last_updated "
-            f"FROM batch_view GROUP BY {keys} "
+            f"FROM batch_view WHERE {not_null} GROUP BY {keys} "
             f"ON CONFLICT ({keys}) DO UPDATE SET "
             f"{updates}, last_updated = EXCLUDED.last_updated"
         )

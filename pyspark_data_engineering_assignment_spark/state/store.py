@@ -239,8 +239,20 @@ class ParquetStateStore:
         batch_meta = {"batch_id": batch_id, "meta": meta} if meta is not None else None
 
         ts = F.to_timestamp(F.lit(now)) if now else F.current_timestamp()
+        # NULL-keyed aggregate rows are EXCLUDED from keyed state: a NULL
+        # key is an unattributable upstream row (e.g. a malformed CSV line
+        # PERMISSIVE-nulled into the batch), not a key. This is the PK
+        # semantics the reference's Postgres table enforced - except there
+        # the violation CRASHED the stream on every replay (poison pill);
+        # here the row simply never enters state. The DuckDB backend
+        # applies the identical WHERE so both backends agree (pinned by
+        # test_null_keyed_rows_excluded_both_backends).
+        key_not_null = F.lit(True)
+        for k in spec.key_cols:
+            key_not_null = key_not_null & F.col(k).isNotNull()
         batch_side = (
-            batch_agg.withColumn("last_updated", ts)
+            batch_agg.filter(key_not_null)
+            .withColumn("last_updated", ts)
             .withColumn("_bucket", self._bucket_expr(spec, n_buckets))
             .persist()
         )

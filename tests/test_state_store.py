@@ -131,6 +131,65 @@ def test_null_amount_coalesces_to_zero(spark, store):
     assert total == Decimal("5.00")
 
 
+def test_null_keyed_rows_excluded_both_backends(spark, store):
+    """A NULL key is an unattributable upstream row (a malformed CSV line
+    PERMISSIVE-nulls every field), not a key. Before this contract the
+    backends DIVERGED on the same input: DuckDB's PRIMARY KEY threw
+    ``NOT NULL constraint failed`` - and since the poisoned source file is
+    still there on restart, the stream crash-LOOPED forever - while the
+    parquet store silently accumulated a NULL-keyed state row. Now both
+    exclude NULL-keyed rows and agree; non-null keys in the same batch
+    merge unaffected."""
+    nullable = StructType(
+        [
+            StructField("merchant_id", StringType(), True),
+            StructField("total_transactions", LongType(), True),
+        ]
+    )
+    b0 = spark.createDataFrame([(None, 5), ("M1", 3)], nullable)
+    store.merge_batch(MERCHANT_SUMMARY, b0, batch_id=0, now=NOW)
+    assert merchant_state(store) == {"M1": 3}
+    # batch_id still advances past the poisoned batch: no crash loop
+    assert store.last_batch_id(MERCHANT_SUMMARY) == 0
+
+    # multi-key table: ONE null key component already unattributes the row
+    cm_nullable = StructType(
+        [
+            StructField("customer_id", StringType(), True),
+            StructField("merchant_id", StringType(), True),
+            StructField("transaction_count", LongType(), True),
+            StructField("total_amount_sum", DecimalType(18, 2), True),
+        ]
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("C1", None, 1, Decimal("1.00")),
+            (None, "M1", 1, Decimal("2.00")),
+            ("C1", "M1", 2, Decimal("5.00")),
+        ],
+        cm_nullable,
+    )
+    store.merge_batch(CUSTOMER_MERCHANT_SUMMARY, b1, batch_id=0, now=NOW)
+    assert cm_state(store) == {("C1", "M1"): (2, Decimal("5.00"))}
+
+
+def test_all_null_keyed_batch_is_empty_merge(spark, store):
+    """A batch whose every row is NULL-keyed degenerates to the empty
+    merge: no state change, batch_id advances (the stream moves on)."""
+    nullable = StructType(
+        [
+            StructField("merchant_id", StringType(), True),
+            StructField("total_transactions", LongType(), True),
+        ]
+    )
+    good = spark.createDataFrame([("M1", 3)], nullable)
+    store.merge_batch(MERCHANT_SUMMARY, good, batch_id=0, now=NOW)
+    poisoned = spark.createDataFrame([(None, 9)], nullable)
+    store.merge_batch(MERCHANT_SUMMARY, poisoned, batch_id=1, now=NOW)
+    assert merchant_state(store) == {"M1": 3}
+    assert store.last_batch_id(MERCHANT_SUMMARY) == 1
+
+
 @pytest.mark.parametrize("backend", ["parquet", "duckdb"])
 def test_batch_invariance(spark, tmp_path, backend):
     """Chunking must not matter: one big batch vs three small ones yield
