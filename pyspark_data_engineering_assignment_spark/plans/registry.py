@@ -1941,6 +1941,8 @@ def user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, ts,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
+        WHERE ts IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL
     ),
     w AS (
         SELECT event_id, user_id, cents,
@@ -1960,7 +1962,15 @@ def user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_spend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    # corrupt observations (no cents value, or unplaceable in the
+    # (ts, event_id) order) are skipped BEFORE the window - otherwise
+    # count(*) counts them while sum() skips them and the z-test frame
+    # silently lies; mirrors the streaming twin's skip exactly
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
     cents = (F.col("value").cast(DEC) * 100).cast("long")
     win = (
         Window.partitionBy("user_id")
@@ -2582,6 +2592,7 @@ def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'upsert' END AS op,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
+        WHERE ts IS NOT NULL AND event_id IS NOT NULL
     ),
     ranked AS (
         SELECT user_id, ts, op, cents,
@@ -2606,7 +2617,11 @@ def user_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").desc(), F.col("event_id").desc()
     )
     return (
-        e.select(
+        # unplaceable change records (no position in the (ts, event_id)
+        # total order) are skipped - the same contract as the streaming
+        # twin cdc_apply_stream; value-neutral on the null-free testdata
+        e.filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(
             "user_id", "ts", "event_id", op.alias("op"), cents.alias("cents")
         )
         .withColumn("rk", F.row_number().over(w))

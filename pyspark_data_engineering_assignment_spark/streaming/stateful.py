@@ -258,6 +258,12 @@ def first_seen_by_key(
         if state.exists:
             return
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # A row with no order value cannot be "first" (SQL min() skips
+        # NULL; idxmin over all-NaN would crash): drop such rows, and if
+        # none remain the key has not orderably appeared yet - no state.
+        pdf = pdf[pdf[order_col].notna()]
+        if pdf.empty:
+            return
         row = pdf.loc[pdf[order_col].idxmin()]
         state.update((int(row[order_col]),))
         yield pd.DataFrame(
@@ -317,8 +323,16 @@ def running_spend_anomalies(
     ) -> Iterator[pd.DataFrame]:
         (csv,) = state.get if state.exists else ("",)
         recent = [int(x) for x in csv.split(",") if x]
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(order_cols)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
         id_col = order_cols[-1]  # row identity for exact set compare
+        # Corrupt observations (missing cents, or missing any ordering
+        # field - unplaceable in the recurrence) are skipped exactly like
+        # the batch twin's isNotNull filter; they neither flag nor enter
+        # the trailing window. int(NaN) would otherwise crash the stream.
+        keep = pdf[cents_col].notna()
+        for c in order_cols:
+            keep &= pdf[c].notna()
+        pdf = pdf[keep].sort_values(order_cols)
         flagged, flagged_ids = [], []
         for x, oid in zip(
             (int(v) for v in pdf[cents_col]),
@@ -410,12 +424,22 @@ def cdc_apply_stream(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # A change record with no position in the (ts, seq) total order is
+        # corrupt, not a change: skip it, exactly like the batch twin's
+        # isNotNull filter. Before this, pandas' NULL->NaN turned one such
+        # row into int(NaN) -> ValueError, and since the poisoned source
+        # file survives restart, the stream crash-looped on it forever.
+        pdf = pdf[pdf["ts_micros"].notna() & pdf["seq"].notna()]
+        if pdf.empty:
+            # touched only by corrupt rows: state (and its emission
+            # history) is exactly as if the batch never arrived
+            return
         best = None  # (ts, seq, op, cents)
         for row in pdf.itertuples(index=False):
             cand = (
                 int(row.ts_micros),
                 int(row.seq),
-                str(row.op),
+                None if pd.isna(row.op) else str(row.op),
                 None if pd.isna(row.cents) else int(row.cents),
             )
             if best is None or (cand[0], cand[1]) > (best[0], best[1]):
@@ -492,6 +516,15 @@ def expiring_counts(
             )
             return
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # Rows with no event time have no position in event time: they
+        # can neither count toward an event-time-windowed state nor set
+        # its timeout (an all-NaT batch would otherwise compute a garbage
+        # NaT-min timeout and crash or never expire). Skip them; if none
+        # remain, the batch is as if it never arrived - existing state
+        # and its previously set timeout stand.
+        pdf = pdf[pdf["_ts"].notna()]
+        if pdf.empty:
+            return
         n = (state.get[0] if state.exists else 0) + len(pdf)
         state.update((n,))
         # ttl measured from this batch's newest event for the key

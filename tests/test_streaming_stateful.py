@@ -618,3 +618,268 @@ def test_event_time_ttl_expires_idle_keys(spark, tmp_path):
     # a's post-expiry re-appearance restarted from zero
     assert ("a", 1, 0) in emitted[-2:] or ("a", 1, 0) in emitted, emitted
     assert ("a", 3, 0) not in emitted, emitted  # state really was removed
+
+
+def _feed_csv_files(tmp_path, name, frames):
+    """Write pandas frames as one CSV file per micro-batch with monotone
+    mtimes (pandas NaN/None fields serialize as empty -> true SQL NULL
+    through csv ingestion, the hazard shape a real feed delivers)."""
+    import time as _time
+
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    now = _time.time()
+    for i, frame in enumerate(frames):
+        p = os.path.join(src, f"c{i}.csv")
+        frame.to_csv(p, index=False)
+        os.utime(p, (now + i, now + i))
+    return src
+
+
+def _drain(spark, tmp_path, out, prefix):
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"{prefix}_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def test_cdc_apply_stream_skips_unplaceable_changes(spark, tmp_path):
+    """A change record with NULL ts or NULL seq has no position in the
+    (ts, seq) total order - it is corrupt, not a change. Before the
+    skip, pandas' NULL->NaN made int(row.ts_micros) raise ValueError and
+    the poisoned file crash-looped the stream on every restart. Now the
+    stream survives, corrupt rows decide nothing, a key touched ONLY by
+    corrupt rows never materializes, and a NULL op survives as NULL (not
+    the string 'None')."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        cdc_apply_stream,
+    )
+
+    # nullable Int64 so ints with missing neighbors serialize as "100",
+    # not "100.0" (which the long schema would PERMISSIVE-null entirely)
+    b0 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts_micros": pd.array([100, None, 50, None], dtype="Int64"),
+            "event_id": [10, 11, 20, 30],
+            "op": ["insert", "upsert", "insert", "insert"],
+            "cents": [500, 900, 700, 800],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 2, 4],
+            "ts_micros": [200, 60, 10],
+            "event_id": pd.array([12, None, 40], dtype="Int64"),
+            "op": [None, "upsert", "upsert"],  # NULL op must stay NULL
+            "cents": [1100, 999, 400],
+        }
+    )
+    src = _feed_csv_files(tmp_path, "cdc_corrupt_in", [b0, b1])
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(
+            "user_id long, ts_micros long, event_id long, op string, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    sink = _drain(
+        spark,
+        tmp_path,
+        cdc_apply_stream(stream, "user_id", "ts_micros", "event_id", "op", "cents"),
+        "cdcnull",
+    )
+    emitted = spark.table(sink).withColumn("_i", F.monotonically_increasing_id())
+    final = {
+        r["key"]: (r["last_op"], r["last_ts_micros"], r["last_cents"])
+        for r in emitted.orderBy("_i").collect()
+    }
+    # key 3 was touched ONLY by a corrupt row: it must not exist at all
+    assert set(final) == {"1", "2", "4"}
+    # key 1: (200, 12) wins over (100, 10); its NULL op is preserved
+    assert final["1"] == (None, 200, 1100)
+    # key 2: (60, ...) would compete, but its seq is NULL -> corrupt, so
+    # batch-0's (50, 20) remains the winner
+    assert final["2"] == ("insert", 50, 700)
+    assert final["4"] == ("upsert", 10, 400)
+
+
+def test_running_spend_anomalies_skips_corrupt_rows(spark, tmp_path):
+    """Corrupt observations (NULL cents, or NULL in an ordering field)
+    must neither crash the recurrence (int(NaN) did, permanently - the
+    file is still there on restart) nor occupy trailing-window slots.
+    The flagged set equals the batch twin's with the same isNotNull
+    filter - the exact contract user_spend_anomalies now ships."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as Fn
+
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        running_spend_anomalies,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 180
+    base = rng.integers(900, 1100, n)
+    spikes = rng.random(n) < 0.1
+    cents = pd.array(np.where(spikes, base * 20, base), dtype="Int64")
+    cents[rng.random(n) < 0.15] = None  # corrupt: missing value
+    ts = pd.array(range(n), dtype="Int64")
+    ts[rng.random(n) < 0.05] = None  # corrupt: unplaceable
+    rows = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": ts,
+            "user_id": rng.integers(0, 4, n),
+            "cents": cents,
+        }
+    )
+    src = _feed_csv_files(
+        tmp_path, "anom_corrupt_in", [rows.iloc[:90], rows.iloc[90:]]
+    )
+    schema = "event_id long, ts long, user_id long, cents long"
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    sink = _drain(
+        spark,
+        tmp_path,
+        running_spend_anomalies(stream, "user_id", ["ts", "event_id"], "cents"),
+        "anomnull",
+    )
+    stream_flagged = {
+        (r["key"], r["order_id"]) for r in spark.table(sink).collect()
+    }
+
+    bdf = (
+        spark.read.format("csv").option("header", "true").schema(schema).load(src)
+    ).filter(
+        Fn.col("cents").isNotNull()
+        & Fn.col("ts").isNotNull()
+        & Fn.col("event_id").isNotNull()
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, -1)
+    )
+    w = bdf.select(
+        "event_id",
+        "user_id",
+        "cents",
+        Fn.count("*").over(win).alias("n_prev"),
+        Fn.sum("cents").over(win).alias("sum_prev"),
+        Fn.sum(Fn.col("cents") * Fn.col("cents")).over(win).alias("sumsq_prev"),
+    )
+    dev = Fn.col("cents") * Fn.col("n_prev") - Fn.col("sum_prev")
+    var_n2 = (
+        Fn.col("n_prev") * Fn.col("sumsq_prev")
+        - Fn.col("sum_prev") * Fn.col("sum_prev")
+    )
+    batch_flagged = {
+        (str(r["user_id"]), r["event_id"])
+        for r in w.filter(
+            (Fn.col("n_prev") >= 5) & (dev * dev > 9 * var_n2)
+        ).collect()
+    }
+    assert stream_flagged == batch_flagged
+    assert batch_flagged  # planted spikes keep the comparison non-vacuous
+
+
+def test_first_seen_skips_null_order_rows(spark, tmp_path):
+    """A row with no order value cannot be a key's 'first' (SQL min()
+    skips NULL): a key whose first batch carries ONLY null-order rows
+    has not orderably appeared - no state, no emission - and its real
+    first arrival in a later batch emits normally. idxmin over all-NaN
+    crashed here before."""
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        first_seen_by_key,
+    )
+
+    b0 = pd.DataFrame(
+        {
+            "fp": ["x", "y", "y"],
+            # x: all-null; y: min of real = 3 (Int64 keeps "3", not "3.0")
+            "doc_id": pd.array([None, None, 3], dtype="Int64"),
+            "source": ["s0", "s1", "s2"],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "fp": ["x", "y"],
+            "doc_id": [7, 1],  # x's real first; y already kept (3 stands)
+            "source": ["s3", "s4"],
+        }
+    )
+    src = _feed_csv_files(tmp_path, "fs_corrupt_in", [b0, b1])
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema("fp string, doc_id long, source string")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    sink = _drain(
+        spark,
+        tmp_path,
+        first_seen_by_key(stream, "fp", "doc_id", ["source"]),
+        "fsnull",
+    )
+    kept = {r["key"]: (r["doc_id"], r["source"]) for r in spark.table(sink).collect()}
+    assert kept == {"x": (7, "s3"), "y": (3, "s2")}
+
+
+def test_expiring_counts_ignores_null_event_times(spark, tmp_path):
+    """Rows with no event time have no position in event time: they are
+    not counted and cannot set (or corrupt) the key's timeout. An
+    all-NaT batch previously computed a garbage min-int64 timeout
+    timestamp. State and previously-set timeouts stand untouched."""
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        expiring_counts,
+    )
+
+    frames = [
+        pd.DataFrame({"k": ["a", "a"], "ts": ["2024-01-01 10:00:00", None]}),
+        pd.DataFrame({"k": ["a"], "ts": [None]}),  # all-corrupt batch
+        pd.DataFrame({"k": ["a"], "ts": ["2024-01-01 10:20:00"]}),
+    ]
+    src = _feed_csv_files(tmp_path, "ttl_corrupt_in", frames)
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    sink = _drain(
+        spark,
+        tmp_path,
+        expiring_counts(stream, "k", "ts", ttl_minutes=60,
+                        watermark_delay="10 minutes"),
+        "ttlnull",
+    )
+    from pyspark.sql import functions as F
+
+    emitted = [
+        (r["key"], r["n_events"], r["expired"])
+        for r in spark.table(sink)
+        .withColumn("_i", F.monotonically_increasing_id())
+        .orderBy("_i")
+        .collect()
+    ]
+    # batch 0: one real row counted (not two); batch 1: nothing emitted;
+    # batch 2: count advances to 2
+    assert emitted == [("a", 1, 0), ("a", 2, 0)], emitted
