@@ -47,7 +47,14 @@ def bucketed_range_join(
     p = points.withColumn(
         "_bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
     )
-    i = intervals.withColumn(
+    # An empty or inverted interval (hi <= lo) matches no point under the
+    # half-open predicate - but F.sequence(start, stop) with start > stop
+    # generates a DESCENDING sequence, so one corrupt inverted interval
+    # exploded into |lo-hi|/width bucket rows (measured: 10M rows from a
+    # single row) before the exact filter could reject them. Drop such
+    # intervals first; provably output-neutral. NULL bounds already match
+    # nothing (sequence(NULL,..) -> NULL explodes to no rows).
+    i = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

@@ -48,6 +48,19 @@ def as_of_join(
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
 
+    # A right row with no timestamp has no position in the as-of order -
+    # left at the window's front it would carry its value forward into
+    # EVERY left row of the key that precedes the first real right row
+    # (measured: a NULL-ts right row silently matched left rows with no
+    # true match). NULL-keyed right rows likewise match nothing, exactly
+    # as they would in the equi-join this operator replaces. Left rows
+    # keep standard left-join semantics: unmatched (including NULL ts or
+    # key) pass through with NULL right values.
+    right_valid = F.col(right_ts).isNotNull()
+    for k in key_cols:
+        right_valid = right_valid & F.col(k).isNotNull()
+    right = right.filter(right_valid)
+
     left_rest = [c for c in left.columns if c not in key_cols and c != left_ts]
 
     l_side = left.select(

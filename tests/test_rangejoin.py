@@ -94,3 +94,38 @@ def test_bucketed_range_join_equals_brute_force_property(spark):
         assert got == expect
 
     prop()
+
+
+def test_inverted_and_null_intervals_are_dropped_cheaply(spark):
+    """An inverted interval (hi <= lo) matches no point under the
+    half-open predicate - but F.sequence(start, stop) with start > stop
+    generates a DESCENDING sequence, so before the guard one corrupt
+    interval exploded into |lo-hi|/width bucket rows (measured: 10M rows
+    from a single input row) that the exact filter then discarded.
+    Now it is dropped before the explode; NULL bounds and NULL points
+    match nothing; the result is exactly the valid matches."""
+    from pyspark_data_engineering_assignment_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    pts = spark.createDataFrame([(5.0,), (None,)], "p double")
+    iv = spark.createDataFrame(
+        [
+            (10_000_000.0, 0.0, "inverted"),
+            (3.0, 3.0, "empty"),
+            (None, 10.0, "null_lo"),
+            (0.0, None, "null_hi"),
+            (0.0, 10.0, "good"),
+        ],
+        "lo double, hi double, tag string",
+    )
+    out = bucketed_range_join(pts, iv, "p", "lo", "hi", 1.0)
+    assert [(r["p"], r["tag"]) for r in out.collect()] == [(5.0, "good")]
+    # and the plan never materializes the inverted interval's buckets:
+    # the filter sits below the generator
+    import re
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    gen_pos = plan.find("Generate")
+    filt = re.search(r"Filter .*(hi|lo)", plan[gen_pos:])
+    assert gen_pos >= 0 and filt is not None

@@ -205,3 +205,28 @@ def test_streaming_session_windows_equal_batch(spark, tmp_path):
         ).collect()
     )
     assert streamed == batch
+
+
+def test_session_window_drops_null_event_times(spark):
+    """A row with no event time belongs to no session: F.session_window
+    drops it in batch mode, matching what the watermark path does on a
+    stream - pinned so the batch/stream twins can never diverge on
+    corrupt rows. Real rows in the same frame are unaffected."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_engineering_assignment_spark.streaming.windows import (
+        session_windowed_events,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, None, 2.0),  # corrupt: no event time
+            (1, "2024-01-01 10:10:00", 3.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = session_windowed_events(ev).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2  # the null-ts row was not counted
+    assert rows[0]["total_value_cents"] == 400

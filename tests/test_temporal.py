@@ -124,3 +124,34 @@ def test_as_of_join_equals_brute_force_property(spark):
             assert got[(k, t, i)] == expect, (k, t, cands, got)
 
     prop()
+
+
+def test_as_of_join_null_right_rows_match_nothing(spark):
+    """A right row with a NULL timestamp has no position in the as-of
+    order: before the guard it sorted to the window's FRONT and its
+    value carried forward into every left row preceding the first real
+    right row (measured: a no-match left row silently received the
+    corrupt row's value). NULL-keyed right rows likewise match nothing,
+    as they would in an equi join. NULL-ts/NULL-key LEFT rows keep left
+    join semantics: passed through with NULL right values."""
+    left = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1),  # before real right -> null
+            ("A", _ts("2024-01-01 12:00:00"), 2),  # after real right @11
+            (None, _ts("2024-01-01 12:00:00"), 3),  # null-key left: null
+            ("A", None, 4),                          # null-ts left: null
+        ],
+        LEFT_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", None, 666.0),                         # corrupt: null ts
+            (None, _ts("2024-01-01 09:00:00"), 667.0),  # corrupt: null key
+            ("A", _ts("2024-01-01 11:00:00"), 10.0),
+        ],
+        RIGHT_SCHEMA,
+    )
+    out = as_of_join(left, right, ["k"], "ts", "ts", ["price"])
+    got = {r["left_id"]: r["price"] for r in out.collect()}
+    assert got == {1: None, 2: 10.0, 3: None, 4: None}
+    assert out.count() == 4  # every left row preserved
