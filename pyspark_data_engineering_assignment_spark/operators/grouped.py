@@ -76,7 +76,12 @@ def standardize_embeddings_by_label(
         )
 
     return (
+        # a NULL vector is a corrupt/missing row, not a sample: np.stack
+        # would crash the whole group on it, and including it in the
+        # label's mean/std would be wrong anyway - same exclusion as the
+        # similarity operators' NULL-cos filter
         embeddings.select(id_col, label_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .groupBy(label_col)
         .applyInPandas(
             standardize, schema=_standardized_schema(embeddings, id_col, label_col)

@@ -103,6 +103,14 @@ def byte_histogram(media: DataFrame, dim: int = 16) -> DataFrame:
 
     def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a NULL payload is missing media, not content: bytes(None)
+            # would crash the whole Arrow batch on one corrupt row
+            pdf = pdf[pdf["payload"].notna()].reset_index(drop=True)
+            if pdf.empty:
+                # an all-filtered batch must yield NOTHING: an empty
+                # pandas frame types "counts" as float64, which Arrow
+                # cannot cast to list<int64>
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -131,6 +139,11 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # missing media: no feature row (reset_index keeps the
+            # positional feats list aligned with the surviving rows)
+            pdf = pdf[pdf["payload"].notna()].reset_index(drop=True)
+            if pdf.empty:
+                continue  # same Arrow empty-frame typing trap as above
             feats = []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 counts = _payload_histogram(payload, mtype, feature_dim)
@@ -169,15 +182,16 @@ def byte_histogram_arrow(media: DataFrame, dim: int = 16) -> DataFrame:
     def hist(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         for batch in batches:
             tbl = batch.to_pydict()
+            keep = [i for i, p in enumerate(tbl["payload"]) if p is not None]
             counts = [
-                _payload_histogram(p, m, dim).tolist()
-                for p, m in zip(tbl["payload"], tbl["media_type"])
+                _payload_histogram(tbl["payload"][i], tbl["media_type"][i], dim).tolist()
+                for i in keep
             ]
             yield pa.RecordBatch.from_pydict(
                 {
-                    "media_id": tbl["media_id"],
-                    "media_type": tbl["media_type"],
-                    "n_bytes": tbl["n_bytes"],
+                    "media_id": [tbl["media_id"][i] for i in keep],
+                    "media_type": [tbl["media_type"][i] for i in keep],
+                    "n_bytes": [tbl["n_bytes"][i] for i in keep],
                     "counts": counts,
                 }
             )
@@ -208,14 +222,20 @@ def sample_frames(
         raise ValueError(
             f"frame_bytes and every_k must be positive, got {frame_bytes}, {every_k}"
         )
-    n_frames = F.ceil(F.col("n_bytes") / F.lit(float(frame_bytes))).cast("long")
+    # frame count derives from the PAYLOAD, never the n_bytes metadata
+    # column: corrupt metadata claiming 10^12 bytes would size the
+    # sequence() blow-up before substring could bound it (the same
+    # generator hazard as an inverted range-join interval). The payload's
+    # own length cannot lie; a NULL payload has no frames.
+    true_len = F.octet_length(F.col("payload")).cast("long")
+    n_frames = F.ceil(true_len / F.lit(float(frame_bytes))).cast("long")
     kept = F.filter(
         F.sequence(F.lit(0).cast("long"), n_frames - 1),
         lambda i: i % every_k == 0,
     )
     frame = F.expr(f"substring(payload, frame_idx * {int(frame_bytes)} + 1, {int(frame_bytes)})")
     return (
-        media.filter(F.col("n_bytes") > 0)
+        media.filter(true_len > 0)
         .select("media_id", "payload", F.explode(kept).alias("frame_idx"))
         .select(
             "media_id",

@@ -29,9 +29,15 @@ def exact_percentile_threshold(
     golden equality matters. Window + max aggregates: two shuffles on the
     group key, both pre-aggregatable; fine for dimension-sized inputs.
     """
+    # NULL values must not enter the rank: Spark orders them FIRST, so
+    # they would occupy percent_rank 0..k and push every real value's
+    # rank upward - a silently inflated threshold (DuckDB additionally
+    # orders NULLs LAST, so the engines would disagree). A NULL has no
+    # rank in a value distribution; SQL aggregates skip it, and so do we.
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     return (
-        df.withColumn("_pr", F.percent_rank().over(w))
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_pr", F.percent_rank().over(w))
         .filter(F.col("_pr") <= fraction)
         .groupBy(*group_cols)
         .agg(F.max(value_col).alias(out_col))

@@ -711,6 +711,7 @@ def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id AS media_id, hex(encode(text)) AS h,
                octet_length(encode(text)) AS n_bytes
         FROM documents
+        WHERE text IS NOT NULL
     ),
     bytes AS (
         SELECT media_id, n_bytes,

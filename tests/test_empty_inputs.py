@@ -386,3 +386,104 @@ def test_packing_empty(spark):
     packed = pk.pack_concat_chunks(df0, "doc_id", "n_tokens", "shard")
     assert _is_empty_with_columns(packed)
     assert _is_empty_with_columns(pk.pack_summary(packed, "shard", "n_tokens"))
+
+
+# ------------------------------------------------------- multimodal nulls
+def test_null_payloads_do_not_crash_media_operators(spark):
+    """A NULL binary payload is missing media, not content: bytes(None)
+    crashed the whole Arrow batch in byte_histogram/extract_features
+    (and the mapInArrow variant) on one corrupt row. All three now skip
+    such rows; real rows in the same batch are unaffected."""
+    from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+        byte_histogram,
+        byte_histogram_arrow,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "text", bytearray(b"abc"), 3),
+            (2, "text", None, None),  # corrupt: missing payload
+        ],
+        "media_id long, media_type string, payload binary, n_bytes long",
+    )
+    for op in (byte_histogram, byte_histogram_arrow):
+        rows = op(media, dim=4).collect()
+        assert [r["media_id"] for r in rows] == [1]
+        assert sum(rows[0]["counts"]) == 3
+    feats = extract_features(media, feature_dim=4).collect()
+    assert [r["media_id"] for r in feats] == [1]
+
+
+def test_sample_frames_ignores_lying_n_bytes_metadata(spark):
+    """Frame count derives from the PAYLOAD, never the n_bytes metadata:
+    a corrupt row claiming 10^9 bytes for a 10-byte payload would
+    otherwise size a quarter-billion-element sequence() per row before
+    substring could bound it (the generator blow-up hazard class). The
+    frames produced are exactly the payload's own frames."""
+    from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "text", bytearray(b"0123456789"), 1_000_000_000),  # lying metadata
+            (2, "text", None, 50),  # null payload: no frames at all
+        ],
+        "media_id long, media_type string, payload binary, n_bytes long",
+    )
+    rows = sample_frames(media, frame_bytes=4, every_k=1).collect()
+    assert [(r["media_id"], r["frame_idx"], r["frame_len"]) for r in rows] == [
+        (1, 0, 4),
+        (1, 1, 4),
+        (1, 2, 2),
+    ]
+
+
+# ------------------------------------------------ rank/percentile nulls
+def test_exact_percentile_threshold_ignores_null_values(spark):
+    """NULL values sort FIRST under Spark's default ordering, so they
+    occupied percent_rank 0..k and pushed every real value's rank upward
+    - a silently inflated threshold (and DuckDB orders NULLs LAST, so
+    the engines disagreed on top of being wrong). NULLs have no rank in
+    a value distribution: the threshold over [nulls + 1..10] must equal
+    the threshold over [1..10]."""
+    from pyspark_data_engineering_assignment_spark.operators.relational import (
+        exact_percentile_threshold,
+    )
+
+    clean = [("g", float(v)) for v in range(1, 11)]
+    dirty = clean + [("g", None)] * 5
+    schema = "grp string, w double"
+    t_clean = exact_percentile_threshold(
+        spark.createDataFrame(clean, schema), ["grp"], "w", 0.35
+    ).collect()[0]["threshold"]
+    t_dirty = exact_percentile_threshold(
+        spark.createDataFrame(dirty, schema), ["grp"], "w", 0.35
+    ).collect()[0]["threshold"]
+    assert t_clean == t_dirty == 4.0  # percent_rank(4)=3/9<=0.35, pr(5)>0.35
+
+
+def test_grouped_standardization_skips_null_vectors(spark):
+    """np.stack over a group containing a NULL vector crashed the whole
+    label; a NULL vector is a corrupt row, excluded exactly like the
+    similarity operators' NULL-cos filter. The label's statistics are
+    computed from the real vectors only."""
+    from pyspark_data_engineering_assignment_spark.operators.grouped import (
+        standardize_embeddings_by_label,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, None),  # corrupt: missing vector
+            (3, 0, [3.0, 4.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = standardize_embeddings_by_label(emb).collect()
+    assert sorted(r["vec_id"] for r in rows) == [1, 3]
+    # two symmetric vectors: standardized to ±1 per dimension
+    by_id = {r["vec_id"]: r["embedding_std"] for r in rows}
+    assert [round(x) for x in by_id[1]] == [-1, -1]
+    assert [round(x) for x in by_id[3]] == [1, 1]
