@@ -94,11 +94,20 @@ def write_zordered(
         F.min(b).alias("blo"),
         F.max(b).alias("bhi"),
     ).collect()[0]
+    # An empty frame (or an all-NULL z-column) has no bounds: min/max
+    # return NULL and int(None) crashed the write. A column with no
+    # bounds cannot cluster anything - degrade that axis to the
+    # scale_to_bits lo==hi constant (key contribution 0) and still write
+    # the rows: an empty date partition is routine, not an error.
+    alo, ahi = bounds["alo"], bounds["ahi"]
+    blo, bhi = bounds["blo"], bounds["bhi"]
+    alo, ahi = (0, 0) if alo is None or ahi is None else (int(alo), int(ahi))
+    blo, bhi = (0, 0) if blo is None or bhi is None else (int(blo), int(bhi))
     keyed = df.withColumn(
         "_zkey",
         zorder_key(
-            scale_to_bits(F.col(a), int(bounds["alo"]), int(bounds["ahi"])),
-            scale_to_bits(F.col(b), int(bounds["blo"]), int(bounds["bhi"])),
+            scale_to_bits(F.col(a), alo, ahi),
+            scale_to_bits(F.col(b), blo, bhi),
         ),
     )
     (

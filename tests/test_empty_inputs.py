@@ -487,3 +487,47 @@ def test_grouped_standardization_skips_null_vectors(spark):
     by_id = {r["vec_id"]: r["embedding_std"] for r in rows}
     assert [round(x) for x in by_id[1]] == [-1, -1]
     assert [round(x) for x in by_id[3]] == [1, 1]
+
+
+# --------------------------------------------------------- writers
+def test_write_zordered_empty_and_all_null_column(spark, tmp_path):
+    """An empty frame (or an all-NULL z-column) has no min/max bounds;
+    int(None) crashed the layout writer. An empty date partition is
+    routine at 100 TB: the write must succeed, preserve every row, and
+    merely lose the clustering contribution of the boundless axis."""
+    from pyspark_data_engineering_assignment_spark.functions.zorder import (
+        write_zordered,
+    )
+
+    schema = "a long, b long, v string"
+    empty = spark.createDataFrame([], schema)
+    p0 = str(tmp_path / "z_empty")
+    write_zordered(empty, p0, ("a", "b"), num_files=2)
+    assert spark.read.schema(schema).parquet(p0).count() == 0
+
+    allnull_b = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y")], schema
+    )
+    p1 = str(tmp_path / "z_nullcol")
+    write_zordered(allnull_b, p1, ("a", "b"), num_files=2)
+    back = spark.read.parquet(p1)
+    assert back.count() == 2
+    assert {r["v"] for r in back.collect()} == {"x", "y"}
+
+
+def test_partitioned_writer_null_partition_roundtrip(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__ and
+    must read back as NULL (lossless roundtrip) - pinned because a
+    malformed row's nulled partition key must not silently vanish from
+    (or corrupt) the written dataset."""
+    from pyspark_data_engineering_assignment_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [("shard_a", 1), (None, 2)], "shard string, v long"
+    )
+    p = str(tmp_path / "parts")
+    write_partitioned_parquet(df, p, ["shard"])
+    back = {(r["shard"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert back == {("shard_a", 1), (None, 2)}
