@@ -615,3 +615,63 @@ def test_streaming_flagship_sf_state_oracle(spark, tmp_path, backend):
     }
     assert got_g == want_g
     assert run["rows"] == con.execute("SELECT count(*) FROM tx").fetchone()[0]
+
+
+def test_malformed_chunk_is_not_a_poison_pill(spark, tmp_path):
+    """System-level pin of the NULL-key state contract: a chunk whose
+    rows are malformed (wrong arity / untypable - PERMISSIVE nulls every
+    field, so the batch aggregates carry NULL merchant/customer keys)
+    must not take the stream down. Run against the DuckDB backend
+    because that is where it crash-LOOPED before the fix (the PRIMARY
+    KEY threw on the NULL key, and the poisoned chunk file survives
+    restart, so every retry hit the same error). The clean chunks'
+    detections and final state must be exactly the clean run's."""
+    import time as _time
+
+    from pyspark_data_engineering_assignment_spark.state.duckdb_store import (
+        DuckDBStateStore,
+    )
+
+    input_dir, imp_path, chunk_paths = _write_inputs(tmp_path)
+    # a fifth chunk of pure garbage, mtime-ordered after the real four
+    poison = os.path.join(input_dir, "chunk_00004.csv")
+    with open(poison, "w") as f:
+        f.write(",".join(COLUMNS) + "\n")
+        f.write("zzz\n")          # 1 field of 10, untypable step
+        f.write(",,,,,,,,,\n")    # full arity, every field empty
+    mt = _time.time() + 10
+    os.utime(poison, (mt, mt))
+
+    importance = read_importance(spark, imp_path)
+    store = DuckDBStateStore(spark, str(tmp_path / "state.duckdb"))
+    detections_dir = str(tmp_path / "detections")
+    pipe = DetectionPipeline(
+        spark, store, importance, detections_dir, config=EngineConfig(),
+        clock=CLOCK,
+    )
+    q = pipe.run_stream(input_dir, str(tmp_path / "checkpoint"))
+    q.awaitTermination()  # would raise StreamingQueryException pre-fix
+
+    # clean batches' detections are untouched; the poison batch
+    # contributes NOTHING of its own - the stateful patterns (PatId2/3)
+    # re-fire from the UNCHANGED state (parity mode re-fires every batch
+    # while true), and the batch-local PatId1 correctly stays silent
+    got = _read_detections(detections_dir)
+    for bid, expected in EXPECTED.items():
+        assert got.get(bid, Counter()) == expected, f"batch {bid}"
+    assert got.get(4, Counter()) == Counter(
+        {
+            ("PatId2", "CHILD", "C1", "M1"): 1,
+            ("PatId3", "DEI-NEEDED", "", "M2"): 1,
+        }
+    )
+
+    # state equals the clean totals - no NULL-keyed rows, nothing lost
+    m = {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    }
+    assert m == {"M1": 8, "M2": 7, "M3": 1}
+    assert None not in m
+    # and the stream really consumed the poison batch (id advanced past it)
+    assert store.last_batch_id(MERCHANT_SUMMARY) == 4
