@@ -129,3 +129,63 @@ def test_inverted_and_null_intervals_are_dropped_cheaply(spark):
     gen_pos = plan.find("Generate")
     filt = re.search(r"Filter .*(hi|lo)", plan[gen_pos:])
     assert gen_pos >= 0 and filt is not None
+
+
+def test_range_join_property_with_corrupt_rows(spark):
+    """Property (hypothesis): with NULL points, NULL bounds, and RAW
+    (possibly inverted or empty) intervals in the mix, the bucketed plan
+    still returns exactly the brute-force pair set over the half-open
+    predicate - corrupt rows match nothing and valid rows are
+    unaffected, for ANY inputs and bucket width."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    vals = st.integers(min_value=-20, max_value=20)
+    maybe = st.none() | vals
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pts=st.lists(maybe, min_size=1, max_size=8),
+        ivs=st.lists(st.tuples(maybe, maybe), min_size=1, max_size=5),
+        width=st.sampled_from([1.0, 3.0, 7.5]),
+    )
+    def prop(pts, ivs, width):
+        points = spark.createDataFrame(
+            [(i, None if v is None else float(v)) for i, v in enumerate(pts)],
+            "pid long, v double",
+        )
+        intervals = spark.createDataFrame(
+            [
+                (
+                    j,
+                    None if a is None else float(a),
+                    None if b is None else float(b),
+                )
+                for j, (a, b) in enumerate(ivs)
+            ],
+            "iid long, lo double, hi double",
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in bucketed_range_join(
+                points, intervals, "v", "lo", "hi", bucket_width=width
+            ).collect()
+        )
+        expect = sorted(
+            (i, j)
+            for i, v in enumerate(pts)
+            if v is not None
+            for j, (a, b) in enumerate(ivs)
+            if a is not None and b is not None and a <= v < b
+        )
+        assert got == expect
+
+    prop()

@@ -155,3 +155,66 @@ def test_as_of_join_null_right_rows_match_nothing(spark):
     got = {r["left_id"]: r["price"] for r in out.collect()}
     assert got == {1: None, 2: 10.0, 3: None, 4: None}
     assert out.count() == 4  # every left row preserved
+
+
+def test_as_of_join_property_with_corrupt_rows(spark):
+    """Property (hypothesis): with NULL keys and NULL timestamps on
+    BOTH sides in the mix, the union-tag-window as-of join equals the
+    brute-force definition where corrupt right rows (NULL key or ts)
+    match nothing and every left row survives with its brute-force
+    match (NULL for corrupt/unmatched left rows)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.temporal import (
+        as_of_join,
+    )
+
+    keys = st.none() | st.sampled_from([1, 2])
+    ts = st.none() | st.integers(min_value=0, max_value=20)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lrows=st.lists(st.tuples(keys, ts), min_size=1, max_size=8),
+        rrows=st.lists(st.tuples(keys, ts), min_size=1, max_size=8),
+    )
+    def prop(lrows, rrows):
+        # unique right (key, ts) among VALID rows so "latest" is unambiguous
+        seen, rkeep = set(), []
+        for k, t in rrows:
+            if k is not None and t is not None and (k, t) in seen:
+                continue
+            seen.add((k, t))
+            rkeep.append((k, t))
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)],
+            "k long, lts long, lid long",
+        )
+        right = spark.createDataFrame(
+            [(k, t, 100 + j) for j, (k, t) in enumerate(rkeep)],
+            "k long, rts long, rid long",
+        )
+        got = {
+            r["lid"]: r["rid"]
+            for r in as_of_join(
+                left, right, ["k"], "lts", "rts", ["rid"]
+            ).collect()
+        }
+        assert set(got) == set(range(len(lrows)))  # every left row survives
+        for i, (k, t) in enumerate(lrows):
+            if k is None or t is None:
+                expect = None
+            else:
+                cands = [
+                    (rt, 100 + j)
+                    for j, (rk, rt) in enumerate(rkeep)
+                    if rk == k and rt is not None and rt <= t
+                ]
+                expect = max(cands)[1] if cands else None
+            assert got[i] == expect, (i, k, t, got[i], expect)
+
+    prop()
