@@ -476,6 +476,11 @@ def duplicate_clusters(
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
+        # A pair with a NULL side carries no linkage evidence (its joins
+        # below are null-rejecting anyway), and an unattributable NULL
+        # node must not surface as a (NULL, NULL) "cluster member" row -
+        # same PK semantics as the state stores' NULL-key exclusion.
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )

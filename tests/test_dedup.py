@@ -308,3 +308,76 @@ def test_boilerplate_shingles_threshold_semantics(spark):
     }
     assert got[1] == 1 and got[2] == 1 and got[3] == 1
     assert got[4] == 0 and got[5] == 0  # "pair shared span" only in 2 docs
+
+
+def test_duplicate_clusters_null_sided_pairs_are_inert(spark):
+    """A candidate pair with a NULL doc id carries no linkage evidence:
+    it must not bridge the real nodes it touches, the unattributable
+    NULL node must not surface as a (NULL, NULL) cluster-member row
+    (same PK semantics as the state stores' NULL-key exclusion), and a
+    node seen ONLY through NULL-sided pairs stays an ordinary singleton
+    - absent from the labeling exactly like a doc in no pair at all."""
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, None), (None, 4), (None, None)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    # 3 and 4 are NOT bridged through the shared NULL side and carry no
+    # linkage evidence, so they are not labeled; no NULL row either.
+    assert got == {1: 1, 2: 1}
+
+
+def test_duplicate_clusters_property_matches_union_find(spark):
+    """Property (hypothesis): for ANY edge list over a small id universe
+    - self-loops, duplicate and reversed pairs, NULL sides included -
+    the iterative min-label propagation returns exactly the union-find
+    connected components, each labeled by its minimum member id, with
+    one output row per non-NULL endpoint."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    ids = st.none() | st.integers(min_value=0, max_value=9)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.lists(st.tuples(ids, ids), min_size=1, max_size=12))
+    def prop(edges):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        # union-find oracle over the valid (both-sides-non-NULL) edges
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a is None or b is None:
+                continue
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {n: find(n) for n in parent}
+        assert got == expect, (sorted(edges), got, expect)
+
+    prop()
