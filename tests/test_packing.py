@@ -86,3 +86,41 @@ def test_budget_must_be_positive(spark, sample):
     _, df = sample
     with pytest.raises(ValueError):
         pack_concat_chunks(df, "doc_id", "tokens", "shard", budget=0)
+
+
+def test_packing_property_matches_python_replay(spark):
+    """Property (hypothesis): for ANY (unique doc_id, shard, tokens)
+    rows - zero-token docs and longer-than-budget docs included - the
+    distributed assignment equals the plain-Python concat-and-chunk
+    replay for any budget, and per-shard token totals are conserved."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),   # shard
+                st.integers(min_value=0, max_value=300), # tokens
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        budget=st.sampled_from([1, 64, 128]),
+    )
+    def prop(docs, budget):
+        rows = [(i, shard, tokens) for i, (shard, tokens) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, shard long, tokens long")
+        got = {
+            r["doc_id"]: (r["shard"], r["pack_id"], r["start_offset"])
+            for r in pack_concat_chunks(
+                df, "doc_id", "tokens", "shard", budget=budget
+            ).collect()
+        }
+        assert got == _python_packing(rows, budget), (rows, budget, got)
+
+    prop()

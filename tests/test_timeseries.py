@@ -139,3 +139,57 @@ def test_funnel_counts_empty_stages_rejected(spark):
     df = spark.createDataFrame([("u", 1, "view")], "user_id string, ts long, event_type string")
     with _pytest.raises(ValueError):
         funnel_counts(df, "user_id", "ts", "event_type", [])
+
+
+def test_ewma_property_matches_python_fold(spark):
+    """Property (hypothesis): for ANY (key, unique order, value-or-NULL)
+    rows and any alpha, ewma_by_key equals the Python recurrence folded
+    over the key's non-null values in order - NULL observations are
+    skipped (not poison), n_events counts the values actually used, and
+    an all-NULL key is absent from the output."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+
+    vals = st.none() | st.integers(min_value=-1000, max_value=1000)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from(["a", "b"]), vals), min_size=1, max_size=12
+        ),
+        alpha=st.sampled_from([0.125, 0.5, 1.0]),
+    )
+    def prop(rows, alpha):
+        # order key = list index: unique (tie-free contract) and total
+        df = spark.createDataFrame(
+            [
+                (k, i, None if v is None else float(v))
+                for i, (k, v) in enumerate(rows)
+            ],
+            "k string, o long, v double",
+        )
+        got = {
+            r["k"]: (r["n_events"], r["ewma_value"])
+            for r in ewma_by_key(df, ["k"], ["o"], "v", alpha=alpha).collect()
+        }
+        expect = {}
+        for key in ("a", "b"):
+            seq = [float(v) for k, v in rows if k == key and v is not None]
+            if not seq:
+                continue  # all-NULL / absent key: no output row
+            s = seq[0]
+            for x in seq[1:]:
+                s = alpha * x + (1.0 - alpha) * s
+            expect[key] = (len(seq), s)
+        # identical IEEE fold order on both sides -> exact equality
+        assert got == expect, (rows, alpha, got, expect)
+
+    prop()
