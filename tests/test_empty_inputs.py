@@ -531,3 +531,59 @@ def test_partitioned_writer_null_partition_roundtrip(spark, tmp_path):
     write_partitioned_parquet(df, p, ["shard"])
     back = {(r["shard"], r["v"]) for r in spark.read.parquet(p).collect()}
     assert back == {("shard_a", 1), (None, 2)}
+
+
+def test_exact_percentile_threshold_property_matches_rank_oracle(spark):
+    """Property (hypothesis): for ANY grouped values with NULLs and ties
+    mixed in and any fraction, the threshold equals the rank-based
+    oracle - max value whose (rank-1)/(n-1) percent_rank over the
+    group's NON-NULL values is <= fraction; NULLs never occupy a rank
+    and an all-NULL group is absent."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.relational import (
+        exact_percentile_threshold,
+    )
+
+    vals = st.none() | st.integers(min_value=0, max_value=9)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from(["g", "h"]), vals), min_size=1, max_size=12
+        ),
+        fraction=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+    )
+    def prop(rows, fraction):
+        df = spark.createDataFrame(
+            [(g, None if v is None else float(v)) for g, v in rows],
+            "g string, v double",
+        )
+        got = {
+            r["g"]: r["threshold"]
+            for r in exact_percentile_threshold(
+                df, ["g"], "v", fraction
+            ).collect()
+        }
+        expect = {}
+        for grp in ("g", "h"):
+            xs = sorted(float(v) for g, v in rows if g == grp and v is not None)
+            if not xs:
+                continue  # all-NULL group: no threshold row
+            n = len(xs)
+            kept = [
+                x
+                for x in xs
+                # SQL rank with ties = index of the value's first occurrence;
+                # a single-value group has percent_rank 0 by definition
+                if (0.0 if n == 1 else xs.index(x) / (n - 1)) <= fraction
+            ]
+            expect[grp] = max(kept)  # min always has percent_rank 0
+        assert got == expect, (rows, fraction, got, expect)
+
+    prop()
