@@ -230,3 +230,93 @@ def test_session_window_drops_null_event_times(spark):
     assert len(rows) == 1
     assert rows[0]["n_events"] == 2  # the null-ts row was not counted
     assert rows[0]["total_value_cents"] == 400
+
+
+def test_session_window_property_matches_gaps_and_islands(spark):
+    """Property (hypothesis): for ANY per-user event times (NULL ts and
+    NULL user_id mixed in) session_windowed_events equals the Python
+    gaps-and-islands oracle - a gap of EXACTLY the duration starts a new
+    session (half-open windows), window = [first event, last event +
+    gap), NULL-ts rows are dropped, and a NULL user_id is one group
+    (standard groupBy semantics, same as the DuckDB oracle's
+    PARTITION BY)."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.streaming.windows import (
+        session_windowed_events,
+    )
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    users = st.none() | st.sampled_from(["u", "v"])
+    offsets = st.none() | st.integers(min_value=0, max_value=60)
+    GAP = 10  # seconds
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(st.tuples(users, offsets), min_size=1, max_size=12)
+    )
+    def prop(rows):
+        events = spark.createDataFrame(
+            [
+                (
+                    u,
+                    None if o is None else base + timedelta(seconds=o),
+                    float(i),  # integer dollars: exact in DEC cents
+                )
+                for i, (u, o) in enumerate(rows)
+            ],
+            "user_id string, ts timestamp, value double",
+        )
+        key = lambda t: (t[0] is None, t[0] or "", t[1:])  # noqa: E731
+        got = sorted(
+            (
+                (
+                    r["user_id"],
+                    r["session_start"],
+                    r["session_end"],
+                    r["n_events"],
+                    r["total_value_cents"],
+                )
+                for r in session_windowed_events(
+                    events, f"{GAP} seconds"
+                ).collect()
+            ),
+            key=key,
+        )
+        # Python gaps-and-islands oracle
+        by_user: dict = {}
+        for i, (u, o) in enumerate(rows):
+            if o is None:
+                continue  # NULL event time: dropped
+            by_user.setdefault(u, []).append((o, i))
+        expect = []
+        fmt = "%Y-%m-%d %H:%M:%S"
+        for u, evs in by_user.items():
+            evs.sort()
+            sess = [[evs[0]]]
+            for prev, cur in zip(evs, evs[1:]):
+                if cur[0] - prev[0] >= GAP:
+                    sess.append([])
+                sess[-1].append(cur)
+            for s in sess:
+                start, end = s[0][0], s[-1][0] + GAP
+                expect.append(
+                    (
+                        u,
+                        (base + timedelta(seconds=start)).strftime(fmt),
+                        (base + timedelta(seconds=end)).strftime(fmt),
+                        len(s),
+                        sum(i for _, i in s) * 100,
+                    )
+                )
+        expect.sort(key=key)
+        assert got == expect, (rows, got, expect)
+
+    prop()
