@@ -151,3 +151,60 @@ def test_kmv_setops_group_domain_guard(spark):
     assert kmv_set_cardinality(df, "g", "v", k=16, max_groups=64).count() == (
         40 * 39 // 2
     )
+
+
+def test_kmv_property_matches_md5_replay(spark):
+    """Property (hypothesis): for ANY multiset of string values with
+    NULLs and duplicates across two groups, kmv_distinct_estimate
+    equals the plain-Python md5 bottom-k replay exactly - the sketch is
+    a pure function of each group's distinct non-NULL set (duplication,
+    row order and partitioning invisible), below-k groups are EXACT,
+    NULLs never steal a bottom-k slot, and an all-NULL group is absent."""
+    import hashlib
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.sketches import (
+        HEX_CHARS,
+        hash_space,
+        kmv_distinct_estimate,
+    )
+
+    vals = st.none() | st.text(alphabet="abcdef", min_size=1, max_size=2)
+    K = 4
+
+    def py_hash(v: str) -> int:
+        return int(hashlib.md5(v.encode()).hexdigest()[:HEX_CHARS], 16) + 1
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from(["g", "h"]), vals), min_size=1, max_size=20
+        )
+    )
+    def prop(rows):
+        df = spark.createDataFrame(rows, "g string, v string")
+        got = {
+            r["g"]: r["distinct_est"]
+            for r in kmv_distinct_estimate(df, ["g"], "v", k=K).collect()
+        }
+        expect = {}
+        for grp in ("g", "h"):
+            hs = sorted({py_hash(v) for g, v in rows if g == grp and v is not None})
+            if not hs:
+                continue  # all-NULL group absent
+            if len(hs) < K:
+                expect[grp] = len(hs)
+            else:
+                expect[grp] = math.floor(
+                    float(K - 1) * float(hash_space()) / float(hs[K - 1])
+                )
+        assert got == expect, (rows, got, expect)
+
+    prop()
