@@ -285,6 +285,14 @@ def cms_sketch(
     bounds collisions). One explode(depth) + one groupBy shuffle whose
     output is sketch-sized, never corpus-sized.
     """
+    # SQL count(item) never counts NULL, so neither may the sketch.
+    # Unfiltered, the two hash paths also silently DIVERGE on NULLs:
+    # xxhash64(seed, NULL) is the bare seed, so every NULL row lands in
+    # a real per-family bucket (inflating whichever item collides there
+    # and making NULL probe-able as a phantom heavy hitter), while the
+    # md5 path's concat yields a NULL bucket row the estimate join then
+    # drops.
+    df = df.filter(F.col(item_col).isNotNull())
     rows = df.select(
         F.explode(
             F.array(
@@ -319,7 +327,12 @@ def cms_estimate(
     min over the ``depth`` hash families of that item's counter. The
     sketch (and the per-candidate probe set) broadcast - both are
     sketch/candidate-sized. Estimates satisfy ``est >= true`` always;
-    the overshoot is bounded by collision mass (pinned in tests)."""
+    the overshoot is bounded by collision mass (pinned in tests).
+
+    A NULL candidate has no countable frequency (count(item) skips
+    NULL) and is absent from the output - mirroring cms_sketch's
+    NULL-item exclusion on both hash paths."""
+    candidates = candidates.filter(F.col(item_col).isNotNull())
     probes = candidates.select(
         F.col(item_col),
         F.explode(

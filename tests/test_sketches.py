@@ -208,3 +208,101 @@ def test_kmv_property_matches_md5_replay(spark):
         assert got == expect, (rows, got, expect)
 
     prop()
+
+
+def test_cms_null_items_uncounted_on_both_hash_paths(spark):
+    """count(item) never counts NULL, so neither may the sketch - and
+    the two hash paths previously DIVERGED on NULLs (xxhash64 put every
+    NULL row in a real seed bucket, probe-able as a phantom heavy
+    hitter and inflating colliding items; md5 made a NULL bucket row).
+    Both paths must now produce the identical sketch with or without
+    NULL rows, and a NULL candidate gets no estimate row."""
+    from pyspark_data_engineering_assignment_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    clean = spark.createDataFrame([("a",)] * 3, "item string")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None,)] * 5, "item string")
+    )
+    cand = spark.createDataFrame([("a",), (None,)], "item string")
+    for hf in ("xxhash64", "md5"):
+        s_clean = sorted(
+            (r["j"], r["bucket"], r["cnt"])
+            for r in cms_sketch(clean, "item", depth=2, width=8, hash_fn=hf).collect()
+        )
+        s_dirty = sorted(
+            (r["j"], r["bucket"], r["cnt"])
+            for r in cms_sketch(dirty, "item", depth=2, width=8, hash_fn=hf).collect()
+        )
+        assert s_clean == s_dirty, hf
+        est = {
+            r["item"]: r["freq_est"]
+            for r in cms_estimate(
+                cand,
+                cms_sketch(dirty, "item", depth=2, width=8, hash_fn=hf),
+                "item",
+                depth=2,
+                width=8,
+                hash_fn=hf,
+            ).collect()
+        }
+        assert est == {"a": 3}, (hf, est)
+
+
+def test_cms_property_never_undercounts_md5_replay(spark):
+    """Property (hypothesis): for ANY multiset of items with NULLs
+    mixed in, the md5-path CMS equals the plain-Python counter replay
+    over non-NULL rows - so every candidate's estimate is exactly
+    min over hash families of its bucket's counter, which can never
+    undercount the item's true frequency."""
+    import hashlib
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    DEPTH, WIDTH = 2, 4  # tiny on purpose: force collisions
+
+    def py_bucket(j: int, v: str) -> int:
+        return int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15], 16) % WIDTH
+
+    vals = st.none() | st.text(alphabet="abc", min_size=1, max_size=2)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(vals, min_size=1, max_size=15))
+    def prop(rows):
+        df = spark.createDataFrame([(v,) for v in rows], "item string")
+        true = Counter(v for v in rows if v is not None)
+        if not true:
+            return  # all-NULL input: nothing to probe
+        counters = Counter()
+        for v, n in true.items():
+            for j in range(DEPTH):
+                counters[(j, py_bucket(j, v))] += n
+        cand = spark.createDataFrame([(v,) for v in true], "item string")
+        sketch = cms_sketch(df, "item", depth=DEPTH, width=WIDTH, hash_fn="md5")
+        got = {
+            r["item"]: r["freq_est"]
+            for r in cms_estimate(
+                cand, sketch, "item", depth=DEPTH, width=WIDTH, hash_fn="md5"
+            ).collect()
+        }
+        expect = {
+            v: min(counters[(j, py_bucket(j, v))] for j in range(DEPTH))
+            for v in true
+        }
+        assert got == expect, (rows, got, expect)
+        assert all(got[v] >= true[v] for v in true)
+
+    prop()
