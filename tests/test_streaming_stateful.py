@@ -883,3 +883,102 @@ def test_expiring_counts_ignores_null_event_times(spark, tmp_path):
     # batch 0: one real row counted (not two); batch 1: nothing emitted;
     # batch 2: count advances to 2
     assert emitted == [("a", 1, 0), ("a", 2, 0)], emitted
+
+
+def test_running_ewma_property_chunking_invariant(spark):
+    """Property (hypothesis): for ANY time-ordered rows (NULL
+    observations mixed in) and ANY contiguous chunking of the feed -
+    empty chunks included - the streaming EWMA's final per-key state is
+    BIT-identical to the batch ewma_by_key fold over the same rows.
+    Randomizes the thing the fixed contract test pins once: the
+    micro-batch boundaries."""
+    import tempfile
+    import time as _time
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        running_ewma,
+    )
+
+    vals = st.none() | st.integers(min_value=0, max_value=400)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from([0, 1]), vals), min_size=1, max_size=10
+        ),
+        cutdraw=st.lists(st.integers(min_value=0, max_value=10), max_size=3),
+    )
+    def prop(rows, cutdraw):
+        # exactly-representable doubles: integer quarters survive the
+        # csv round trip bit-exactly
+        data = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": range(len(rows)),
+                "user_id": [u for u, _ in rows],
+                "value": [None if v is None else v * 0.25 for _, v in rows],
+            }
+        )
+        cuts = sorted({min(c, len(rows)) for c in cutdraw})
+        bounds = [0] + cuts + [len(rows)]
+        tmp = tempfile.mkdtemp(prefix="ewma_prop_")
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src)
+        now = _time.time()
+        for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            p = os.path.join(src, f"chunk{i}.csv")
+            data.iloc[lo:hi].to_csv(p, index=False)  # may be header-only
+            os.utime(p, (now + i, now + i))
+        schema = "event_id long, ts long, user_id long, value double"
+        stream = (
+            spark.readStream.format("csv")
+            .option("header", "true")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        sink = f"ewma_prop_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_ewma(stream, "user_id", ["ts", "event_id"], "value")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(sink).toPandas()
+        if len(emitted):
+            final = (
+                emitted.sort_values("n_events").groupby("key").last().reset_index()
+            )
+            got = {
+                r["key"]: (r["n_events"], r["ewma_value"])
+                for _, r in final.iterrows()
+            }
+        else:
+            got = {}
+        batch_df = spark.createDataFrame(
+            data[["user_id", "ts", "event_id", "value"]],
+            schema="user_id long, ts long, event_id long, value double",
+        )
+        expect = {
+            str(r["user_id"]): (r["n_events"], r["ewma_value"])
+            for r in ewma_by_key(
+                batch_df, ["user_id"], ["ts", "event_id"], "value"
+            ).collect()
+        }
+        assert got == expect, (rows, bounds, got, expect)
+
+    prop()
