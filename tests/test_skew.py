@@ -61,3 +61,60 @@ def test_salted_join_rejects_unsupported_how(spark, skewed):
     large, small = skewed
     with pytest.raises(ValueError):
         salted_join(large, small, ["k"], 4, how="full")
+
+
+def test_salted_join_property_equals_plain_join(spark):
+    """Property (hypothesis): for ANY large/small inputs - NULL keys,
+    duplicate keys on both sides (multiset semantics), any salt count -
+    salted_join is row-for-row identical to the plain join for both
+    supported join types. Salting must be a pure physical rewrite."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_engineering_assignment_spark.operators.skew import (
+        salted_join,
+    )
+
+    keys = st.none() | st.integers(min_value=0, max_value=3)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lrows=st.lists(
+            st.tuples(keys, st.integers(min_value=0, max_value=9)),
+            min_size=1,
+            max_size=10,
+        ),
+        srows=st.lists(
+            st.tuples(keys, st.integers(min_value=100, max_value=109)),
+            min_size=1,
+            max_size=6,
+        ),
+        n_salts=st.sampled_from([1, 2, 4]),
+        how=st.sampled_from(["inner", "left"]),
+    )
+    def prop(lrows, srows, n_salts, how):
+        large = spark.createDataFrame(lrows, "k long, lv long")
+        small = spark.createDataFrame(srows, "k long, sv long")
+        none_last = lambda r: tuple(  # noqa: E731
+            (x is None, x if x is not None else 0) for x in r
+        )
+        got = sorted(
+            (
+                tuple(r)
+                for r in salted_join(
+                    large, small, ["k"], n_salts, how=how
+                ).collect()
+            ),
+            key=none_last,
+        )
+        expect = sorted(
+            (tuple(r) for r in large.join(small, on=["k"], how=how).collect()),
+            key=none_last,
+        )
+        assert got == expect, (lrows, srows, n_salts, how, got, expect)
+
+    prop()
