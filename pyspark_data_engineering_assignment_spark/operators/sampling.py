@@ -36,10 +36,17 @@ DEFAULT_SALT = "split-v1"
 def hash_bucket(
     id_col: Column, buckets: int = 100, salt: str = DEFAULT_SALT
 ) -> Column:
-    """Uniform bucket in [0, buckets) as a pure function of (id, salt)."""
+    """Uniform bucket in [0, buckets) as a pure function of (id, salt);
+    a NULL id has no bucket (NULL out, like every SQL function of a
+    NULL input)."""
+    # concat, not concat_ws: concat_ws SKIPS null arguments, so a NULL
+    # id silently hashed to the bucket of the bare salt string - every
+    # unattributable row landed together in one salt-chosen bucket (and
+    # downstream, one salt-chosen split). concat NULL-propagates,
+    # matching the `||` arithmetic the DuckDB oracles replay.
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", id_col.cast("string"), F.lit(salt))),
+            F.md5(F.concat(id_col.cast("string"), F.lit("|" + salt))),
             1,
             _HEX_CHARS,
         ),
@@ -76,7 +83,14 @@ def split_assignment(
             F.when(b < cum, label) if expr is None else expr.when(b < cum, label)
         )
     last = F.lit(labels[-1])
-    return last if expr is None else expr.otherwise(last)
+    base = last if expr is None else expr.otherwise(last)
+    # A NULL id has no bucket; without this guard the when-chain's
+    # NULL comparisons fall through to otherwise() and every
+    # unattributable row lands in the LAST label - which in the
+    # conventional train/val/test layout is the EVAL set. Missing
+    # identity must surface as a visible NULL split, never a silent
+    # assignment.
+    return F.when(b.isNull(), F.lit(None).cast("string")).otherwise(base)
 
 
 def hash_split(
@@ -102,6 +116,8 @@ def deterministic_sample(
     Unlike ``df.sample``, re-running (or re-partitioning, or resuming a
     failed job) selects exactly the same rows, and appending new data
     samples it at the same rate without disturbing prior selections.
+    A NULL id has no bucket (NULL comparison is never true), so an
+    unattributable row is never sampled.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
@@ -135,6 +151,11 @@ def stratified_take(
     """
     from pyspark.sql import Window
 
+    # The contract is purity in (id, salt): a NULL-id row has no
+    # deterministic identity, and after hash_bucket's NULL propagation
+    # it would sort FIRST in its stratum (asc nulls-first) and steal a
+    # quota slot from every real row. Unattributable rows take nothing.
+    df = df.filter(F.col(id_col).isNotNull())
     rank_hash = hash_bucket(F.col(id_col), buckets=1 << 30, salt=salt)
     w = Window.partitionBy(*strata_cols).orderBy(
         rank_hash.asc(), F.col(id_col).asc()

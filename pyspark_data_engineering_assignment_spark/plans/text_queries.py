@@ -958,7 +958,8 @@ def doc_token_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
         SELECT lang, n_chars,
-               CASE WHEN m < 80 THEN 'train'
+               CASE WHEN m IS NULL THEN NULL
+                    WHEN m < 80 THEN 'train'
                     WHEN m < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM (SELECT lang, n_chars,
@@ -1015,7 +1016,7 @@ def doc_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 || '|' || 'split-v1'),
                                             1, 15))::BIGINT % 1073741824,
                             doc_id) AS rn
-        FROM documents) WHERE rn <= 3
+        FROM documents WHERE doc_id IS NOT NULL) WHERE rn <= 3
     """,
 )
 def doc_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,7 +1411,8 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neutral (local_oracle).",
     local_oracle="""
     WITH s AS (
-        SELECT CASE WHEN m < 80 THEN 'train'
+        SELECT CASE WHEN m IS NULL THEN NULL
+                    WHEN m < 80 THEN 'train'
                     WHEN m < 90 THEN 'val'
                     ELSE 'test' END AS split,
                fp

@@ -151,3 +151,41 @@ def test_content_safe_split_colocates_duplicates(spark):
     by_id = hash_split(docs, "doc_id").collect()
     id_splits = {r["split"] for r in by_id if r["text"].strip().lower() == dup.lower()}
     assert len(id_splits) > 1
+
+
+def test_null_ids_have_no_bucket_anywhere(spark):
+    """A NULL id is an unattributable row, and every sampling operator
+    must treat it as identity-less, never as a silent assignment.
+    Before this pin, concat_ws SKIPPED the NULL id so every NULL row
+    hashed to the bucket of the bare salt string: all of them landed
+    together in one salt-chosen split (and the split_assignment
+    when-chain would otherwise dump a NULL bucket into the LAST label -
+    the eval set)."""
+    from pyspark_data_engineering_assignment_spark.operators.sampling import (
+        content_safe_split,
+        deterministic_sample,
+        hash_split,
+        stratified_take,
+    )
+
+    ids = spark.createDataFrame(
+        [(1, "g"), (None, "g"), (2, "g"), (None, "h")],
+        "doc_id long, lang string",
+    )
+    # hash_split: NULL id -> visible NULL split, real ids unaffected
+    splits = {r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id").collect()}
+    assert splits[1] is not None and splits[2] is not None
+    assert splits[None] is None
+    # content_safe_split: NULL text -> NULL split ('' keeps its own)
+    docs = spark.createDataFrame([("x",), (None,), ("",)], "text string")
+    by_text = {
+        r["text"]: r["split"] for r in content_safe_split(docs).collect()
+    }
+    assert by_text["x"] is not None and by_text[""] is not None
+    assert by_text[None] is None
+    # deterministic_sample: a NULL id can never be selected
+    kept = deterministic_sample(ids, "doc_id", fraction=1.0).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]
+    # stratified_take: NULL-id rows neither win nor occupy quota slots
+    took = stratified_take(ids, ["lang"], "doc_id", n_per_stratum=2).collect()
+    assert sorted(r["doc_id"] for r in took) == [1, 2]
