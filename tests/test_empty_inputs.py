@@ -156,17 +156,23 @@ def test_null_text_is_not_a_duplicate(spark):
     assert survivors == [1, 2, 3]
 
 
-def test_null_text_gets_a_split(spark):
-    """content_safe_split must give null-text rows a real split label
-    (coalesced fingerprint), not a NULL that drops them from every
-    split filter."""
+def test_null_text_gets_no_split(spark):
+    """content_safe_split must give null-text rows a visible NULL
+    split. This SUPERSEDES the earlier pin that demanded a real label:
+    what that behavior actually was (via concat_ws skipping the NULL
+    fingerprint) is every contentless row landing together in ONE
+    salt-chosen split - missing data silently entering train or,
+    worse, eval. NULL text is missing data, not content (the dedup
+    convention): it belongs to no split, every split filter correctly
+    excludes it, and the NULL is countable by a DQ rule instead of
+    invisible inside a split."""
     from pyspark_data_engineering_assignment_spark.operators.sampling import (
         content_safe_split,
     )
 
     docs = spark.createDataFrame([(1, None, None), (2, "x", 1)], DOCS)
-    out = content_safe_split(docs).collect()
-    assert all(r["split"] is not None for r in out)
+    out = {r["doc_id"]: r["split"] for r in content_safe_split(docs).collect()}
+    assert out[1] is None and out[2] is not None
 
 
 # ----------------------------------------------------------- similarity
