@@ -39,7 +39,16 @@ def _violations(rule: Rule) -> Column:
     if kind == "in_set":
         return F.count_if(c.isNull() | ~c.isin(list(rule[2])))
     if kind == "positive":
-        return F.count_if(c.isNull() | (c <= 0))
+        # NaN is not a positive number, but Spark's total ordering puts
+        # NaN ABOVE every value, so `NaN <= 0` is false and a bare
+        # comparison would silently BLESS NaN - in the one tool whose
+        # job is catching bad values. isnan over a double cast is
+        # false for NULL and for every integral value, so the rule
+        # stays value-identical on non-float columns (the oracle
+        # mirrors of integral-column rules need no isnan arm).
+        return F.count_if(
+            c.isNull() | F.isnan(c.cast("double")) | (c <= 0)
+        )
     raise ValueError(f"unknown rule kind: {kind}")
 
 

@@ -107,3 +107,28 @@ def test_streaming_quality_metrics_per_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming_quality_metrics(stream, "x", [("unique", "id")])
+
+
+def test_positive_rule_flags_nan(spark):
+    """NaN is not a positive number, but Spark's total ordering puts NaN
+    above every value so `NaN <= 0` is false - unguarded, the positive
+    rule silently blessed NaN. It must count as a violation, `between`
+    must keep flagging it (NaN sorts above any finite hi), and integral
+    columns are unaffected by the isnan arm."""
+    from pyspark_data_engineering_assignment_spark.tools.expectations import (
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, -1.0), (4, None)],
+        "k long, v double",
+    )
+    rep = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in quality_report(
+            df, [("positive", "v"), ("between", "v", 0.0, 10.0), ("positive", "k")]
+        ).collect()
+    }
+    assert rep["positive(v)"] == (3, 0)   # NaN + negative + NULL
+    assert rep["between(v)"] == (3, 0)    # NaN above hi; -1 below lo; NULL
+    assert rep["positive(k)"] == (0, 1)   # integral column: unchanged
