@@ -65,9 +65,13 @@ def kmeans_fixedpoint(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    # NULL vectors train nothing (NULL distance to every centroid) -
-    # same exclusion as _det_base
-    v = df.filter(F.col(vec_col).isNotNull()).select(
+    # NULL vectors train nothing (NULL distance to every centroid),
+    # and a NaN element would quantize to fixed-point 0 via the
+    # non-ANSI integral cast - a corrupt vector silently pulling every
+    # centroid toward the origin. Same exclusion as _det_base.
+    v = df.filter(
+        F.col(vec_col).isNotNull() & ~F.exists(F.col(vec_col), F.isnan)
+    ).select(
         F.col(id_col).alias("vid"), _fixpoint(F.col(vec_col)).alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -179,9 +183,13 @@ def _nearest_cells(frame: DataFrame, cells: DataFrame, n: int, out: str) -> Data
 
 def _det_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # NULL vectors cannot be trained on or assigned to a cell (their
-    # distance to every centroid is NULL) - exclude them up front
-    # rather than letting them ride the window with arbitrary rank
-    return df.filter(F.col(vec_col).isNotNull()).select(
+    # distance to every centroid is NULL), and a NaN element would
+    # quantize to fixed-point 0 (non-ANSI cast) - a silently wrong
+    # vector, not a filterable one. Exclude both up front rather than
+    # letting them ride the window with arbitrary rank.
+    return df.filter(
+        F.col(vec_col).isNotNull() & ~F.exists(F.col(vec_col), F.isnan)
+    ).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _fixpoint(F.col(vec_col)).alias("v"),
@@ -295,7 +303,7 @@ def probe_ivf_det(
     # ragged (dimension-mismatched) vectors dot to NULL even after the
     # _det_base null filter - same no-slot-for-corrupt-rows exclusion
     # as the float top-k operators
-    scored = scored.filter(F.col("cos").isNotNull())
+    scored = scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

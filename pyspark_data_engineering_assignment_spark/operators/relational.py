@@ -34,9 +34,16 @@ def exact_percentile_threshold(
     # rank upward - a silently inflated threshold (DuckDB additionally
     # orders NULLs LAST, so the engines would disagree). A NULL has no
     # rank in a value distribution; SQL aggregates skip it, and so do we.
+    # NaN survives isNotNull and sorts ABOVE every real value, so it
+    # would stretch the rank denominator (deflating every real value's
+    # percent_rank) and at fraction=1.0 become the threshold itself -
+    # NaN, which no real value compares to. No rank for NaN either.
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .withColumn("_pr", F.percent_rank().over(w))
         .filter(F.col("_pr") <= fraction)
         .groupBy(*group_cols)

@@ -68,7 +68,7 @@ def brute_force_topk(
     # A NULL or dimension-mismatched vector yields cos NULL (zip_with
     # pads the short side with NULLs); such a candidate must not occupy
     # a top-k slot - filter BEFORE ranking so real neighbors fill k.
-    scored = scored.filter(F.col("cos").isNotNull())
+    scored = scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -127,11 +127,18 @@ def int8_topk(
     # quantization and BEFORE the join: an O(pairs)-level filter on the
     # code arrays re-inlines the quantization transform per pair
     # (CollapseProject), measured ~2x on this query's bench time.
+    # NaN elements must be excluded HERE, not at the cos stage like the
+    # float paths: the non-ANSI integral cast quantizes NaN to code 0,
+    # so a corrupt vector would silently score as a legitimate-looking
+    # neighbor instead of propagating a filterable NaN.
+    _clean = lambda col: (  # noqa: E731
+        F.col(col).isNotNull() & ~F.exists(F.col(col), F.isnan)
+    )
     q = _codes(
-        queries.filter(F.col(vec_col).isNotNull()), "query_id", "qv"
+        queries.filter(_clean(vec_col)), "query_id", "qv"
     ).withColumn("qq2", dot(F.col("qv"), F.col("qv")))
     c = _codes(
-        corpus.filter(F.col(vec_col).isNotNull()), "neighbor_id", "cv"
+        corpus.filter(_clean(vec_col)), "neighbor_id", "cv"
     ).withColumn("cc2", dot(F.col("cv"), F.col("cv")))
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
@@ -260,7 +267,7 @@ def lsh_bucketed_topk(
     # A NULL or dimension-mismatched vector yields cos NULL (zip_with
     # pads the short side with NULLs); such a candidate must not occupy
     # a top-k slot - filter BEFORE ranking so real neighbors fill k.
-    scored = scored.filter(F.col("cos").isNotNull())
+    scored = scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -492,7 +499,7 @@ def probe_ivf(
     )
     # same corrupt-candidate exclusion as brute_force_topk: NULL cos
     # (null/ragged vector on either side) never occupies a top-k slot
-    scored = scored.filter(F.col("cos").isNotNull())
+    scored = scored.filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

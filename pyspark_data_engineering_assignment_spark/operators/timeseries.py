@@ -131,11 +131,15 @@ def ewma_by_key(
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     # A NULL observation would poison the fold permanently (every
-    # subsequent s_i = alpha*x + (1-alpha)*NULL stays NULL). Missing
+    # subsequent s_i = alpha*x + (1-alpha)*NULL stays NULL) - and so
+    # would a NaN, which survives isNotNull: one NaN makes the key's
+    # EWMA NaN forever, while the streaming twin's pandas dropna()
+    # (which removes NaN) keeps folding - the silent batch/stream
+    # divergence the bit-exact contract exists to prevent. Corrupt
     # observations are SKIPPED - the recurrence folds over the key's
-    # non-null values and n_events counts observations actually used;
-    # a key with no usable observations is absent from the output.
-    df = df.filter(F.col(value_col).isNotNull())
+    # real values and n_events counts observations actually used; a
+    # key with no usable observations is absent from the output.
+    df = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
     seq = F.array_sort(
         F.collect_list(
             F.struct(

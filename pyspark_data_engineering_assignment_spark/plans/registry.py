@@ -1576,7 +1576,8 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, count(*) AS n_events,
            list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
                        (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_value
-    FROM events WHERE value IS NOT NULL GROUP BY 1
+    FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    GROUP BY 1
     """,
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

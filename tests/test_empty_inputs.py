@@ -593,3 +593,116 @@ def test_exact_percentile_threshold_property_matches_rank_oracle(spark):
         assert got == expect, (rows, fraction, got, expect)
 
     prop()
+
+
+# ------------------------------------------------------------- NaN axis
+# NaN is the third degenerate axis after empty and NULL: it SURVIVES
+# isNotNull, Spark's total ordering puts it ABOVE every real value, and
+# the non-ANSI integral cast quantizes it to 0. Each operator below
+# previously lied on one of those three routes (measured before fixing).
+
+
+def test_nan_observations_do_not_poison_ewma(spark):
+    """One NaN observation made the key's batch EWMA NaN forever while
+    the streaming twin's dropna() skipped it - silent batch/stream
+    divergence. NaN folds nothing and is not counted."""
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, float("nan")), ("a", 2, 2.0)],
+        "k string, o long, v double",
+    )
+    [r] = ewma_by_key(df, ["k"], ["o"], "v", alpha=0.5).collect()
+    assert (r["n_events"], r["ewma_value"]) == (2, 0.5 * 2.0 + 0.5 * 1.0)
+
+
+def test_nan_cos_never_takes_a_topk_slot(spark):
+    """A NaN-element corpus vector dotted to cos=NaN, which sorts ABOVE
+    cos=1.0 under desc - the corrupt candidate took rank 1 (measured).
+    NaN cos is excluded before ranking, like NULL cos."""
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [float("nan"), 1.0]), (12, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(c, q, k=2).collect()
+    ]
+    assert got == [(10, 1), (12, 2)]
+
+
+def test_nan_vector_excluded_from_int8_candidacy(spark):
+    """The int8 path cannot filter at the cos stage: the non-ANSI
+    integral cast quantizes NaN to code 0, producing a
+    legitimate-looking score for a corrupt vector. Vectors containing
+    NaN are excluded from candidacy before quantization."""
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        int8_topk,
+    )
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [float("nan"), 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = [r["neighbor_id"] for r in int8_topk(c, q, k=2).collect()]
+    assert got == [10]
+
+
+def test_nan_vector_cannot_pull_centroids(spark):
+    """A NaN element fixed-points to 0 via the non-ANSI cast, so a
+    corrupt vector silently dragged centroids toward the origin.
+    Excluded from training and assignment like NULL vectors."""
+    from pyspark_data_engineering_assignment_spark.operators.clustering import (
+        kmeans_fixedpoint,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, [10.0, 10.0]), (2, [10.5, 10.0]), (3, [-10.0, -10.0]),
+         (4, [-10.5, -10.0])],
+        "vid long, vec array<double>",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(5, [float("nan"), 0.0])], "vid long, vec array<double>"
+        )
+    )
+    res_c = {
+        r["cell"]: (r["n_vectors"], list(r["centroid"]))
+        for r in kmeans_fixedpoint(
+            clean, n_cells=2, iters=3, id_col="vid", vec_col="vec"
+        ).collect()
+    }
+    res_d = {
+        r["cell"]: (r["n_vectors"], list(r["centroid"]))
+        for r in kmeans_fixedpoint(
+            dirty, n_cells=2, iters=3, id_col="vid", vec_col="vec"
+        ).collect()
+    }
+    assert res_c == res_d
+
+
+def test_nan_has_no_percent_rank(spark):
+    """NaN sorts ABOVE every real value, stretching the rank denominator
+    (deflating real percent_ranks) and becoming the threshold itself at
+    fraction=1.0 (measured: threshold=NaN). NaN is rankless like NULL."""
+    from pyspark_data_engineering_assignment_spark.operators.relational import (
+        exact_percentile_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", float("nan"))], "g string, v double"
+    )
+    [r] = exact_percentile_threshold(df, ["g"], "v", 1.0).collect()
+    assert r["threshold"] == 2.0
