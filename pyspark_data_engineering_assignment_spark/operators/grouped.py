@@ -79,9 +79,15 @@ def standardize_embeddings_by_label(
         # a NULL vector is a corrupt/missing row, not a sample: np.stack
         # would crash the whole group on it, and including it in the
         # label's mean/std would be wrong anyway - same exclusion as the
-        # similarity operators' NULL-cos filter
+        # similarity operators' NULL-cos filter. A NaN ELEMENT is worse
+        # than a crash: one NaN vector makes the label's mean and std
+        # NaN, standardizing EVERY vector in the group to NaN - silent
+        # whole-group poisoning - so NaN-bearing vectors are excluded
+        # with the NULLs.
         embeddings.select(id_col, label_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
+        .filter(
+            F.col(vec_col).isNotNull() & ~F.exists(F.col(vec_col), F.isnan)
+        )
         .groupBy(label_col)
         .applyInPandas(
             standardize, schema=_standardized_schema(embeddings, id_col, label_col)

@@ -706,3 +706,30 @@ def test_nan_has_no_percent_rank(spark):
     )
     [r] = exact_percentile_threshold(df, ["g"], "v", 1.0).collect()
     assert r["threshold"] == 2.0
+
+
+def test_nan_vector_cannot_poison_group_standardization(spark):
+    """One NaN-element vector made its label's mean and std NaN,
+    standardizing EVERY vector in the group to NaN - silent whole-group
+    poisoning. NaN-bearing vectors are excluded with the NULLs; the
+    clean rows' output is identical with or without the corrupt row."""
+    from pyspark_data_engineering_assignment_spark.operators.grouped import (
+        standardize_embeddings_by_label,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0)], EMB
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(3, [float("nan"), 0.0], 0)], EMB)
+    )
+    std_c = {
+        r["vec_id"]: list(r["embedding_std"])
+        for r in standardize_embeddings_by_label(clean).collect()
+    }
+    std_d = {
+        r["vec_id"]: list(r["embedding_std"])
+        for r in standardize_embeddings_by_label(dirty).collect()
+    }
+    assert std_c == std_d
+    assert all(x == x for v in std_d.values() for x in v)  # no NaN
