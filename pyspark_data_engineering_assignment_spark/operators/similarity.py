@@ -598,5 +598,12 @@ def embedding_near_duplicates(
                 / (F.col("a._n") * F.col("b._n"))
             ).alias("cos"),
         )
-        .filter(F.col("cos") >= min_cosine)
+        # NaN >= min_cosine is TRUE under Spark's NaN-is-greatest
+        # comparison semantics (and a NaN vector gets a valid LSH
+        # bucket, since NaN dot > 0 is also true) - unguarded, one
+        # corrupt vector emitted a "near-duplicate" pair with every
+        # bucket-mate, and a dedup pipeline would then DELETE the real
+        # documents it touched. NULL cos (null/ragged vectors) already
+        # fails >= by three-valued logic; NaN needs the explicit arm.
+        .filter((F.col("cos") >= min_cosine) & ~F.isnan("cos"))
     )

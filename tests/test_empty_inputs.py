@@ -733,3 +733,28 @@ def test_nan_vector_cannot_poison_group_standardization(spark):
     }
     assert std_c == std_d
     assert all(x == x for v in std_d.values() for x in v)  # no NaN
+
+
+def test_nan_vector_emits_no_near_duplicate_pairs(spark):
+    """NaN >= min_cosine is TRUE under Spark's NaN-is-greatest
+    comparison semantics, and a NaN vector hashes to a valid LSH bucket
+    (NaN dot > 0 is also true) - so one corrupt vector emitted a
+    "near-duplicate" pair with EVERY bucket-mate (measured: 2 false
+    pairs from 1 NaN vector among 2 real ones), and a dedup pipeline
+    would then delete the real documents it touched."""
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [float("nan"), 0.0], 0), (3, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    assert embedding_near_duplicates(emb, min_cosine=0.95).collect() == []
+    # and a genuine near-dup pair still reports
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    pairs = embedding_near_duplicates(emb2, min_cosine=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
