@@ -53,8 +53,20 @@ def bucketed_range_join(
     # exploded into |lo-hi|/width bucket rows (measured: 10M rows from a
     # single row) before the exact filter could reject them. Drop such
     # intervals first; provably output-neutral. NULL bounds already match
-    # nothing (sequence(NULL,..) -> NULL explodes to no rows).
-    i = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
+    # nothing (sequence(NULL,..) -> NULL explodes to no rows). NaN
+    # bounds do NOT: NaN > lo is TRUE under Spark's NaN-is-greatest
+    # comparisons, floor(NaN).cast(long) is 0 (non-ANSI), and v < NaN
+    # is true for every v - so a NaN-hi interval passed the guard and
+    # MATCHED real points, but only those inside its descending
+    # 0-anchored bucket range (measured: [4, NaN) matched v=5 and
+    # missed v=50 - wrong twice over). A NaN bound is corrupt: the
+    # interval matches nothing. (A NaN POINT is already safe: its
+    # v < hi arm is false against every interval.)
+    i = intervals.filter(
+        (F.col(hi_col) > F.col(lo_col))
+        & ~F.isnan(F.col(lo_col).cast("double"))
+        & ~F.isnan(F.col(hi_col).cast("double"))
+    ).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

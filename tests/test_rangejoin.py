@@ -133,10 +133,12 @@ def test_inverted_and_null_intervals_are_dropped_cheaply(spark):
 
 def test_range_join_property_with_corrupt_rows(spark):
     """Property (hypothesis): with NULL points, NULL bounds, and RAW
-    (possibly inverted or empty) intervals in the mix, the bucketed plan
-    still returns exactly the brute-force pair set over the half-open
-    predicate - corrupt rows match nothing and valid rows are
-    unaffected, for ANY inputs and bucket width."""
+    (possibly inverted or empty) intervals in the mix - and NaN points
+    and bounds, which Spark's NaN-is-greatest comparisons would
+    otherwise let lie - the bucketed plan still returns exactly the
+    brute-force pair set over the half-open predicate (Python NaN
+    comparisons are all false, so the oracle naturally says corrupt
+    rows match nothing), for ANY inputs and bucket width."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -145,7 +147,7 @@ def test_range_join_property_with_corrupt_rows(spark):
     )
 
     vals = st.integers(min_value=-20, max_value=20)
-    maybe = st.none() | vals
+    maybe = st.none() | vals | st.just(float("nan"))
 
     @settings(
         max_examples=12,
@@ -189,3 +191,26 @@ def test_range_join_property_with_corrupt_rows(spark):
         assert got == expect
 
     prop()
+
+
+def test_nan_bounded_interval_matches_nothing(spark):
+    """NaN > lo is TRUE (NaN-is-greatest), floor(NaN) casts to bucket 0,
+    and v < NaN is true for every v - so a NaN-hi interval passed the
+    inverted-interval guard and matched real points, but only those in
+    its descending 0-anchored bucket range (measured: [4, NaN) matched
+    v=5 and missed v=50 - wrong twice over). A NaN bound is corrupt:
+    the interval matches nothing."""
+    import re
+
+    from pyspark_data_engineering_assignment_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    nan = float("nan")
+    pts = spark.createDataFrame([(1, 5.0), (2, 50.0)], "pid long, v double")
+    ivs = spark.createDataFrame(
+        [(100, 4.0, nan), (101, nan, 6.0), (102, nan, nan), (103, 4.0, 6.0)],
+        "iid long, lo double, hi double",
+    )
+    out = bucketed_range_join(pts, ivs, "v", "lo", "hi", bucket_width=3.0)
+    assert sorted((r["pid"], r["iid"]) for r in out.collect()) == [(1, 103)]
