@@ -56,7 +56,15 @@ def as_of_join(
     # as they would in the equi-join this operator replaces. Left rows
     # keep standard left-join semantics: unmatched (including NULL ts or
     # key) pass through with NULL right values.
-    right_valid = F.col(right_ts).isNotNull()
+    # NaN needs its own arm when the order column is a float: it
+    # survives isNotNull and sorts LAST (NaN-is-greatest), so a NaN-ts
+    # right row would match NaN-ts left rows (corrupt matching corrupt)
+    # - and, worse, a NaN-ts LEFT row would inherit the key's latest
+    # right value as if its timestamp were +infinity (handled below).
+    # The double cast is NaN-free for timestamps, so this is a no-op on
+    # the common case.
+    _not_nan = lambda c: ~F.isnan(F.col(c).cast("double"))  # noqa: E731
+    right_valid = F.col(right_ts).isNotNull() & _not_nan(right_ts)
     for k in key_cols:
         right_valid = right_valid & F.col(k).isNotNull()
     right = right.filter(right_valid)
@@ -93,7 +101,17 @@ def as_of_join(
     )
     out = l_side.unionByName(r_side)
     for c in right_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        # a NaN-ts left row sorts after every real right row and would
+        # carry the key's LATEST value forward into itself - but a row
+        # with no orderable timestamp has no as-of match, exactly like
+        # the NULL-ts left rows (which stay NULL because the window
+        # ordering puts them FIRST, before any right row)
+        out = out.withColumn(
+            c,
+            F.when(
+                _not_nan("_t"), F.last(c, ignorenulls=True).over(w)
+            ),
+        )
     return (
         out.filter(F.col("_side") == 0)
         .drop("_side")

@@ -218,3 +218,32 @@ def test_as_of_join_property_with_corrupt_rows(spark):
             assert got[i] == expect, (i, k, t, got[i], expect)
 
     prop()
+
+
+def test_as_of_join_nan_ts_rows_are_corrupt(spark):
+    """With a float order column, NaN survives isNotNull and sorts LAST
+    (NaN-is-greatest): a NaN-ts left row inherited the key's LATEST
+    right value as if its timestamp were +infinity, and a NaN-ts right
+    row matched NaN-ts left rows (corrupt matching corrupt). Both must
+    behave exactly like their NULL-ts twins: a NaN-ts right row matches
+    nothing; a NaN-ts left row survives with NULL right values."""
+    from pyspark_data_engineering_assignment_spark.operators.temporal import (
+        as_of_join,
+    )
+
+    nan = float("nan")
+    left = spark.createDataFrame(
+        [(1, 5.0, 1), (1, nan, 2), (1, None, 3)],
+        "k long, lts double, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 4.0, 100), (1, nan, 999)],
+        "k long, rts double, rid long",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in as_of_join(left, right, ["k"], "lts", "rts", ["rid"]).collect()
+    }
+    # real row matches the real right; NaN-ts and NULL-ts rows match
+    # nothing; the NaN-ts right row 999 appears nowhere
+    assert got == {1: 100, 2: None, 3: None}
