@@ -68,9 +68,17 @@ def kmeans_fixedpoint(
     # NULL vectors train nothing (NULL distance to every centroid),
     # and a NaN element would quantize to fixed-point 0 via the
     # non-ANSI integral cast - a corrupt vector silently pulling every
-    # centroid toward the origin. Same exclusion as _det_base.
+    # centroid toward the origin. A NULL ELEMENT is corrupt too, and
+    # needs its own arm: F.exists IGNORES null elements (returns false,
+    # measured round 9), so the vector would survive the isnan filter,
+    # quantize to a NULL-holed array, take NULL distance to every
+    # centroid (sorting FIRST under Spark's nulls-first asc vs LAST in
+    # DuckDB) and poison centroid dimension sums. Same exclusion as
+    # _det_base.
     v = df.filter(
-        F.col(vec_col).isNotNull() & ~F.exists(F.col(vec_col), F.isnan)
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), F.isnan)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     ).select(
         F.col(id_col).alias("vid"), _fixpoint(F.col(vec_col)).alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -183,12 +191,17 @@ def _nearest_cells(frame: DataFrame, cells: DataFrame, n: int, out: str) -> Data
 
 def _det_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # NULL vectors cannot be trained on or assigned to a cell (their
-    # distance to every centroid is NULL), and a NaN element would
+    # distance to every centroid is NULL), a NaN element would
     # quantize to fixed-point 0 (non-ANSI cast) - a silently wrong
-    # vector, not a filterable one. Exclude both up front rather than
-    # letting them ride the window with arbitrary rank.
+    # vector, not a filterable one - and a NULL element slips past the
+    # isnan arm entirely (F.exists ignores null elements, measured) to
+    # take NULL distances with engine-divergent NULL ordering. Exclude
+    # all three up front rather than letting them ride the window with
+    # arbitrary rank.
     return df.filter(
-        F.col(vec_col).isNotNull() & ~F.exists(F.col(vec_col), F.isnan)
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), F.isnan)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     ).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),

@@ -85,8 +85,13 @@ def standardize_embeddings_by_label(
         # whole-group poisoning - so NaN-bearing vectors are excluded
         # with the NULLs.
         embeddings.select(id_col, label_col, vec_col)
+        # the extra arm: F.exists ignores NULL elements (measured), so a
+        # NULL-holed vector would slip into the pandas batch as an
+        # object-dtype column and poison the group's mean/std
         .filter(
-            F.col(vec_col).isNotNull() & ~F.exists(F.col(vec_col), F.isnan)
+            F.col(vec_col).isNotNull()
+            & ~F.exists(F.col(vec_col), F.isnan)
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
         )
         .groupBy(label_col)
         .applyInPandas(

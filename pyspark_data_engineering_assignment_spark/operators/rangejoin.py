@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_data_engineering_assignment_spark.functions.guards import not_nan
+
 
 def bucketed_range_join(
     points: DataFrame,
@@ -63,9 +65,11 @@ def bucketed_range_join(
     # interval matches nothing. (A NaN POINT is already safe: its
     # v < hi arm is false against every interval.)
     i = intervals.filter(
+        # not_nan is type-dispatched (guards.py): non-float bound types
+        # cannot hold NaN and skip the isnan arm entirely
         (F.col(hi_col) > F.col(lo_col))
-        & ~F.isnan(F.col(lo_col).cast("double"))
-        & ~F.isnan(F.col(hi_col).cast("double"))
+        & not_nan(intervals, lo_col)
+        & not_nan(intervals, hi_col)
     ).withColumn(
         "_bucket",
         F.explode(

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_data_engineering_assignment_spark.functions.guards import not_nan
+
 
 def exact_percentile_threshold(
     df: DataFrame,
@@ -41,8 +43,11 @@ def exact_percentile_threshold(
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     return (
         df.filter(
+            # type-dispatched (guards.py): the isnan arm only exists for
+            # float value columns - a date-typed value column cannot be
+            # cast to double and would crash at analysis otherwise
             F.col(value_col).isNotNull()
-            & ~F.isnan(F.col(value_col).cast("double"))
+            & not_nan(df, value_col)
         )
         .withColumn("_pr", F.percent_rank().over(w))
         .filter(F.col("_pr") <= fraction)

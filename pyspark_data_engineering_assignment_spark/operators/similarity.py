@@ -131,8 +131,13 @@ def int8_topk(
     # float paths: the non-ANSI integral cast quantizes NaN to code 0,
     # so a corrupt vector would silently score as a legitimate-looking
     # neighbor instead of propagating a filterable NaN.
+    # NULL elements get the same pre-join exclusion: F.exists ignores
+    # them (measured), and a NULL-holed vector quantizes to NULL-holed
+    # codes whose NULL dot would ride to the rank window as a NULL cos.
     _clean = lambda col: (  # noqa: E731
-        F.col(col).isNotNull() & ~F.exists(F.col(col), F.isnan)
+        F.col(col).isNotNull()
+        & ~F.exists(F.col(col), F.isnan)
+        & ~F.exists(F.col(col), lambda x: x.isNull())
     )
     q = _codes(
         queries.filter(_clean(vec_col)), "query_id", "qv"

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_data_engineering_assignment_spark.functions.guards import can_hold_nan, not_nan
+
 
 def as_of_join(
     left: DataFrame,
@@ -61,10 +63,11 @@ def as_of_join(
     # right row would match NaN-ts left rows (corrupt matching corrupt)
     # - and, worse, a NaN-ts LEFT row would inherit the key's latest
     # right value as if its timestamp were +infinity (handled below).
-    # The double cast is NaN-free for timestamps, so this is a no-op on
-    # the common case.
-    _not_nan = lambda c: ~F.isnan(F.col(c).cast("double"))  # noqa: E731
-    right_valid = F.col(right_ts).isNotNull() & _not_nan(right_ts)
+    # The guard is type-dispatched (functions/guards.py): only float
+    # order columns get the isnan arm - timestamps/dates/ints cannot
+    # hold NaN, and DATE cannot even be cast to DOUBLE, so a cast-based
+    # probe would crash a valid date-typed as-of at analysis time.
+    right_valid = F.col(right_ts).isNotNull() & not_nan(right, right_ts)
     for k in key_cols:
         right_valid = right_valid & F.col(k).isNotNull()
     right = right.filter(right_valid)
@@ -100,17 +103,17 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = l_side.unionByName(r_side)
+    # a NaN-ts left row sorts after every real right row and would
+    # carry the key's LATEST value forward into itself - but a row
+    # with no orderable timestamp has no as-of match, exactly like
+    # the NULL-ts left rows (which stay NULL because the window
+    # ordering puts them FIRST, before any right row). Type-dispatched:
+    # the guard only exists when _t is a float type (see right_valid).
+    t_guard = not_nan(out, "_t") if can_hold_nan(out.schema["_t"].dataType) else None
     for c in right_cols:
-        # a NaN-ts left row sorts after every real right row and would
-        # carry the key's LATEST value forward into itself - but a row
-        # with no orderable timestamp has no as-of match, exactly like
-        # the NULL-ts left rows (which stay NULL because the window
-        # ordering puts them FIRST, before any right row)
+        carried = F.last(c, ignorenulls=True).over(w)
         out = out.withColumn(
-            c,
-            F.when(
-                _not_nan("_t"), F.last(c, ignorenulls=True).over(w)
-            ),
+            c, F.when(t_guard, carried) if t_guard is not None else carried
         )
     return (
         out.filter(F.col("_side") == 0)

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_data_engineering_assignment_spark.functions.guards import not_nan
+
 DEC = "decimal(18,2)"
 
 
@@ -139,7 +141,9 @@ def ewma_by_key(
     # observations are SKIPPED - the recurrence folds over the key's
     # real values and n_events counts observations actually used; a
     # key with no usable observations is absent from the output.
-    df = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
+    # not_nan is type-dispatched: only float columns get the isnan arm
+    # (a DATE value column cannot be cast to double - guards.py)
+    df = df.filter(F.col(value_col).isNotNull() & not_nan(df, value_col))
     seq = F.array_sort(
         F.collect_list(
             F.struct(

@@ -42,7 +42,7 @@ _DUCK_COS = """
     SELECT query_id, neighbor_id, cos, rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) AS rank
-          FROM scored WHERE cos IS NOT NULL)
+          FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos))
     WHERE rank <= 5
     """,
     doc="Brute-force cosine top-5 for 10 query vectors: broadcast "
@@ -69,8 +69,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identically. Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH v AS (
+        -- mirrors int8_topk's pre-join _clean filter: NULL vectors,
+        -- NaN-bearing and NULL-holed vectors are excluded from
+        -- candidacy BEFORE quantization (a NaN would otherwise ride
+        -- NaN-is-greatest through scale/codes/cos to rank 1)
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
         FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND NOT list_contains(list_transform(embedding,
+                  x -> isnan(CAST(x AS DOUBLE))), true)
+          AND NOT list_contains(list_transform(embedding,
+                  x -> x IS NULL), true)
     ),
     s AS (
         SELECT vec_id, xs,
@@ -154,15 +163,28 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 100000000) AS BIGINT))
                 AS BIGINT) AS sum_dim2_e8
     FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND NOT list_contains(list_transform(embedding,
+              x -> isnan(CAST(x AS DOUBLE))), true)
+      AND NOT list_contains(list_transform(embedding,
+              x -> x IS NULL), true)
     GROUP BY 1
     """,
     doc="Per-label centroid ingredients - the aggregation shape of "
     "k-means/IVF coarse quantization. Components are fixed-pointed "
     "(floor(x*1e8), exact element-wise IEEE ops) so the sum is integer "
-    "arithmetic, order-independent across engines.",
+    "arithmetic, order-independent across engines. Corrupt vectors "
+    "(NULL, NaN element, NULL element) are excluded on BOTH sides: a "
+    "NaN dim would fix-point to 0 in Spark (measured, even under ANSI) "
+    "but crash DuckDB's NaN->BIGINT cast, and either way a corrupt row "
+    "must not count toward a label's centroid.",
 )
 def label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists(F.col("embedding"), F.isnan)
+        & ~F.exists(F.col("embedding"), lambda x: x.isNull())
+    )
 
     def fixpoint(i: int):
         return F.floor(F.col("embedding")[i].cast("double") * 100000000).cast("long")
@@ -293,6 +315,10 @@ def _embedding_neardup_oracle(
               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)),
               (x, y) -> x + y)
           / (a.na * b.nrm) >= {min_cosine}
+      AND NOT isnan(list_reduce(list_transform(list_zip(a.va, b.embedding),
+              l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)),
+              (x, y) -> x + y)
+          / (a.na * b.nrm))
     """
 
 
@@ -356,7 +382,7 @@ def _embedding_neardup_scaled_oracle(
     SELECT a.id_a, b.vec_id AS id_b, {cos} AS cos
     FROM a
     JOIN sig b ON a.bucket = b.bucket AND a.id_a < b.vec_id
-    WHERE {cos} >= {min_cosine}
+    WHERE {cos} >= {min_cosine} AND NOT isnan({cos})
     """
 
 
@@ -484,18 +510,44 @@ def _ivf_index_path(
         scratch_root = os.path.join(repo_root, ".scratch", "ivf_cache")
     scratch = scratch_root
     os.makedirs(scratch, exist_ok=True)
-    current = os.path.join(scratch, f"ivf_index_{h.hexdigest()[:16]}")
+    fp = h.hexdigest()[:16]
+    current = os.path.join(scratch, f"ivf_index_{fp}")
+
+    # Prune stale fingerprints - concurrency-safe (round-8 ADVICE low):
+    #  * the fingerprint token is matched EXACTLY (``ivf_index_<fp>`` or
+    #    ``ivf_index_<fp>_<variant>``), not by string prefix, so the
+    #    current query's own variant dirs (e.g. the ``_det`` suffix the
+    #    probe query appends) are protected by construction;
+    #  * mtime is read through a missing-path-tolerant key - a dir
+    #    deleted by a CONCURRENT pruner between listdir and stat must
+    #    not turn this one's sort into FileNotFoundError;
+    #  * only dirs untouched for > 1h are eligible: keep-last-N alone
+    #    could delete an index another live session is actively probing
+    #    the moment a 4th fingerprint appears.
+    def _token(name: str) -> str:
+        rest = name[len("ivf_index_"):]
+        return rest.split("_", 1)[0]
+
+    def _mtime(path: str) -> float:
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return 0.0
+
+    import time as _time
+
+    cutoff = _time.time() - 3600.0
     stale = sorted(
         (
             os.path.join(scratch, d)
             for d in os.listdir(scratch)
-            if d.startswith("ivf_index_")
-            and not os.path.join(scratch, d).startswith(current)
+            if d.startswith("ivf_index_") and _token(d) != fp
         ),
-        key=os.path.getmtime,
+        key=_mtime,
     )
     for old in stale[:-3]:  # keep the 3 most recent besides current
-        shutil.rmtree(old, ignore_errors=True)
+        if _mtime(old) < cutoff:
+            shutil.rmtree(old, ignore_errors=True)
     return current
 
 
@@ -516,11 +568,21 @@ def _kmeans_train_ctes(
     parts = [
         f"""
     WITH v AS (
+        -- mirrors the Spark-side corrupt-vector exclusion
+        -- (clustering._det_base / kmeans_fixedpoint): NULL vectors,
+        -- vectors with a NaN element, and vectors with a NULL element
+        -- train nothing and get no cell (Spark's ~exists(vec, isnan)
+        -- also rejects NULL-element vectors via three-valued logic)
         SELECT vec_id AS vid, embedding,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
                    AS v
         FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND NOT list_contains(list_transform(embedding,
+                  x -> isnan(CAST(x AS DOUBLE))), true)
+          AND NOT list_contains(list_transform(embedding,
+                  x -> x IS NULL), true)
     ),
     c0 AS (
         SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS c FROM (
@@ -642,9 +704,12 @@ def _ivf_det_probe_oracle(
         WHERE rk <= {n_probe}
     ),
     scored AS (
+        -- the NULL/NaN-cos arm mirrors probe_ivf_det's post-dot filter
+        -- (ragged vectors dot to NULL; NaN inputs are excluded in v)
         SELECT DISTINCT q.query_id, t.neighbor_id, {cos} AS cos
         FROM probes q JOIN corpus t ON q.cell = t.cell
         WHERE q.query_id <> t.neighbor_id
+          AND {cos} IS NOT NULL AND NOT isnan({cos})
     )
     SELECT query_id, neighbor_id, cos, rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -780,9 +845,18 @@ def conversion_lag_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantization_error",
     """
     WITH v AS (
+        -- corrupt vectors (NULL / NaN element / NULL element) are
+        -- excluded on BOTH sides: in Spark a NaN error term would
+        -- fix-point to 0 (silently understating the error), in DuckDB
+        -- the NaN->BIGINT cast crashes outright
         SELECT label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
         FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND NOT list_contains(list_transform(embedding,
+                  x -> isnan(CAST(x AS DOUBLE))), true)
+          AND NOT list_contains(list_transform(embedding,
+                  x -> x IS NULL), true)
     ),
     s AS (
         SELECT label, xs,
@@ -826,7 +900,13 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         int8_scale,
     )
 
-    emb = _ts(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings").filter(
+        # corrupt vectors out (mirrors the oracle's WHERE): a NaN error
+        # term would fix-point to 0 and silently understate the report
+        F.col("embedding").isNotNull()
+        & ~F.exists(F.col("embedding"), F.isnan)
+        & ~F.exists(F.col("embedding"), lambda x: x.isNull())
+    )
     # Materialize scale as a column FIRST: referenced inside the
     # per-element lambda it would otherwise re-derive the array_max
     # subtree per element (O(d^2) work per row).

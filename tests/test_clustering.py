@@ -146,3 +146,63 @@ def test_ivf_det_invariant_to_partitioning(spark):
         n_probe=N_PROBE,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_det_oracles_agree_on_corrupt_vectors(spark, tmp_path):
+    """Round-8 ADVICE low: the det-IVF DuckDB oracles must mirror the
+    Spark side's corrupt-vector exclusion (NULL vector, NaN element,
+    NULL element) - otherwise a corpus containing one corrupt row
+    value-hash-diverges the gate on CORRECT code. Build a corpus that
+    contains all three corruption shapes and run both registry queries
+    against their own oracle SQL on it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    src = pq.read_table(f"{SF}/embeddings.parquet")
+    rows = src.slice(0, 60).to_pylist()
+    dim = len(rows[0]["embedding"])
+    nxt = max(r["vec_id"] for r in rows) + 1
+    rows.append({"vec_id": nxt, "embedding": None, "label": 0})
+    rows.append(
+        {"vec_id": nxt + 1, "embedding": [float("nan")] * dim, "label": 0}
+    )
+    with_null_elem = [0.5] * dim
+    with_null_elem[3] = None
+    rows.append({"vec_id": nxt + 2, "embedding": with_null_elem, "label": 0})
+
+    corrupt_sf = tmp_path / "sf_corrupt"
+    corrupt_sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=src.schema),
+        str(corrupt_sf / "embeddings.parquet"),
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{corrupt_sf}/embeddings.parquet'"
+    )
+    try:
+        # every oracle-bearing registry query that reads ONLY the
+        # embeddings table must stay hash-identical on the corrupt corpus
+        for name in (
+            "embedding_kmeans_cells",
+            "ann_ivf_probe_topk",
+            "ann_cosine_topk",
+            "ann_int8_topk",
+            "embedding_norms",
+            "label_centroid_dims",
+            "ann_lsh_topk",
+            "embedding_neardup",
+            "embedding_neardup_scaled",
+            "embedding_quantization_error",
+        ):
+            spec = QUERIES[name]
+            sql = spec.oracle or spec.local_oracle
+            ok, msg = compare_query(spark, con, spec.fn, sql, str(corrupt_sf))
+            assert ok, f"{name} diverged on corrupt corpus: {msg}"
+    finally:
+        con.close()

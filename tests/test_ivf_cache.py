@@ -97,9 +97,55 @@ def test_prune_keeps_last_three_stale_plus_current(tmp_path):
     assert os.path.basename(current) not in left
 
 
+def test_prune_spares_recently_touched_stale_dirs(tmp_path):
+    """Age threshold (round-8 ADVICE low): keep-last-N alone could
+    delete an index a CONCURRENT session is actively probing the moment
+    extra fingerprints appear. A stale dir touched within the last hour
+    is never pruned, regardless of how many newer fingerprints exist."""
+    import time
+
+    sf = _mk_sf_dir(tmp_path)
+    scratch = tmp_path / "cache"
+    scratch.mkdir()
+    now = time.time()
+    fresh = scratch / "ivf_index_freshstale"
+    fresh.mkdir()  # natural mtime = now: inside the 1h grace window
+    old = []
+    for i in range(6):
+        d = scratch / f"ivf_index_oldstale{i:02d}"
+        d.mkdir()
+        os.utime(d, (now - 7200 - i, now - 7200 - i))  # > 1h old
+        old.append(d)
+    _ivf_index_path(sf, scratch_root=str(scratch))
+    assert fresh.is_dir(), "prune deleted a stale dir inside the grace window"
+    # old-enough dirs beyond keep-last-3 are still reclaimed
+    assert sum(d.is_dir() for d in old) < 6
+
+
+def test_prune_matches_fingerprint_token_exactly(tmp_path):
+    """The live-fingerprint exclusion compares the 16-hex token exactly,
+    not by string prefix: a foreign fingerprint that happens to extend
+    the current one must still be prunable, and the current token with
+    any variant suffix must be protected."""
+    sf = _mk_sf_dir(tmp_path)
+    scratch = tmp_path / "cache"
+    scratch.mkdir()
+    current = _ivf_index_path(sf, scratch_root=str(scratch))
+    fp = os.path.basename(current)[len("ivf_index_"):]
+    impostor = scratch / f"ivf_index_{fp}0"  # prefix-extends the token
+    impostor.mkdir()
+    os.utime(impostor, (0, 0))
+    for i in range(4):
+        d = scratch / f"ivf_index_oldstale{i:02d}"
+        d.mkdir()
+        os.utime(d, (1000 + i, 1000 + i))
+    _ivf_index_path(sf, scratch_root=str(scratch))
+    assert not impostor.is_dir(), "prefix-extending impostor escaped the prune"
+
+
 def test_prune_spares_current_det_sibling(tmp_path):
     """ann_ivf_probe_topk appends "_det" to the returned path; the
-    prune's startswith(current) exclusion must protect that sibling
+    prune's exact-token exclusion must protect that sibling
     (it IS the live index directory)."""
     sf = _mk_sf_dir(tmp_path)
     scratch = tmp_path / "cache"

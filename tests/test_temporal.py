@@ -68,6 +68,48 @@ def test_as_of_join_semantics(spark):
     assert set(out.columns) == {"k", "ts", "left_id", "price"}
 
 
+def test_as_of_join_on_date_typed_order_column(spark):
+    """Round-8 ADVICE medium regression: the NaN guard's unconditional
+    cast-to-double crashed date-typed as-of joins at analysis time
+    (Spark cannot cast DATE to DOUBLE). The guard is now type-dispatched
+    (functions/guards.py), so a DATE order column - a daily-grain as-of,
+    a perfectly normal input - must work end to end."""
+    left = spark.createDataFrame(
+        [
+            ("A", dt.date(2024, 1, 1), 1),
+            ("A", dt.date(2024, 1, 5), 2),
+            ("B", dt.date(2024, 1, 5), 3),
+        ],
+        "k string, d date, left_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", dt.date(2024, 1, 2), 10.0),
+            ("A", dt.date(2024, 1, 5), 20.0),
+        ],
+        "k string, d date, price double",
+    )
+    out = as_of_join(left, right, ["k"], "d", "d", ["price"])
+    got = {r["left_id"]: r["price"] for r in out.collect()}
+    assert got == {1: None, 2: 20.0, 3: None}
+
+
+def test_percentile_threshold_on_date_typed_value_column(spark):
+    """Same cast-to-double hazard in exact_percentile_threshold
+    (relational.py): a date-typed value column must rank fine."""
+    from pyspark_data_engineering_assignment_spark.operators.relational import (
+        exact_percentile_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [("g", dt.date(2024, 1, i)) for i in range(1, 11)] + [("g", None)],
+        "g string, d date",
+    )
+    # percent_rank(i) = (i-1)/9 over Jan 1..10; <= 0.5 keeps i <= 5
+    out = exact_percentile_threshold(df, ["g"], "d", 0.5, out_col="median_d")
+    assert out.collect()[0]["median_d"] == dt.date(2024, 1, 5)
+
+
 def test_as_of_join_rejects_column_clash(spark):
     left = spark.createDataFrame([("A", _ts("2024-01-01 10:00:00"), 1)], LEFT_SCHEMA)
     right = left.withColumnRenamed("left_id", "x")
