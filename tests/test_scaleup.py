@@ -179,3 +179,41 @@ def test_embedding_copies_not_near_duplicates(spark, scaled):
         .first()[0]
     )
     assert drift < 0.05, drift
+
+
+def test_embedding_sign_flip_period_follows_actual_dim(spark):
+    """Round-8 verdict low: the sign-flip period was hard-coded 64, so
+    for any other embedding dim copies i and i+dim shared BOTH roll and
+    sign - exact cross-copy near-dups, the artifact _replicate_embeddings
+    exists to prevent. The period is now derived from F.size(embedding):
+    pin it with dim=4 vectors, where copy 0 and copy 4 share a roll and
+    must differ ONLY by sign (cos = -1 up to the small copy noise)."""
+    from pyspark_data_engineering_assignment_spark.functions.vectors import cosine
+    from pyspark_data_engineering_assignment_spark.tools.scaleup import (
+        _replicate_embeddings,
+    )
+
+    dim = 4
+    src = spark.createDataFrame(
+        [(v, [float(v + j + 1) for j in range(dim)], 0) for v in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = _replicate_embeddings(src, factor=2 * dim)
+    stride = 10**9
+    a = out.filter(F.col("vec_id") < stride).select(
+        F.col("vec_id").alias("v"), F.col("embedding").alias("ea")
+    )
+    b = out.filter(
+        (F.col("vec_id") >= dim * stride)
+        & (F.col("vec_id") < (dim + 1) * stride)
+    ).select((F.col("vec_id") - dim * stride).alias("v"), F.col("embedding").alias("eb"))
+    cos_rows = (
+        a.join(b, on="v")
+        .select(cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .collect()
+    )
+    assert cos_rows, "no same-source (copy0, copy-dim) pairs found"
+    for r in cos_rows:
+        assert r["cos"] < -0.9, (
+            "copy i and i+dim must be sign-opposed, got cos=%s" % r["cos"]
+        )

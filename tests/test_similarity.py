@@ -313,3 +313,25 @@ def test_recommended_n_planes_tracks_corpus_size():
     # degenerate empty-corpus default agrees with the general lower
     # clamp AND with recommended_n_planes's degenerate return
     assert recommended_band_bits(0) == 4 == recommended_n_planes(0)
+
+
+def test_probe_ivf_query_side_carries_no_broadcast_hint(spark, emb):
+    """Round-8 verdict low: probe_ivf must NOT force-broadcast the
+    probed (query) side - probe_ivf_stream feeds it availableNow
+    micro-batches that can drain an unbounded backlog into one batch,
+    so a forced broadcast is an OOM-at-scale hazard. Exactly ONE
+    broadcast hint is allowed in the plan: the (k-cells-sized) centroid
+    table. Un-hinted, a huge batch degrades gracefully to a shuffled
+    join under AQE."""
+    from pyspark_data_engineering_assignment_spark.operators.similarity import (
+        build_ivf_index,
+        probe_ivf,
+    )
+
+    centroids, assigned = build_ivf_index(emb, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    plan = probe_ivf(
+        centroids, assigned, queries, k=5, n_probe=4
+    )._jdf.queryExecution().analyzed().toString()
+    hints = plan.count("UnresolvedHint") + plan.count("ResolvedHint")
+    assert hints == 1, f"expected exactly the centroid broadcast, got {hints}:\n{plan[:2000]}"
