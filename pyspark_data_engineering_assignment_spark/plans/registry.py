@@ -2924,11 +2924,16 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_burst_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap_over = (
-        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # unix_micros, NOT cast("long"): the long cast truncates to whole
+    # seconds, so a gap of 5:00.000001 compared equal to the 5-minute
+    # threshold and MERGED while the oracle's exact INTERVAL comparison
+    # split (caught by tests/test_boundary_pins.py). Integer micros
+    # keep the strict-> boundary exact on both sides.
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag(F.col("ts")).over(w)
     )
     new_burst = F.when(
-        F.lag("ts").over(w).isNull() | (gap_over > 300), 1
+        F.lag("ts").over(w).isNull() | (gap_us > 300 * 1_000_000), 1
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
