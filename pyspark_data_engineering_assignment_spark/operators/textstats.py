@@ -103,7 +103,12 @@ def repetition_stats(
     toks = F.col("_toks")
     n = F.size(toks)
     srt = F.col("_srt")
-    staged = docs.select(
+    # NULL text is missing data, not an empty document: it gets NO
+    # stats row (pre-fix it emitted a half-NULL row - n_bigrams 0 but
+    # top_token_count NULL - which no downstream threshold can use and
+    # which diverged from the oracle's CASE-else zeros; round-9
+    # corrupt-docs parity finding).
+    staged = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, tokens(F.col(text_col)).alias("_toks")
     ).withColumn("_srt", F.array_sort(F.col("_toks")))
     # transform over sequence(1, n-1) makes the element the 1-based

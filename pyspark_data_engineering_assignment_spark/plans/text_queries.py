@@ -651,17 +651,29 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
-           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
-                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
-                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
-                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
-                ELSE 'fr' END AS predicted_lang
+           CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr)
+                     AND greatest(hits_de, hits_en, hits_es, hits_fr) > 0
+                THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr)
+                     AND greatest(hits_de, hits_en, hits_es, hits_fr) > 0
+                THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr)
+                     AND greatest(hits_de, hits_en, hits_es, hits_fr) > 0
+                THEN 'es'
+                WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr)
+                     AND greatest(hits_de, hits_en, hits_es, hits_fr) > 0
+                THEN 'fr'
+                ELSE 'und' END AS predicted_lang
     FROM h
     """,
     doc="Language-ID heuristic (operators/textstats.py): per-language "
     "distinct-stopword hit counts, argmax with deterministic alphabetical "
     "tie-break, 'und' when nothing hits. The oracle re-states the nested "
-    "when-chain as an ordered CASE.",
+    "when-chain as an ordered CASE with 'und' as the CATCH-ALL, not a "
+    "positive branch: a NULL text makes every hit count NULL, every "
+    "comparison NULL, and the CASE fall through - with 'fr' in the ELSE "
+    "slot a corrupt document was labeled French (round-9 corrupt-docs "
+    "parity finding).",
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -779,20 +791,26 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          i -> md5(array_to_string(toks[i:i+2], ' ')))
                END AS hs
         FROM g
-    )
-    SELECT doc_id,
-           array_to_string(
+    ),
+    f AS (
+        SELECT doc_id,
                list_sort(CASE WHEN len(hs) < 4 THEN list_distinct(hs)
                               ELSE list_distinct(list_transform(
                                        range(1, len(hs) - 4 + 2),
                                        i -> list_min(hs[i:i+3])))
-                         END), ' ') AS fingerprints,
-           len(list_sort(CASE WHEN len(hs) < 4 THEN list_distinct(hs)
-                              ELSE list_distinct(list_transform(
-                                       range(1, len(hs) - 4 + 2),
-                                       i -> list_min(hs[i:i+3])))
-                         END)) AS n_fingerprints
-    FROM h
+                         END) AS fp
+        FROM h
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string([]) is NULL but Spark's
+           -- array_join([]) is '' - coalesce the EMPTY-list case only;
+           -- a NULL fp (NULL text) must stay NULL on both sides
+           -- (round-9 corrupt-docs parity finding)
+           CASE WHEN fp IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(fp, ' '), '') END
+               AS fingerprints,
+           len(fp) AS n_fingerprints
+    FROM f
     """,
     doc="Winnowing fingerprints (MOSS algorithm, functions/text.py): "
     "3-gram md5 hashes, sliding window of 4, per-window minimum, dedup, "
@@ -1095,7 +1113,13 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle hash exact. Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH w AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+        -- NULL text emits NO stats row (missing data, not an empty
+        -- document) - matches the Spark side, which drops the row when
+        -- the token array is NULL; without this WHERE the oracle
+        -- emitted a NULL/0 row AND pandas float-ified the whole int
+        -- column (round-9 corrupt-docs parity finding)
+        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
     ),
     b AS (
         SELECT doc_id, toks,
@@ -1672,7 +1696,12 @@ def media_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.hex(F.encode(F.col("text"), "utf-8"))).alias("payload_hex"),
         F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
     )
-    blocks = m.select(
+    # n_bytes > 0 guard: an EMPTY payload has zero blocks, but
+    # F.sequence(0, -1) generates a DESCENDING [0, -1] - the same
+    # inverted-sequence hazard the round-8 range-join fix closed - so
+    # an empty document minted two phantom blocks per row (round-9
+    # corrupt-docs parity finding; DuckDB's range(0, 0) is empty).
+    blocks = m.filter(F.col("n_bytes") > 0).select(
         "doc_id",
         "source",
         F.explode(
@@ -1757,12 +1786,14 @@ def doc_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are hash-exact. Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH t AS (
+        -- NULL text gets no blocking bucket (missing data, not
+        -- content); matches the Spark side's explicit filter
         SELECT doc_id,
                array_to_string(list_slice(string_split(trim(text), ' '),
                                           1, 5), ' ') AS prefix,
                string_split(trim(text), ' ')[1] || ' ' ||
                    COALESCE(string_split(trim(text), ' ')[2], '') AS bucket
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     capped AS (
         SELECT * FROM t
@@ -1777,13 +1808,21 @@ def doc_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_prefix_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    t = d.select(
+    # F.get, not [] indexing: under ANSI (the default, and what the
+    # driver's vanilla session runs) arr[1] on a single-token document
+    # throws INVALID_ARRAY_INDEX and one short doc poisons the whole
+    # query (round-9 corrupt-docs parity finding - sf0.01 happens to
+    # have no 1-token docs, so the gate never saw it). F.get returns
+    # NULL out of bounds in every mode. NULL text is filtered: missing
+    # data gets no blocking bucket (and concat_ws would otherwise give
+    # it bucket '' while the oracle's || gives NULL).
+    t = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("prefix"),
         F.concat_ws(
             " ",
-            tokens(F.col("text"))[0],
-            F.coalesce(tokens(F.col("text"))[1], F.lit("")),
+            F.get(tokens(F.col("text")), 0),
+            F.coalesce(F.get(tokens(F.col("text")), 1), F.lit("")),
         ).alias("bucket"),
     )
     sizes = t.groupBy("bucket").agg(F.count("*").alias("_bn"))

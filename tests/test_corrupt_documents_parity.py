@@ -1,0 +1,115 @@
+"""Corrupt-documents oracle parity (round-9; text twin of the
+corrupt-vector gate in test_clustering.py).
+
+Round 8's degenerate sweep probed the text OPERATORS with NULL/empty
+inputs; this file closes the remaining seam - the ORACLES. Every
+documents-only oracle-bearing registry query runs on a corpus that
+contains every corruption shape at once (NULL text, empty text,
+whitespace-only, punctuation-only, single token, NULL lang/source,
+lying n_chars metadata, and an exact duplicate of a clean doc) through
+the same strict rows+schema+value-hash compare the driver gate
+applies. Any Spark-vs-DuckDB convention drift on corrupt text reds
+this file deterministically instead of waiting for dirty real data.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark_data_engineering_assignment_spark.plans import QUERIES
+from tests.oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corrupt_docs_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/documents.parquet")
+    rows = src.slice(0, 40).to_pylist()
+    nxt = max(r["doc_id"] for r in rows) + 1
+    dup_of = rows[0]
+    rows += [
+        # NULL text: missing data, not content (must not dedup-collapse)
+        dict(doc_id=nxt, text=None, lang="en", source="srcX", n_chars=0),
+        dict(doc_id=nxt + 1, text=None, lang="en", source="srcX", n_chars=0),
+        # empty and whitespace-only text
+        dict(doc_id=nxt + 2, text="", lang="en", source="srcX", n_chars=0),
+        dict(doc_id=nxt + 3, text="   ", lang="en", source="srcX", n_chars=3),
+        # punctuation-only and single-token text
+        dict(doc_id=nxt + 4, text="!!! ... ???", lang="en", source="srcX",
+             n_chars=11),
+        dict(doc_id=nxt + 5, text="x", lang="en", source="srcX", n_chars=1),
+        # NULL lang / NULL source (grouping keys)
+        dict(doc_id=nxt + 6, text="plain words here", lang=None,
+             source="srcX", n_chars=16),
+        dict(doc_id=nxt + 7, text="plain words there", lang="en",
+             source=None, n_chars=17),
+        # lying n_chars metadata (text is real, length metadata is not)
+        dict(doc_id=nxt + 8, text="short text", lang="en", source="srcX",
+             n_chars=10_000_000),
+        dict(doc_id=nxt + 9, text="negative meta", lang="en", source="srcX",
+             n_chars=-5),
+        # exact duplicate of a clean doc under a new id
+        dict(doc_id=nxt + 10, text=dup_of["text"], lang=dup_of["lang"],
+             source=dup_of["source"], n_chars=dup_of["n_chars"]),
+    ]
+    sf = tmp_path_factory.mktemp("corrupt_docs_sf")
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=src.schema),
+        str(sf / "documents.parquet"),
+    )
+    return str(sf)
+
+
+def _documents_only_oracle_queries():
+    import re
+
+    known = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    out = []
+    for n, s in QUERIES.items():
+        sql = s.oracle or s.local_oracle
+        if not sql:
+            continue
+        tabs = set(re.findall(r"FROM\s+([a-z_]+)", sql)) | set(
+            re.findall(r"JOIN\s+([a-z_]+)", sql)
+        )
+        if (tabs & known) == {"documents"}:
+            out.append(n)
+    return out
+
+
+def test_every_documents_oracle_agrees_on_corrupt_corpus(
+    spark, corrupt_docs_sf
+):
+    names = _documents_only_oracle_queries()
+    assert len(names) >= 30, f"query discovery collapsed: {names}"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{corrupt_docs_sf}/documents.parquet'"
+    )
+    try:
+        fails = []
+        for name in names:
+            spec = QUERIES[name]
+            sql = spec.oracle or spec.local_oracle
+            try:
+                ok, msg = compare_query(
+                    spark, con, spec.fn, sql, corrupt_docs_sf
+                )
+            except Exception as ex:  # noqa: BLE001 - collect, report all
+                ok, msg = False, f"{type(ex).__name__}: {ex}"
+            if not ok:
+                fails.append((name, msg[:300]))
+        assert not fails, "corrupt-documents oracle drift:\n" + "\n".join(
+            f"  {n}: {m}" for n, m in fails
+        )
+    finally:
+        con.close()
