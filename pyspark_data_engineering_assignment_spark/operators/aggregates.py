@@ -37,7 +37,7 @@ def customer_merchant_batch_aggregate(batch: DataFrame) -> DataFrame:
         F.col("merchant").alias("merchant_id"),
     ).agg(
         F.count("*").alias("transaction_count"),
-        F.sum(F.col("amount").cast("decimal(18,2)"))
+        F.sum(F.col("amount").try_cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("total_amount_sum"),
     )

@@ -64,7 +64,7 @@ def resample_gapfill(
         .groupBy(F.col(series_col), bucket.alias("bucket_ts"))
         .agg(
             F.count("*").alias("_n"),
-            F.sum((F.col(value_col).cast(DEC) * 100).cast("long"))
+            F.sum((F.col(value_col).try_cast(DEC) * 100).cast("long"))
             .cast("long")
             .alias("_sum_cents"),
         )
@@ -144,6 +144,13 @@ def ewma_by_key(
     # not_nan is type-dispatched: only float columns get the isnan arm
     # (a DATE value column cannot be cast to double - guards.py)
     df = df.filter(F.col(value_col).isNotNull() & not_nan(df, value_col))
+    # An observation with a NULL order key has no position in the fold:
+    # Spark's struct array_sort and DuckDB's list(... ORDER BY) place
+    # NULL keys at OPPOSITE ends, so the engines would fold the same
+    # values in different orders and diverge (round-9 corrupt-events
+    # parity finding). No position, no observation.
+    for c in order_cols:
+        df = df.filter(F.col(c).isNotNull())
     seq = F.array_sort(
         F.collect_list(
             F.struct(

@@ -99,12 +99,12 @@ DEC = "decimal(18,2)"
     SELECT user_id AS customer_id,
            event_type AS merchant_id,
            count(*) AS transaction_count,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS total_amount_cents
     FROM events
     GROUP BY 1, 2
     HAVING count(*) >= 3
-       AND sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) < 5000 * count(*)
+       AND sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT)) < 5000 * count(*)
     """,
     doc="PatId2 'CHILD' shape (Mechanism Y.py:243): keyed count/sum state, "
     "count>=T and avg<T2 as exact integer-cents sum < T2*count. Money is "
@@ -114,7 +114,7 @@ DEC = "decimal(18,2)"
 )
 def patid2_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     agg = events.groupBy(
         F.col("user_id").alias("customer_id"),
         F.col("event_type").alias("merchant_id"),
@@ -258,12 +258,12 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS sum_qty_e2,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS sum_base_price_e2,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2))
+                         * (1 - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2))) * 10000 AS BIGINT))
                 AS BIGINT) AS sum_disc_price_e4,
            count(*) AS count_order
     FROM lineitem
@@ -277,11 +277,11 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
-    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
-    price_e2 = (F.col("l_extendedprice").cast(DEC) * 100).cast("long")
+    qty_e2 = (F.col("l_quantity").try_cast(DEC) * 100).cast("long")
+    price_e2 = (F.col("l_extendedprice").try_cast(DEC) * 100).cast("long")
     disc_e4 = (
-        F.col("l_extendedprice").cast(DEC)
-        * (F.lit(1) - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").try_cast(DEC)
+        * (F.lit(1) - F.col("l_discount").try_cast(DEC))
         * 10000
     ).cast("long")
     return (
@@ -300,8 +300,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE l.l_extendedprice END AS DECIMAL(18,2))
+                         * (1 - TRY_CAST(CASE WHEN isnan(l.l_discount) THEN NULL ELSE l.l_discount END AS DECIMAL(18,2))) * 10000 AS BIGINT))
                 AS BIGINT) AS revenue_e4,
            count(*) AS n_items
     FROM lineitem l
@@ -322,8 +322,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     revenue_e4 = (
-        F.col("l_extendedprice").cast(DEC)
-        * (F.lit(1) - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").try_cast(DEC)
+        * (F.lit(1) - F.col("l_discount").try_cast(DEC))
         * 10000
     ).cast("long")
     return (
@@ -485,7 +485,7 @@ def distinct_supplier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n_items,
-           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS sum_qty_e2
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -499,7 +499,7 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum((F.col("l_quantity").cast(DEC) * 100).cast("long"))
+            F.sum((F.col("l_quantity").try_cast(DEC) * 100).cast("long"))
             .cast("long")
             .alias("sum_qty_e2"),
         )
@@ -518,7 +518,7 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS total_value_cents
     FROM events
     GROUP BY 1, 2
@@ -537,7 +537,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum((F.col("value").cast(DEC) * 100).cast("long"))
+        F.sum((F.col("value").try_cast(DEC) * 100).cast("long"))
         .cast("long")
         .alias("total_value_cents"),
     )
@@ -548,12 +548,12 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS total_value_cents
     FROM (SELECT event_type, value,
                  unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
                          date_trunc('hour', ts)]) AS ws
-          FROM events)
+          FROM events WHERE ts IS NOT NULL)
     GROUP BY 1, 2
     """,
     doc="Sliding event-time window (2h window, 1h slide): each event lands "
@@ -578,7 +578,7 @@ def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     tagged AS (
@@ -591,7 +591,7 @@ def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
            user_id,
            count(*) AS n_events,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS total_value_cents
     FROM tagged
     GROUP BY user_id, session_id
@@ -665,7 +665,7 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('mid', 100.0, 250.0), ('large', 250.0, 1000.0)
     )
     SELECT b.label, count(*) AS n_events,
-           CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(e.value) THEN NULL ELSE e.value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS total_value_cents
     FROM events e JOIN brackets b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY 1
@@ -690,7 +690,7 @@ def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bucketed_range_join(e, brackets, "value", "lo", "hi", bucket_width=50.0)
     return joined.groupBy("label").agg(
         F.count("*").alias("n_events"),
-        F.sum((F.col("value").cast(DEC) * 100).cast("long"))
+        F.sum((F.col("value").try_cast(DEC) * 100).cast("long"))
         .cast("long")
         .alias("total_value_cents"),
     )
@@ -699,11 +699,19 @@ def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_props_json",
     """
-    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+    SELECT CAST(json_extract(kj, '$.k') AS BIGINT) AS k_value,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users
-    FROM events
-    WHERE json_extract(props, '$.k') IS NOT NULL
+    FROM (SELECT user_id,
+                 -- json_valid guard: DuckDB's json_extract THROWS on
+                 -- malformed JSON where Spark's get_json_object /
+                 -- try_parse_json return NULL (round-9 corrupt-events
+                 -- parity finding) - one bad props string must not
+                 -- kill the oracle
+                 CASE WHEN props IS NOT NULL AND json_valid(props)
+                      THEN props END AS kj
+          FROM events)
+    WHERE json_extract(kj, '$.k') IS NOT NULL
     GROUP BY 1
     """,
     doc="Semi-structured column handling: JSON path extraction from the "
@@ -730,10 +738,10 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.p_brand, p.p_type,
            count(*) AS n_items,
-           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE l.l_extendedprice END AS DECIMAL(18,2))
+                         * (1 - TRY_CAST(CASE WHEN isnan(l.l_discount) THEN NULL ELSE l.l_discount END AS DECIMAL(18,2))) * 10000 AS BIGINT))
                 AS BIGINT) AS revenue_e4,
-           CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l.l_quantity) THEN NULL ELSE l.l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS sum_qty_e2
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 30
@@ -750,11 +758,11 @@ def brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 30)
     revenue_e4 = (
-        F.col("l_extendedprice").cast(DEC)
-        * (F.lit(1) - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").try_cast(DEC)
+        * (F.lit(1) - F.col("l_discount").try_cast(DEC))
         * 10000
     ).cast("long")
-    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    qty_e2 = (F.col("l_quantity").try_cast(DEC) * 100).cast("long")
     return (
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type")
@@ -850,7 +858,7 @@ def shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_oracle.",
     local_oracle="""
     SELECT p_brand, count(*) AS n_parts,
-           CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(p_retailprice) THEN NULL ELSE p_retailprice END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS total_price_cents
     FROM part
     WHERE p_name LIKE '%widget%' AND p_type NOT LIKE 'PROMO%'
@@ -864,7 +872,7 @@ def widget_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            F.sum((F.col("p_retailprice").cast(DEC) * 100).cast("long"))
+            F.sum((F.col("p_retailprice").try_cast(DEC) * 100).cast("long"))
             .cast("long")
             .alias("total_price_cents"),
         )
@@ -876,8 +884,8 @@ def widget_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT n.n_name AS nation,
-               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE l.l_extendedprice END AS DECIMAL(18,2))
+                             * (1 - TRY_CAST(CASE WHEN isnan(l.l_discount) THEN NULL ELSE l.l_discount END AS DECIMAL(18,2)))
                              * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -900,8 +908,8 @@ def nations_above_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     revenue_e4 = (
-        F.col("l_extendedprice").cast(DEC)
-        * (F.lit(1) - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").try_cast(DEC)
+        * (F.lit(1) - F.col("l_discount").try_cast(DEC))
         * 10000
     ).cast("long")
     rev = (
@@ -1073,7 +1081,7 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.type_class,
            count(*) AS n_events,
            count(DISTINCT e.user_id) AS n_users,
-           CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(e.value) THEN NULL ELSE e.value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS total_value_cents
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY 1
@@ -1105,7 +1113,7 @@ def event_class_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise("engagement"),
         )
     )
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     return (
         salted_join(e, dim, ["event_type"], n_salts=8)
         .groupBy("type_class")
@@ -1121,9 +1129,9 @@ def event_class_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_quantiles_by_type",
     """
     SELECT event_type,
-           quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)
+           quantile_cont(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)
                AS median_cents,
-           quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9)
+           quantile_cont(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9)
                AS p90_cents,
            count(*) AS n_events
     FROM events
@@ -1137,7 +1145,7 @@ def event_class_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     return e.groupBy("event_type").agg(
         F.percentile(cents, F.lit(0.5)).alias("median_cents"),
         F.percentile(cents, F.lit(0.9)).alias("p90_cents"),
@@ -1153,8 +1161,8 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            cents - coalesce(lag(cents) OVER w, 0) AS delta_vs_prev_cents,
            row_number() OVER w AS event_seq
     FROM (SELECT event_id, user_id, ts,
-                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-          FROM events)
+                 CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events WHERE ts IS NOT NULL)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
@@ -1164,8 +1172,10 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic keeps the running sum exact and hash-stable.",
 )
 def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    # NULL-ts rows have no place on the running timeline (engine NULL
+    # ordering diverges: Spark sorts them first, DuckDB last)
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1194,7 +1204,7 @@ def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n_orders,
-           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS total_cents
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -1205,7 +1215,7 @@ def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+    cents = (F.col("o_totalprice").try_cast(DEC) * 100).cast("long")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
@@ -1267,7 +1277,7 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
                count(*) AS n,
-               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                     AS BIGINT) AS sum_cents
         FROM events GROUP BY 1, 2
     ),
@@ -1399,8 +1409,8 @@ def event_reach_setops_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
            count(*) AS n_items,
-           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE l.l_extendedprice END AS DECIMAL(18,2))
+                         * (1 - TRY_CAST(CASE WHEN isnan(l.l_discount) THEN NULL ELSE l.l_discount END AS DECIMAL(18,2)))
                          * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -1433,8 +1443,8 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
     rev_e4 = (
-        F.col("l_extendedprice").cast(DEC)
-        * (1 - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").try_cast(DEC)
+        * (1 - F.col("l_discount").try_cast(DEC))
         * 10000
     ).cast("long")
     pair = (F.col("supp_nation") == "NATION_1") & (
@@ -1471,14 +1481,14 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neutral (local_oracle).",
     local_oracle="""
     SELECT c.c_custkey, o.o_orderkey,
-           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           CAST(TRY_CAST(CASE WHEN isnan(o.o_totalprice) THEN NULL ELSE o.o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS totalprice_cents,
            big.sum_qty_e2
     FROM (SELECT l_orderkey,
-                 CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                 CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100
                                AS BIGINT)) AS BIGINT) AS sum_qty_e2
           FROM lineitem GROUP BY 1
-          HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+          HAVING sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100
                           AS BIGINT)) > 30000) big
     JOIN orders o   ON big.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1488,7 +1498,7 @@ def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    qty_e2 = (F.col("l_quantity").try_cast(DEC) * 100).cast("long")
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(qty_e2).cast("long").alias("sum_qty_e2"))
@@ -1500,7 +1510,7 @@ def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "o_orderkey",
-            (F.col("o_totalprice").cast(DEC) * 100)
+            (F.col("o_totalprice").try_cast(DEC) * 100)
             .cast("long")
             .alias("totalprice_cents"),
             "sum_qty_e2",
@@ -1524,15 +1534,15 @@ def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH stats AS (
         SELECT count(*) AS n_pos,
-               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_pos
+               sum(TRY_CAST(CASE WHEN isnan(c_acctbal) THEN NULL ELSE c_acctbal END AS DECIMAL(18,2))) AS total_pos
         FROM customer WHERE c_acctbal > 0
     )
     SELECT c_mktsegment,
            count(*) AS numcust,
-           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+           CAST(CAST(sum(TRY_CAST(CASE WHEN isnan(c_acctbal) THEN NULL ELSE c_acctbal END AS DECIMAL(18,2)))
                      AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
     FROM customer, stats
-    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_pos
+    WHERE TRY_CAST(CASE WHEN isnan(c_acctbal) THEN NULL ELSE c_acctbal END AS DECIMAL(18,2)) * n_pos > total_pos
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
@@ -1542,7 +1552,7 @@ def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    bal = F.col("c_acctbal").cast(DEC)
+    bal = F.col("c_acctbal").try_cast(DEC)
     stats = c.filter(F.col("c_acctbal") > 0).agg(
         F.count("*").alias("n_pos"),
         F.sum(bal).alias("total_pos"),
@@ -1579,6 +1589,7 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
                        (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_value
     FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+      AND ts IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -1653,13 +1664,16 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_type,
                  lag(event_type) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_type
-          FROM events)
+          FROM events WHERE ts IS NOT NULL)
     WHERE prev_type IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    # NULL-ts rows have no position in the per-user order (and Spark's
+    # nulls-first vs DuckDB's nulls-last would silently disagree on
+    # which transition they form) - no timestamp, no transition.
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.withColumn("prev_type", F.lag("event_type").over(w))
@@ -1682,21 +1696,27 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neutral (local_oracle).",
     local_oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+           CAST(SUM(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL
+                                       ELSE value END AS DECIMAL(18,2))
+                         * 100 AS BIGINT))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS moving_spend_cents
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def user_moving_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    # standard guarded cents form: round(value*100).cast(long) threw
+    # CAST_OVERFLOW on one NaN under ANSI (round-9 corrupt-events
+    # parity finding); try_cast skips corrupt money. NULL-ts rows have
+    # no frame position (engine NULL ordering diverges).
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-3, Window.currentRow)
     )
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     return e.select(
         "event_id",
         "user_id",
@@ -1719,7 +1739,7 @@ def user_moving_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     return (
         e.select("event_type", cents.alias("cents"))
         .groupBy("event_type")
@@ -1863,17 +1883,17 @@ def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH pa AS (
         SELECT l_partkey, count(*) AS n_li,
-               CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+               CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100
                              AS BIGINT)) AS BIGINT) AS sum_qty_e2
         FROM lineitem GROUP BY 1
     )
     SELECT p.p_brand, count(*) AS n_small,
-           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE l.l_extendedprice END AS DECIMAL(18,2)) * 100
                          AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem l
     JOIN pa ON l.l_partkey = pa.l_partkey
     JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+    WHERE CAST(TRY_CAST(CASE WHEN isnan(l.l_quantity) THEN NULL ELSE l.l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT)
           * 5 * pa.n_li < pa.sum_qty_e2
     GROUP BY 1
     """,
@@ -1881,7 +1901,7 @@ def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    qty_e2 = (F.col("l_quantity").try_cast(DEC) * 100).cast("long")
     pa = l.groupBy("l_partkey").agg(
         F.count("*").alias("n_li"),
         F.sum(qty_e2).cast("long").alias("sum_qty_e2"),
@@ -1894,7 +1914,7 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_small"),
-            F.sum((F.col("l_extendedprice").cast(DEC) * 100).cast("long"))
+            F.sum((F.col("l_extendedprice").try_cast(DEC) * 100).cast("long"))
             .cast("long")
             .alias("revenue_cents"),
         )
@@ -1942,7 +1962,7 @@ def user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH c AS (
         SELECT event_id, user_id, ts,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
         WHERE ts IS NOT NULL AND event_id IS NOT NULL
           AND value IS NOT NULL
@@ -1974,7 +1994,7 @@ def user_spend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("event_id").isNotNull()
         & F.col("value").isNotNull()
     )
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     win = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -2071,8 +2091,10 @@ def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH c AS (
         SELECT event_id, event_type,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
+        WHERE TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                       AS DECIMAL(18,2)) IS NOT NULL
     ),
     d AS (
         SELECT event_type, cents,
@@ -2089,10 +2111,13 @@ def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     return (
+        # a corrupt/missing value has no cents and therefore no decile
+        # rank (engine NULL ordering inside ntile diverges)
         e.select("event_id", "event_type", cents.alias("cents"))
+        .filter(F.col("cents").isNotNull())
         .withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("event_type", "decile")
         .agg(
@@ -2117,7 +2142,7 @@ def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(GROUPING(event_type) AS BIGINT) AS is_total,
            count(*) AS n_events,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS cents_sum
     FROM events
     GROUP BY GROUPING SETS ((event_type), ())
@@ -2125,7 +2150,7 @@ def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     return (
         e.select("event_type", cents.alias("_cents"))
         .groupingSets([["event_type"], []], "event_type")
@@ -2194,8 +2219,8 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2))
+                             * (1 - TRY_CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))
                              * 10000 AS BIGINT)) AS BIGINT) AS total_revenue_e4
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2212,8 +2237,8 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev_e4 = (
-        F.col("l_extendedprice").cast(DEC)
-        * (1 - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").try_cast(DEC)
+        * (1 - F.col("l_discount").try_cast(DEC))
         * 10000
     ).cast("long")
     revenue = (
@@ -2290,17 +2315,28 @@ def user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plans' results must agree exactly. Driver-window neutral "
     "(local_oracle).",
     local_oracle="""
-    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+    SELECT CAST(json_extract(kj, '$.k') AS BIGINT) AS k_value,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users
-    FROM events
-    WHERE json_extract(props, '$.k') IS NOT NULL
+    FROM (SELECT user_id,
+                 -- json_valid guard: DuckDB's json_extract THROWS on
+                 -- malformed JSON where Spark's get_json_object /
+                 -- try_parse_json return NULL (round-9 corrupt-events
+                 -- parity finding) - one bad props string must not
+                 -- kill the oracle
+                 CASE WHEN props IS NOT NULL AND json_valid(props)
+                      THEN props END AS kj
+          FROM events)
+    WHERE json_extract(kj, '$.k') IS NOT NULL
     GROUP BY 1
     """,
 )
 def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    # try_parse_json: plain parse_json THROWS on malformed JSON - one
+    # bad props string killed the whole query (round-9 corrupt-events
+    # parity finding); try_parse_json yields NULL variant instead
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
     return (
         e.select(k.alias("k_value"), "user_id")
         .filter(F.col("k_value").isNotNull())
@@ -2370,9 +2406,9 @@ def priority_order_counts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neutral (local_oracle).",
     local_oracle="""
     SELECT event_id, user_id,
-           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 OVER w AS BIGINT) AS cents_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -2381,7 +2417,7 @@ def priority_order_counts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_trailing_hour_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))
@@ -2409,7 +2445,7 @@ def user_trailing_hour_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH c AS (
         SELECT CAST(user_id & 2147483647 AS BIGINT) AS a,
-               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               CAST(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT)
                     & 2147483647 AS BIGINT) AS b
         FROM events
     ),
@@ -2451,7 +2487,7 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.functions.zorder import zorder_key
 
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     return (
         e.select(zorder_key(F.col("user_id"), cents).alias("zkey"))
         .groupBy("zkey")
@@ -2474,7 +2510,7 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, ts, event_type,
                lag(event_type) OVER w AS prev_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
@@ -2491,7 +2527,9 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    # a change event with no timestamp cannot anchor a validity
+    # interval - NULL-ts rows are excluded on both sides
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.select(
@@ -2593,7 +2631,7 @@ def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'signup' THEN 'insert'
                     WHEN event_type = 'error' THEN 'delete'
                     ELSE 'upsert' END AS op,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
         WHERE ts IS NOT NULL AND event_id IS NOT NULL
     ),
@@ -2615,7 +2653,7 @@ def user_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", "delete")
         .otherwise("upsert")
     )
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -2710,7 +2748,7 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neutral (local_oracle).",
     local_oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS qty_e2
     FROM lineitem
     GROUP BY 1, 2
@@ -2718,7 +2756,7 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def returnflag_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    qty_e2 = (F.col("l_quantity").cast(DEC) * 100).cast("long")
+    qty_e2 = (F.col("l_quantity").try_cast(DEC) * 100).cast("long")
     statuses = ["F", "O"]
     wide = (
         l.select("l_returnflag", "l_linestatus", qty_e2.alias("q"))
@@ -2757,8 +2795,8 @@ def returnflag_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     SELECT r.r_name AS region, p.p_brand AS brand,
            count(*) AS n_rows,
-           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE l.l_extendedprice END AS DECIMAL(18,2))
+                         * (1 - TRY_CAST(CASE WHEN isnan(l.l_discount) THEN NULL ELSE l.l_discount END AS DECIMAL(18,2)))
                          * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
            count(DISTINCT o.o_custkey) AS n_customers,
            count(DISTINCT l.l_suppkey) AS n_suppliers
@@ -2782,8 +2820,8 @@ def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     p = _t(spark, sf_dir, "part")
     rev_e4 = (
-        F.col("l_extendedprice").cast(DEC)
-        * (1 - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").try_cast(DEC)
+        * (1 - F.col("l_discount").try_cast(DEC))
         * 10000
     ).cast("long")
     cn = n.select(
@@ -2825,7 +2863,7 @@ def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH c AS (
         SELECT event_type,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
                CAST(hour(ts) AS BIGINT) AS y
         FROM events
     )
@@ -2840,7 +2878,7 @@ def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_hour_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    x = (F.col("value").cast(DEC) * 100).cast("long")
+    x = (F.col("value").try_cast(DEC) * 100).cast("long")
     y = F.hour("ts").cast("long")
     c = e.select("event_type", x.alias("x"), y.alias("y"))
     return c.groupBy("event_type").agg(
@@ -2866,7 +2904,8 @@ def value_hour_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over every SF's actual values. Driver-window neutral "
     "(local_oracle).",
     local_oracle="""
-    SELECT CAST(CASE WHEN value < 0 THEN 0
+    SELECT CAST(CASE WHEN isnan(value) THEN NULL
+                     WHEN value < 0 THEN 0
                      WHEN value >= 500 THEN 51
                      ELSE floor(value * 50 / 500) + 1 END AS BIGINT) AS bin,
            count(*) AS n_events
@@ -2905,7 +2944,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
                     THEN 1 ELSE 0 END AS new_burst
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
     ),
     b AS (
@@ -2922,7 +2961,8 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_burst_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    # no timestamp, no burst position (engine NULL ordering diverges)
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     # unix_micros, NOT cast("long"): the long cast truncates to whole
     # seconds, so a gap of 5:00.000001 compared equal to the 5-minute
@@ -2965,7 +3005,7 @@ def event_burst_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH p AS (
         SELECT event_id AS purchase_id, user_id, ts AS pts,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events WHERE event_type = 'purchase'
     ),
     c AS (
@@ -2998,7 +3038,7 @@ def event_burst_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
@@ -3055,8 +3095,10 @@ def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH c AS (
         SELECT event_type,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
+        WHERE TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                       AS DECIMAL(18,2)) IS NOT NULL
     ),
     ranked AS (
         SELECT event_type, cents,
@@ -3081,8 +3123,13 @@ def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
-    c = e.select("event_type", cents.alias("cents"))
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
+    # corrupt/missing values get no rank and no clamp slot (engine NULL
+    # ordering inside cume_dist diverges; a NULL in the clamp would
+    # float-ify the pandas int column on one side only)
+    c = e.select("event_type", cents.alias("cents")).filter(
+        F.col("cents").isNotNull()
+    )
     wr = Window.partitionBy("event_type").orderBy("cents")
     ranked = c.withColumn("cd", F.cume_dist().over(wr))
     bounds = ranked.groupBy("event_type").agg(
@@ -3179,7 +3226,7 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT user_id, ts, event_id,
                CASE WHEN event_type = 'error' THEN -1 ELSE 1 END
-               * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta
+               * CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta
         FROM events
     ),
     c1 AS (
@@ -3204,7 +3251,7 @@ def user_spend_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     delta = (
         F.when(F.col("event_type") == "error", -1).otherwise(1)
-        * (F.col("value").cast(DEC) * 100).cast("long")
+        * (F.col("value").try_cast(DEC) * 100).cast("long")
     )
     w = (
         Window.partitionBy("user_id")
@@ -3237,7 +3284,7 @@ def user_spend_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day,
-               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                     AS BIGINT) AS cents
         FROM events GROUP BY 1, 2
     )
@@ -3250,7 +3297,7 @@ def user_spend_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_top_spend_days_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     daily = (
         e.select("user_id", F.to_date("ts").alias("day"), cents.alias("c"))
         .groupBy("user_id", "day")
@@ -3280,8 +3327,8 @@ def user_top_spend_days_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH nrev AS (
         SELECT n.n_name AS nation, r.r_name AS region,
-               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE l.l_extendedprice END AS DECIMAL(18,2))
+                             * (1 - TRY_CAST(CASE WHEN isnan(l.l_discount) THEN NULL ELSE l.l_discount END AS DECIMAL(18,2)))
                              * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -3301,8 +3348,8 @@ def nation_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     rev_e4 = (
-        F.col("l_extendedprice").cast(DEC)
-        * (1 - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").try_cast(DEC)
+        * (1 - F.col("l_discount").try_cast(DEC))
         * 10000
     ).cast("long")
     nrev = (
@@ -3351,14 +3398,14 @@ def nation_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow_mon0,
            CAST(hour(ts) AS BIGINT) AS hour,
            count(*) AS n_events,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS cents
     FROM events GROUP BY 1, 2
     """,
 )
 def activity_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     return (
         e.select(
             F.weekday("ts").cast("long").alias("dow_mon0"),

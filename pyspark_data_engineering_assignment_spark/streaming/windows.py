@@ -52,7 +52,7 @@ def windowed_event_aggregate(
         df.groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum((F.col("value").cast(DEC) * 100).cast("long"))
+            F.sum((F.col("value").try_cast(DEC) * 100).cast("long"))
             .cast("long")
             .alias("total_value_cents"),
         )
@@ -89,7 +89,7 @@ def session_windowed_events(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum((F.col("value").cast(DEC) * 100).cast("long"))
+            F.sum((F.col("value").try_cast(DEC) * 100).cast("long"))
             .cast("long")
             .alias("total_value_cents"),
         )

@@ -1,0 +1,122 @@
+"""Corrupt-events oracle parity (round-9; completes the per-table
+degenerate gates beside test_clustering.py's vectors and
+test_corrupt_documents_parity.py's text).
+
+The trigger: one out-of-range double in the money column crashed every
+cents query outright - Spark's ANSI `cast(value AS DECIMAL(18,2))`
+throws NUMERIC_VALUE_OUT_OF_RANGE on 1e308 (and on NaN), and DuckDB's
+plain CAST throws the same class - a single corrupt row poisoning
+whole-table aggregates at 100 TB. The fix (this round): every raw
+money-column cast is `try_cast` on the Spark side and a NaN-guarded
+`TRY_CAST` in the oracles (DuckDB's TRY_CAST itself throws on NaN), so
+corrupt observations are SKIPPED, the repo's established convention.
+
+This file pins the whole class: every events-only oracle-bearing
+registry query runs on an events table containing NULL ts, NULL
+user_id, NULL event_type, NULL/NaN/+inf/-inf/1e308 values, negative
+values, and NULL/malformed JSON props - through the strict
+rows+schema+value-hash compare the driver gate applies.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from pyspark_data_engineering_assignment_spark.plans import QUERIES
+from tests.oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.001"
+T = dt.datetime
+
+
+@pytest.fixture(scope="module")
+def corrupt_events_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    rows = src.slice(0, 120).to_pylist()
+    nxt = max(r["event_id"] for r in rows) + 1
+
+    def e(i, ts, uid, etype, value, props='{"k": 1}'):
+        return dict(event_id=i, ts=ts, user_id=uid, event_type=etype,
+                    value=value, props=props)
+
+    base = T(2024, 1, 20, 12, 0, 0)
+    rows += [
+        # corrupt money values on otherwise-normal rows
+        e(nxt, base, 3, "purchase", float("nan")),
+        e(nxt + 1, base.replace(hour=13), 3, "purchase", float("inf")),
+        e(nxt + 2, base.replace(hour=14), 3, "purchase", float("-inf")),
+        e(nxt + 3, base.replace(hour=15), 3, "purchase", 1e308),
+        e(nxt + 4, base.replace(hour=16), 3, "purchase", -42.5),
+        e(nxt + 5, base.replace(hour=17), 3, "purchase", None),
+        # corrupt keys / times
+        e(nxt + 6, None, 4, "click", 10.0),
+        e(nxt + 7, base, None, "click", 11.0),
+        e(nxt + 8, base, 5, None, 12.0),
+        # corrupt props
+        e(nxt + 9, base.replace(hour=18), 6, "view", 13.0, props=None),
+        e(nxt + 10, base.replace(hour=19), 6, "view", 14.0,
+          props="{not json"),
+        e(nxt + 11, base.replace(hour=20), 6, "view", 15.0, props=""),
+    ]
+    sf = tmp_path_factory.mktemp("corrupt_events_sf")
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=src.schema),
+        str(sf / "events.parquet"),
+    )
+    return str(sf)
+
+
+def _events_only_oracle_queries():
+    import re
+
+    known = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    out = []
+    for n, s in QUERIES.items():
+        sql = s.oracle or s.local_oracle
+        if not sql:
+            continue
+        tabs = set(re.findall(r"FROM\s+([a-z_]+)", sql)) | set(
+            re.findall(r"JOIN\s+([a-z_]+)", sql)
+        )
+        if (tabs & known) == {"events"}:
+            out.append(n)
+    return out
+
+
+def test_every_events_oracle_agrees_on_corrupt_events(
+    spark, corrupt_events_sf
+):
+    names = _events_only_oracle_queries()
+    assert len(names) >= 35, f"query discovery collapsed: {names}"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{corrupt_events_sf}/events.parquet'"
+    )
+    try:
+        fails = []
+        for name in names:
+            spec = QUERIES[name]
+            sql = spec.oracle or spec.local_oracle
+            try:
+                ok, msg = compare_query(
+                    spark, con, spec.fn, sql, corrupt_events_sf
+                )
+            except Exception as ex:  # noqa: BLE001 - collect, report all
+                ok, msg = False, f"{type(ex).__name__}: {ex}"
+            if not ok:
+                fails.append((name, msg[:300]))
+        assert not fails, "corrupt-events oracle drift:\n" + "\n".join(
+            f"  {n}: {m}" for n, m in fails
+        )
+    finally:
+        con.close()
