@@ -1238,7 +1238,7 @@ def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderdate, o_orderkey,
                lag(o_orderdate) OVER (PARTITION BY o_custkey
                                       ORDER BY o_orderdate, o_orderkey) AS prev_date
-        FROM orders
+        FROM orders WHERE o_orderdate IS NOT NULL
     )
     SELECT o_custkey,
            count(*) AS n_gaps,
@@ -1253,7 +1253,11 @@ def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-engagement-analysis shape; all outputs integral, hash-stable.",
 )
 def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # an order with no date has no position on the gap timeline (Spark
+    # sorts NULL dates first, DuckDB last - round-9 corrupt-star
+    # parity finding: the NULL-date row formed a counted gap on one
+    # side only)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = (
         o.withColumn("prev_date", F.lag("o_orderdate").over(w))
@@ -2751,6 +2755,10 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS qty_e2
     FROM lineitem
+    -- the pivot side enumerates exactly these two status columns, so a
+    -- row with any OTHER (incl. NULL) linestatus cannot round-trip
+    -- through the melt (round-9 corrupt-star parity finding)
+    WHERE l_linestatus IN ('F', 'O')
     GROUP BY 1, 2
     """,
 )

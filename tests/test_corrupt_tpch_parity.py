@@ -1,0 +1,156 @@
+"""Corrupt-TPC-H oracle parity (round-9; completes the per-table
+degenerate matrix: embeddings -> documents -> events -> the relational
+star).
+
+Every oracle-bearing registry query whose tables are all in the TPC-H
+star runs on a copy of sf0.001 where lineitem, orders and customer
+contain corrupt rows - NaN / out-of-range / negative money, NULL
+dates, NULL grouping keys, NULL and orphan foreign keys - through the
+strict rows+schema+value-hash compare. After the round-9 try_cast
+sweep, a corrupt money value must be SKIPPED identically by both
+engines instead of crashing either; NULL keys must join/group the
+same way on both sides.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark_data_engineering_assignment_spark.plans import QUERIES
+from tests.oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.001"
+TPCH = {"region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem"}
+
+
+@pytest.fixture(scope="module")
+def corrupt_tpch_sf(tmp_path_factory):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path_factory.mktemp("corrupt_tpch_sf")
+    for t in ("region", "nation", "supplier", "part"):
+        shutil.copy(f"{SF}/{t}.parquet", str(sf / f"{t}.parquet"))
+
+    # --- lineitem: corrupt money/date/group-key fields ---
+    li = pq.read_table(f"{SF}/lineitem.parquet")
+    rows = li.to_pylist()
+    base = dict(rows[0])
+    nxt_ok = max(r["l_orderkey"] for r in rows) + 1
+
+    def l(**kw):
+        r = dict(base)
+        r.update(l_orderkey=nxt_ok, l_linenumber=kw.pop("_ln"))
+        r.update(kw)
+        return r
+
+    rows += [
+        l(_ln=1, l_extendedprice=float("nan")),
+        l(_ln=2, l_quantity=1e308),
+        l(_ln=3, l_discount=None),
+        l(_ln=4, l_discount=float("nan")),
+        l(_ln=5, l_shipdate=None),
+        l(_ln=6, l_returnflag=None, l_linestatus=None),
+        l(_ln=7, l_quantity=-4.0),
+        l(_ln=8, l_suppkey=None, l_partkey=None),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=li.schema),
+                   str(sf / "lineitem.parquet"))
+
+    # --- orders: corrupt totals, dates, keys ---
+    o = pq.read_table(f"{SF}/orders.parquet")
+    orows = o.to_pylist()
+    obase = dict(orows[0])
+    nxt = max(r["o_orderkey"] for r in orows) + 1
+
+    def od(i, **kw):
+        r = dict(obase)
+        r.update(o_orderkey=nxt + i)
+        r.update(kw)
+        return r
+
+    orows += [
+        od(0, o_totalprice=float("nan")),
+        od(1, o_totalprice=None),
+        od(2, o_totalprice=1e308),
+        od(3, o_orderdate=None),
+        od(4, o_orderpriority=None),
+        od(5, o_custkey=None),
+        od(6, o_custkey=99_999_999),  # orphan FK
+        od(7, o_orderstatus=None),
+    ]
+    pq.write_table(pa.Table.from_pylist(orows, schema=o.schema),
+                   str(sf / "orders.parquet"))
+
+    # --- customer: corrupt balances, names, keys ---
+    c = pq.read_table(f"{SF}/customer.parquet")
+    crows = c.to_pylist()
+    cbase = dict(crows[0])
+    cnxt = max(r["c_custkey"] for r in crows) + 1
+
+    def cd(i, **kw):
+        r = dict(cbase)
+        r.update(c_custkey=cnxt + i)
+        r.update(kw)
+        return r
+
+    crows += [
+        cd(0, c_acctbal=float("nan")),
+        cd(1, c_acctbal=None),
+        cd(2, c_nationkey=None),
+        cd(3, c_mktsegment=None),
+        cd(4, c_name=None),
+        cd(5, c_name=""),
+    ]
+    pq.write_table(pa.Table.from_pylist(crows, schema=c.schema),
+                   str(sf / "customer.parquet"))
+    return str(sf)
+
+
+def _tpch_only_oracle_queries():
+    import re
+
+    known = TPCH | {"events", "documents", "embeddings"}
+    out = []
+    for n, s in QUERIES.items():
+        sql = s.oracle or s.local_oracle
+        if not sql:
+            continue
+        tabs = (set(re.findall(r"FROM\s+([a-z_]+)", sql))
+                | set(re.findall(r"JOIN\s+([a-z_]+)", sql))) & known
+        if tabs and tabs <= TPCH:
+            out.append(n)
+    return out
+
+
+def test_every_tpch_oracle_agrees_on_corrupt_star(spark, corrupt_tpch_sf):
+    names = _tpch_only_oracle_queries()
+    assert len(names) >= 25, f"query discovery collapsed: {names}"
+    con = duckdb.connect()
+    for t in TPCH:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{corrupt_tpch_sf}/{t}.parquet'"
+        )
+    try:
+        fails = []
+        for name in names:
+            spec = QUERIES[name]
+            sql = spec.oracle or spec.local_oracle
+            try:
+                ok, msg = compare_query(
+                    spark, con, spec.fn, sql, corrupt_tpch_sf
+                )
+            except Exception as ex:  # noqa: BLE001 - collect, report all
+                ok, msg = False, f"{type(ex).__name__}: {ex}"
+            if not ok:
+                fails.append((name, msg[:300]))
+        assert not fails, "corrupt-TPC-H oracle drift:\n" + "\n".join(
+            f"  {n}: {m}" for n, m in fails
+        )
+    finally:
+        con.close()
