@@ -291,8 +291,15 @@ def test_null_observations_do_not_poison_ewma(spark, events0):
     ]
     evt = spark.createDataFrame(rows, events0.schema)
     [r] = ewma_by_key(evt, ["user_id"], ["ts", "event_id"], "value").collect()
-    # folds over the non-null observations only (pre-fix: NULL forever)
-    assert r["n_events"] == 3 and r["ewma_value"] is not None
+    # folds over the non-null observations only (pre-fix: NULL forever).
+    # Round 9 tightened the contract further: a NULL ORDER key has no
+    # position in the fold either (Spark's array_sort and DuckDB's
+    # list(... ORDER BY) place NULL keys at opposite ends - the
+    # corrupt-events parity gate caught the divergence), so the
+    # null-ts row contributes nothing: 2 observations, EWMA over
+    # [1.0, 3.0] = 0.125*3 + 0.875*1 exactly.
+    assert r["n_events"] == 2
+    assert r["ewma_value"] == 0.125 * 3.0 + 0.875 * 1.0
     # gapfill: the null-ts row is excluded, the 3 timestamped rows
     # produce exactly the 3 hourly buckets
     buckets = resample_gapfill(evt, "event_type", "ts", "value").collect()
