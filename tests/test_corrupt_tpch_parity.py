@@ -33,8 +33,49 @@ def corrupt_tpch_sf(tmp_path_factory):
     import pyarrow.parquet as pq
 
     sf = tmp_path_factory.mktemp("corrupt_tpch_sf")
-    for t in ("region", "nation", "supplier", "part"):
+    for t in ("region", "nation"):
         shutil.copy(f"{SF}/{t}.parquet", str(sf / f"{t}.parquet"))
+
+    # --- supplier: corrupt balance / name / FK ---
+    sp = pq.read_table(f"{SF}/supplier.parquet")
+    srows = sp.to_pylist()
+    sbase = dict(srows[0])
+    snxt = max(r["s_suppkey"] for r in srows) + 1
+    for i, kw in enumerate(
+        [
+            dict(s_acctbal=float("nan")),
+            dict(s_acctbal=None),
+            dict(s_nationkey=None),
+            dict(s_name=None),
+        ]
+    ):
+        r = dict(sbase)
+        r.update(s_suppkey=snxt + i)
+        r.update(kw)
+        srows.append(r)
+    pq.write_table(pa.Table.from_pylist(srows, schema=sp.schema),
+                   str(sf / "supplier.parquet"))
+
+    # --- part: corrupt price / size / brand keys ---
+    pt = pq.read_table(f"{SF}/part.parquet")
+    prows = pt.to_pylist()
+    pbase = dict(prows[0])
+    pnxt = max(r["p_partkey"] for r in prows) + 1
+    for i, kw in enumerate(
+        [
+            dict(p_retailprice=float("nan")),
+            dict(p_retailprice=1e308),
+            dict(p_retailprice=None),
+            dict(p_size=None),
+            dict(p_brand=None, p_type=None),
+        ]
+    ):
+        r = dict(pbase)
+        r.update(p_partkey=pnxt + i)
+        r.update(kw)
+        prows.append(r)
+    pq.write_table(pa.Table.from_pylist(prows, schema=pt.schema),
+                   str(sf / "part.parquet"))
 
     # --- lineitem: corrupt money/date/group-key fields ---
     li = pq.read_table(f"{SF}/lineitem.parquet")
