@@ -57,6 +57,17 @@ def corrupt_docs_sf(tmp_path_factory):
         dict(doc_id=nxt + 10, text=dup_of["text"], lang=dup_of["lang"],
              source=dup_of["source"], n_chars=dup_of["n_chars"]),
     ]
+    # exact token-count boundary shapes: the packing cut (512/513), the
+    # chunk width (32/33) and the chunk stride (24/25) - off-by-one
+    # chunk/pack assignment drift between Spark and the SQL replay
+    # would surface here and nowhere in organic data
+    # (5, 6) also crosses winnowing's len(hs) < 4 window switch
+    for j, n_toks in enumerate((512, 513, 32, 33, 24, 25, 8, 6, 5, 1)):
+        text = " ".join(f"tok{k % 13}" for k in range(n_toks))
+        rows.append(
+            dict(doc_id=nxt + 11 + j, text=text, lang="en",
+                 source="srcB", n_chars=len(text))
+        )
     sf = tmp_path_factory.mktemp("corrupt_docs_sf")
     pq.write_table(
         pa.Table.from_pylist(rows, schema=src.schema),
