@@ -181,6 +181,11 @@ def running_ewma(
         # independently would fold them out of order-col order,
         # breaking the bit-exact batch==stream contract.
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(order_cols)
+        # A NULL ORDER key has no position in the fold - the batch twin
+        # excludes such rows (round 9: engine NULL orderings diverge),
+        # and pandas would otherwise sort NaT/NaN last and fold them,
+        # silently diverging from batch on a corrupt feed.
+        pdf = pdf.dropna(subset=list(order_cols))
         # NULL observations are SKIPPED, exactly like the batch twin
         # (timeseries.ewma_by_key filters them): a null value arrives
         # here as NaN, and folding NaN would poison the key's state

@@ -229,10 +229,20 @@ def test_running_ewma_skips_nulls_like_batch(spark, tmp_path):
     n = 60
     vals = np.round(rng.exponential(20.0, n), 2)
     vals[rng.random(n) < 0.25] = np.nan  # ~25% missing observations
+    # ~15% missing ORDER keys too: round 9's contract excludes rows
+    # with a NULL order key from the fold on BOTH twins (the batch
+    # side's engines disagree on NULL ordering; the stream's pandas
+    # sort would place them last) - the csv empty cell arrives as a
+    # true SQL NULL on both paths
+    # pandas nullable Int64, NOT float-with-NaN: a float ts column
+    # csv-serializes as "3.0", which Spark's long schema cannot parse,
+    # silently nulling EVERY ts and making the probe vacuous
+    ts = pd.array(range(n), dtype="Int64")
+    ts[rng.random(n) < 0.15] = pd.NA
     rows = pd.DataFrame(
         {
             "event_id": range(n),
-            "ts": range(n),
+            "ts": ts,
             "user_id": rng.integers(0, 5, n),
             "value": vals,
         }
