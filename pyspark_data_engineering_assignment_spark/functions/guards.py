@@ -25,6 +25,41 @@ def can_hold_nan(dtype: DataType) -> bool:
     return isinstance(dtype, (FloatType, DoubleType))
 
 
+def _dtype_of(df: DataFrame, col: str) -> DataType:
+    """Resolve ``col``'s dataType the way Spark's analyzer would:
+    exact match first, then case-insensitive (spark.sql.caseSensitive
+    defaults to false, so F.col('Value') legally targets a 'value'
+    field - StructType.__getitem__ alone would raise KeyError)."""
+    try:
+        return df.schema[col].dataType
+    except KeyError:
+        low = col.lower()
+        for f in df.schema.fields:
+            if f.name.lower() == low:
+                return f.dataType
+        raise
+
+
+def valid_vector(col) -> Column:
+    """The three-arm embedding validity filter, centralized: the vector
+    is non-NULL, holds no NaN element, and holds no NULL element.
+
+    The third arm is load-bearing and easy to forget: ``F.exists(vec,
+    isnan)`` IGNORES null elements (measured round 9 - isnan(NULL) is
+    NULL and exists treats it as false), so a NULL-holed vector slips
+    past the isnan arm into training/candidacy/standardization, where
+    its NULL distances sort nulls-first in Spark but nulls-last in
+    DuckDB. Round 9 had to add that arm at six call sites; new vector
+    operators should take the whole guard from here.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.isNotNull()
+        & ~F.exists(c, F.isnan)
+        & ~F.exists(c, lambda x: x.isNull())
+    )
+
+
 def not_nan(df: DataFrame, col: str) -> Column:
     """``True`` when ``df[col]`` is not NaN.
 
@@ -32,6 +67,6 @@ def not_nan(df: DataFrame, col: str) -> Column:
     DATE - cannot even be cast to DOUBLE) this is a literal True, so
     composing it into a filter is always analysis-safe and free.
     """
-    if can_hold_nan(df.schema[col].dataType):
+    if can_hold_nan(_dtype_of(df, col)):
         return ~F.isnan(F.col(col))
     return F.lit(True)

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_data_engineering_assignment_spark.functions.guards import valid_vector
+
 SCALE = 1_000_000
 
 
@@ -75,11 +77,7 @@ def kmeans_fixedpoint(
     # centroid (sorting FIRST under Spark's nulls-first asc vs LAST in
     # DuckDB) and poison centroid dimension sums. Same exclusion as
     # _det_base.
-    v = df.filter(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), F.isnan)
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-    ).select(
+    v = df.filter(valid_vector(vec_col)).select(
         F.col(id_col).alias("vid"), _fixpoint(F.col(vec_col)).alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -198,11 +196,7 @@ def _det_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # take NULL distances with engine-divergent NULL ordering. Exclude
     # all three up front rather than letting them ride the window with
     # arbitrary rank.
-    return df.filter(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), F.isnan)
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-    ).select(
+    return df.filter(valid_vector(vec_col)).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _fixpoint(F.col(vec_col)).alias("v"),

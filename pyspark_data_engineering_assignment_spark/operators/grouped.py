@@ -23,6 +23,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pyspark_data_engineering_assignment_spark.functions.guards import valid_vector
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -88,11 +90,7 @@ def standardize_embeddings_by_label(
         # the extra arm: F.exists ignores NULL elements (measured), so a
         # NULL-holed vector would slip into the pandas batch as an
         # object-dtype column and poison the group's mean/std
-        .filter(
-            F.col(vec_col).isNotNull()
-            & ~F.exists(F.col(vec_col), F.isnan)
-            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-        )
+        .filter(valid_vector(vec_col))
         .groupBy(label_col)
         .applyInPandas(
             standardize, schema=_standardized_schema(embeddings, id_col, label_col)

@@ -29,6 +29,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_data_engineering_assignment_spark.functions.guards import valid_vector
+
 from pyspark_data_engineering_assignment_spark.functions.vectors import (
     dot,
     l2_norm,
@@ -134,11 +136,7 @@ def int8_topk(
     # NULL elements get the same pre-join exclusion: F.exists ignores
     # them (measured), and a NULL-holed vector quantizes to NULL-holed
     # codes whose NULL dot would ride to the rank window as a NULL cos.
-    _clean = lambda col: (  # noqa: E731
-        F.col(col).isNotNull()
-        & ~F.exists(F.col(col), F.isnan)
-        & ~F.exists(F.col(col), lambda x: x.isNull())
-    )
+    _clean = valid_vector
     q = _codes(
         queries.filter(_clean(vec_col)), "query_id", "qv"
     ).withColumn("qq2", dot(F.col("qv"), F.col("qv")))

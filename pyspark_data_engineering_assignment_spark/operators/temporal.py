@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark_data_engineering_assignment_spark.functions.guards import can_hold_nan, not_nan
+from pyspark_data_engineering_assignment_spark.functions.guards import not_nan
 
 
 def as_of_join(
@@ -107,13 +107,12 @@ def as_of_join(
     # carry the key's LATEST value forward into itself - but a row
     # with no orderable timestamp has no as-of match, exactly like
     # the NULL-ts left rows (which stay NULL because the window
-    # ordering puts them FIRST, before any right row). Type-dispatched:
-    # the guard only exists when _t is a float type (see right_valid).
-    t_guard = not_nan(out, "_t") if can_hold_nan(out.schema["_t"].dataType) else None
+    # ordering puts them FIRST, before any right row). not_nan is
+    # type-dispatched: for non-float _t it returns lit(True), which
+    # Catalyst folds the CASE WHEN away entirely.
     for c in right_cols:
-        carried = F.last(c, ignorenulls=True).over(w)
         out = out.withColumn(
-            c, F.when(t_guard, carried) if t_guard is not None else carried
+            c, F.when(not_nan(out, "_t"), F.last(c, ignorenulls=True).over(w))
         )
     return (
         out.filter(F.col("_side") == 0)

@@ -148,9 +148,12 @@ def ewma_by_key(
     # Spark's struct array_sort and DuckDB's list(... ORDER BY) place
     # NULL keys at OPPOSITE ends, so the engines would fold the same
     # values in different orders and diverge (round-9 corrupt-events
-    # parity finding). No position, no observation.
+    # parity finding). No position, no observation. NaN order keys get
+    # the same exclusion (type-dispatched): the streaming twin's pandas
+    # dropna removes them, and a NaN would sort last here but first
+    # in... nowhere consistent - corrupt keys carry no fold position.
     for c in order_cols:
-        df = df.filter(F.col(c).isNotNull())
+        df = df.filter(F.col(c).isNotNull() & not_nan(df, c))
     seq = F.array_sort(
         F.collect_list(
             F.struct(

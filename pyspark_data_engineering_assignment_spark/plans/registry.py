@@ -699,19 +699,25 @@ def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_props_json",
     """
-    SELECT CAST(json_extract(kj, '$.k') AS BIGINT) AS k_value,
+    SELECT k_value,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users
     FROM (SELECT user_id,
-                 -- json_valid guard: DuckDB's json_extract THROWS on
-                 -- malformed JSON where Spark's get_json_object /
-                 -- try_parse_json return NULL (round-9 corrupt-events
-                 -- parity finding) - one bad props string must not
-                 -- kill the oracle
-                 CASE WHEN props IS NOT NULL AND json_valid(props)
-                      THEN props END AS kj
-          FROM events)
-    WHERE json_extract(kj, '$.k') IS NOT NULL
+                 -- mirrors Spark's try_cast(string -> long): ONLY an
+                 -- integer literal casts (DuckDB's TRY_CAST would
+                 -- ROUND '2.9' to 3 and plain CAST would THROW on
+                 -- 'abc' / out-of-range - round-9 review findings);
+                 -- json_valid guards malformed JSON, which THROWS in
+                 -- DuckDB's json functions but nulls in Spark
+                 CASE WHEN trim(js) SIMILAR TO '[+-]?[0-9]+'
+                      THEN TRY_CAST(trim(js) AS BIGINT) END AS k_value
+          FROM (SELECT user_id,
+                       json_extract_string(
+                           CASE WHEN props IS NOT NULL
+                                 AND json_valid(props)
+                                THEN props END, '$.k') AS js
+                FROM events))
+    WHERE k_value IS NOT NULL
     GROUP BY 1
     """,
     doc="Semi-structured column handling: JSON path extraction from the "
@@ -721,7 +727,9 @@ def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # try_cast: the plain cast throws under ANSI when k is valid JSON
+    # but not an integer ('abc', 2.9) - one such row killed the query
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         e.select(k.alias("k_value"), "user_id")
         .filter(F.col("k_value").isNotNull())
@@ -1593,7 +1601,7 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
                        (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_value
     FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
-      AND ts IS NOT NULL
+      AND ts IS NOT NULL AND event_id IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -2319,19 +2327,25 @@ def user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plans' results must agree exactly. Driver-window neutral "
     "(local_oracle).",
     local_oracle="""
-    SELECT CAST(json_extract(kj, '$.k') AS BIGINT) AS k_value,
+    SELECT k_value,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users
     FROM (SELECT user_id,
-                 -- json_valid guard: DuckDB's json_extract THROWS on
-                 -- malformed JSON where Spark's get_json_object /
-                 -- try_parse_json return NULL (round-9 corrupt-events
-                 -- parity finding) - one bad props string must not
-                 -- kill the oracle
-                 CASE WHEN props IS NOT NULL AND json_valid(props)
-                      THEN props END AS kj
-          FROM events)
-    WHERE json_extract(kj, '$.k') IS NOT NULL
+                 -- mirrors Spark's try_cast(string -> long): ONLY an
+                 -- integer literal casts (DuckDB's TRY_CAST would
+                 -- ROUND '2.9' to 3 and plain CAST would THROW on
+                 -- 'abc' / out-of-range - round-9 review findings);
+                 -- json_valid guards malformed JSON, which THROWS in
+                 -- DuckDB's json functions but nulls in Spark
+                 CASE WHEN trim(js) SIMILAR TO '[+-]?[0-9]+'
+                      THEN TRY_CAST(trim(js) AS BIGINT) END AS k_value
+          FROM (SELECT user_id,
+                       json_extract_string(
+                           CASE WHEN props IS NOT NULL
+                                 AND json_valid(props)
+                                THEN props END, '$.k') AS js
+                FROM events))
+    WHERE k_value IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -2339,8 +2353,14 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     # try_parse_json: plain parse_json THROWS on malformed JSON - one
     # bad props string killed the whole query (round-9 corrupt-events
-    # parity finding); try_parse_json yields NULL variant instead
-    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
+    # parity finding); try_parse_json yields NULL variant instead.
+    # Extract as STRING then try_cast: the typed 'long' extraction
+    # coerces 2.9 -> 2 and true -> 1, silently diverging from
+    # events_props_json (whose results this query contractually
+    # equals) and from any SQL oracle.
+    k = F.try_variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "string"
+    ).try_cast("long")
     return (
         e.select(k.alias("k_value"), "user_id")
         .filter(F.col("k_value").isNotNull())

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_data_engineering_assignment_spark.functions.guards import valid_vector
+
 from pyspark_data_engineering_assignment_spark.functions.vectors import dot, l2_norm
 from pyspark_data_engineering_assignment_spark.operators.similarity import (
     brute_force_topk,
@@ -180,11 +182,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "must not count toward a label's centroid.",
 )
 def label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists(F.col("embedding"), F.isnan)
-        & ~F.exists(F.col("embedding"), lambda x: x.isNull())
-    )
+    emb = _t(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
 
     def fixpoint(i: int):
         return F.floor(F.col("embedding")[i].cast("double") * 100000000).cast("long")
@@ -571,8 +569,10 @@ def _kmeans_train_ctes(
         -- mirrors the Spark-side corrupt-vector exclusion
         -- (clustering._det_base / kmeans_fixedpoint): NULL vectors,
         -- vectors with a NaN element, and vectors with a NULL element
-        -- train nothing and get no cell (Spark's ~exists(vec, isnan)
-        -- also rejects NULL-element vectors via three-valued logic)
+        -- train nothing and get no cell. The NULL-element arm is
+        -- separate ON BOTH SIDES: Spark's exists(vec, isnan) IGNORES
+        -- null elements (measured round 9), so the isnan arm alone
+        -- would let a NULL-holed vector through
         SELECT vec_id AS vid, embedding,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
@@ -900,13 +900,9 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         int8_scale,
     )
 
-    emb = _ts(spark, sf_dir, "embeddings").filter(
-        # corrupt vectors out (mirrors the oracle's WHERE): a NaN error
-        # term would fix-point to 0 and silently understate the report
-        F.col("embedding").isNotNull()
-        & ~F.exists(F.col("embedding"), F.isnan)
-        & ~F.exists(F.col("embedding"), lambda x: x.isNull())
-    )
+    # corrupt vectors out (mirrors the oracle's WHERE): a NaN error
+    # term would fix-point to 0 and silently understate the report
+    emb = _ts(spark, sf_dir, "embeddings").filter(valid_vector("embedding"))
     # Materialize scale as a column FIRST: referenced inside the
     # per-element lambda it would otherwise re-derive the array_max
     # subtree per element (O(d^2) work per row).

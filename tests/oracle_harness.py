@@ -95,3 +95,48 @@ def compare_query(spark, con, fn, oracle: str, sf_dir: str) -> tuple[bool, str]:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
         return False, f"values differ; first diffs: {diffs}"
     return True, f"ok ({len(spark_rows)} rows)"
+
+
+def oracle_queries_reading_only(tables: frozenset | set) -> list[str]:
+    """Names of oracle-bearing registry queries whose SQL reads ONLY
+    the given driver tables - shared by the per-table corrupt-corpus
+    parity gates (boundary pins, documents, events, TPC-H star) so the
+    FROM/JOIN discovery scan and the known-table set have one
+    definition instead of four drifting copies."""
+    import re
+
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    known = frozenset(TABLES)
+    want = frozenset(tables)
+    out = []
+    for n, s in QUERIES.items():
+        sql = s.oracle or s.local_oracle
+        if not sql:
+            continue
+        tabs = (
+            set(re.findall(r"FROM\s+([a-z_]+)", sql))
+            | set(re.findall(r"JOIN\s+([a-z_]+)", sql))
+        ) & known
+        if tabs and tabs <= want:
+            out.append(n)
+    return out
+
+
+def run_parity_gate(spark, con, names: list[str], sf_dir: str) -> list[tuple[str, str]]:
+    """Run each named registry query through compare_query, collecting
+    (name, message) for every failure or crash - the shared body of the
+    corrupt-corpus gates."""
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    fails = []
+    for name in names:
+        spec = QUERIES[name]
+        sql = spec.oracle or spec.local_oracle
+        try:
+            ok, msg = compare_query(spark, con, spec.fn, sql, sf_dir)
+        except Exception as ex:  # noqa: BLE001 - collect, report all
+            ok, msg = False, f"{type(ex).__name__}: {ex}"
+        if not ok:
+            fails.append((name, msg[:300]))
+    return fails

@@ -33,8 +33,7 @@ import datetime as dt
 import duckdb
 import pytest
 
-from pyspark_data_engineering_assignment_spark.plans import QUERIES
-from tests.oracle_harness import compare_query
+from tests.oracle_harness import oracle_queries_reading_only, run_parity_gate
 
 T = dt.datetime  # base day: Monday 2024-01-15 (an exact week boundary)
 
@@ -120,44 +119,17 @@ def boundary_sf(tmp_path_factory):
     return str(sf)
 
 
-def _events_only_oracle_queries():
-    import re
-
-    known = {
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    }
-    out = []
-    for n, s in QUERIES.items():
-        sql = s.oracle or s.local_oracle
-        if not sql:
-            continue
-        tabs = set(re.findall(r"FROM\s+([a-z_]+)", sql)) | set(
-            re.findall(r"JOIN\s+([a-z_]+)", sql)
-        )
-        if (tabs & known) == {"events"}:
-            out.append(n)
-    return out
 
 
 def test_every_events_oracle_agrees_on_boundary_collisions(spark, boundary_sf):
-    names = _events_only_oracle_queries()
+    names = oracle_queries_reading_only({"events"})
     assert len(names) >= 35, f"query discovery collapsed: {names}"
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{boundary_sf}/events.parquet'"
     )
     try:
-        fails = []
-        for name in names:
-            spec = QUERIES[name]
-            sql = spec.oracle or spec.local_oracle
-            try:
-                ok, msg = compare_query(spark, con, spec.fn, sql, boundary_sf)
-            except Exception as ex:  # noqa: BLE001 - collect, report all
-                ok, msg = False, f"{type(ex).__name__}: {ex}"
-            if not ok:
-                fails.append((name, msg[:300]))
+        fails = run_parity_gate(spark, con, names, boundary_sf)
         assert not fails, "boundary-convention drift:\n" + "\n".join(
             f"  {n}: {m}" for n, m in fails
         )

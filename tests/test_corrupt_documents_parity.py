@@ -17,8 +17,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from pyspark_data_engineering_assignment_spark.plans import QUERIES
-from tests.oracle_harness import compare_query
+from tests.oracle_harness import oracle_queries_reading_only, run_parity_gate
 
 SF = "/root/testdata/sf0.001"
 
@@ -76,30 +75,12 @@ def corrupt_docs_sf(tmp_path_factory):
     return str(sf)
 
 
-def _documents_only_oracle_queries():
-    import re
-
-    known = {
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    }
-    out = []
-    for n, s in QUERIES.items():
-        sql = s.oracle or s.local_oracle
-        if not sql:
-            continue
-        tabs = set(re.findall(r"FROM\s+([a-z_]+)", sql)) | set(
-            re.findall(r"JOIN\s+([a-z_]+)", sql)
-        )
-        if (tabs & known) == {"documents"}:
-            out.append(n)
-    return out
 
 
 def test_every_documents_oracle_agrees_on_corrupt_corpus(
     spark, corrupt_docs_sf
 ):
-    names = _documents_only_oracle_queries()
+    names = oracle_queries_reading_only({"documents"})
     assert len(names) >= 30, f"query discovery collapsed: {names}"
     con = duckdb.connect()
     con.execute(
@@ -107,18 +88,7 @@ def test_every_documents_oracle_agrees_on_corrupt_corpus(
         f"'{corrupt_docs_sf}/documents.parquet'"
     )
     try:
-        fails = []
-        for name in names:
-            spec = QUERIES[name]
-            sql = spec.oracle or spec.local_oracle
-            try:
-                ok, msg = compare_query(
-                    spark, con, spec.fn, sql, corrupt_docs_sf
-                )
-            except Exception as ex:  # noqa: BLE001 - collect, report all
-                ok, msg = False, f"{type(ex).__name__}: {ex}"
-            if not ok:
-                fails.append((name, msg[:300]))
+        fails = run_parity_gate(spark, con, names, corrupt_docs_sf)
         assert not fails, "corrupt-documents oracle drift:\n" + "\n".join(
             f"  {n}: {m}" for n, m in fails
         )

@@ -25,8 +25,7 @@ import datetime as dt
 import duckdb
 import pytest
 
-from pyspark_data_engineering_assignment_spark.plans import QUERIES
-from tests.oracle_harness import compare_query
+from tests.oracle_harness import oracle_queries_reading_only, run_parity_gate
 
 SF = "/root/testdata/sf0.001"
 T = dt.datetime
@@ -63,7 +62,31 @@ def corrupt_events_sf(tmp_path_factory):
         e(nxt + 10, base.replace(hour=19), 6, "view", 14.0,
           props="{not json"),
         e(nxt + 11, base.replace(hour=20), 6, "view", 15.0, props=""),
+        # valid JSON whose k is not a long (round-9 review: plain
+        # CAST(... AS BIGINT) threw in DuckDB; typed variant_get
+        # coerced 2.9->2 and true->1 where the json path nulls)
+        e(nxt + 12, base.replace(hour=21), 6, "view", 1.0,
+          props='{"k": "7"}'),
+        e(nxt + 13, base.replace(hour=21, minute=5), 6, "view", 1.0,
+          props='{"k": "abc"}'),
+        e(nxt + 14, base.replace(hour=21, minute=10), 6, "view", 1.0,
+          props='{"k": 2.9}'),
+        e(nxt + 15, base.replace(hour=21, minute=15), 6, "view", 1.0,
+          props='{"k": true}'),
+        e(nxt + 16, base.replace(hour=21, minute=20), 6, "view", 1.0,
+          props='{"k": null}'),
+        e(nxt + 17, base.replace(hour=21, minute=25), 6, "view", 1.0,
+          props='{"k": 99999999999999999999999}'),
+        e(nxt + 18, base.replace(hour=21, minute=30), 6, "view", 1.0,
+          props="{}"),
     ]
+    # NULL event_id: an order TIE-BREAK key with no value - the fold/
+    # window exclusion must treat it exactly like a NULL ts on both
+    # sides (round-9 review: user_value_ewma's oracle only filtered ts)
+    rows.append(
+        dict(event_id=None, ts=base.replace(hour=22), user_id=7,
+             event_type="view", value=3.25, props='{"k": 1}')
+    )
     sf = tmp_path_factory.mktemp("corrupt_events_sf")
     pq.write_table(
         pa.Table.from_pylist(rows, schema=src.schema),
@@ -72,30 +95,10 @@ def corrupt_events_sf(tmp_path_factory):
     return str(sf)
 
 
-def _events_only_oracle_queries():
-    import re
-
-    known = {
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    }
-    out = []
-    for n, s in QUERIES.items():
-        sql = s.oracle or s.local_oracle
-        if not sql:
-            continue
-        tabs = set(re.findall(r"FROM\s+([a-z_]+)", sql)) | set(
-            re.findall(r"JOIN\s+([a-z_]+)", sql)
-        )
-        if (tabs & known) == {"events"}:
-            out.append(n)
-    return out
-
-
 def test_every_events_oracle_agrees_on_corrupt_events(
     spark, corrupt_events_sf
 ):
-    names = _events_only_oracle_queries()
+    names = oracle_queries_reading_only({"events"})
     assert len(names) >= 35, f"query discovery collapsed: {names}"
     con = duckdb.connect()
     con.execute(
@@ -103,18 +106,7 @@ def test_every_events_oracle_agrees_on_corrupt_events(
         f"'{corrupt_events_sf}/events.parquet'"
     )
     try:
-        fails = []
-        for name in names:
-            spec = QUERIES[name]
-            sql = spec.oracle or spec.local_oracle
-            try:
-                ok, msg = compare_query(
-                    spark, con, spec.fn, sql, corrupt_events_sf
-                )
-            except Exception as ex:  # noqa: BLE001 - collect, report all
-                ok, msg = False, f"{type(ex).__name__}: {ex}"
-            if not ok:
-                fails.append((name, msg[:300]))
+        fails = run_parity_gate(spark, con, names, corrupt_events_sf)
         assert not fails, "corrupt-events oracle drift:\n" + "\n".join(
             f"  {n}: {m}" for n, m in fails
         )

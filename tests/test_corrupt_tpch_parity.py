@@ -17,8 +17,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from pyspark_data_engineering_assignment_spark.plans import QUERIES
-from tests.oracle_harness import compare_query
+from tests.oracle_harness import oracle_queries_reading_only, run_parity_gate
 
 SF = "/root/testdata/sf0.001"
 TPCH = {"region", "nation", "customer", "supplier", "part", "orders",
@@ -152,24 +151,10 @@ def corrupt_tpch_sf(tmp_path_factory):
     return str(sf)
 
 
-def _tpch_only_oracle_queries():
-    import re
-
-    known = TPCH | {"events", "documents", "embeddings"}
-    out = []
-    for n, s in QUERIES.items():
-        sql = s.oracle or s.local_oracle
-        if not sql:
-            continue
-        tabs = (set(re.findall(r"FROM\s+([a-z_]+)", sql))
-                | set(re.findall(r"JOIN\s+([a-z_]+)", sql))) & known
-        if tabs and tabs <= TPCH:
-            out.append(n)
-    return out
 
 
 def test_every_tpch_oracle_agrees_on_corrupt_star(spark, corrupt_tpch_sf):
-    names = _tpch_only_oracle_queries()
+    names = oracle_queries_reading_only(TPCH)
     assert len(names) >= 25, f"query discovery collapsed: {names}"
     con = duckdb.connect()
     for t in TPCH:
@@ -178,18 +163,7 @@ def test_every_tpch_oracle_agrees_on_corrupt_star(spark, corrupt_tpch_sf):
             f"'{corrupt_tpch_sf}/{t}.parquet'"
         )
     try:
-        fails = []
-        for name in names:
-            spec = QUERIES[name]
-            sql = spec.oracle or spec.local_oracle
-            try:
-                ok, msg = compare_query(
-                    spark, con, spec.fn, sql, corrupt_tpch_sf
-                )
-            except Exception as ex:  # noqa: BLE001 - collect, report all
-                ok, msg = False, f"{type(ex).__name__}: {ex}"
-            if not ok:
-                fails.append((name, msg[:300]))
+        fails = run_parity_gate(spark, con, names, corrupt_tpch_sf)
         assert not fails, "corrupt-TPC-H oracle drift:\n" + "\n".join(
             f"  {n}: {m}" for n, m in fails
         )
