@@ -65,6 +65,15 @@ def standardize_embeddings_by_label(
     """
 
     def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id FIRST: numpy's pairwise mean/std sums depend on row
+        # order, and the group's arrival order depends on the shuffle -
+        # without the sort the standardized floats differed in the last
+        # ulp between runs/partitionings, which is why this operator
+        # could only carry a rows-only check. Sorted, the output is a
+        # pure function of the group's CONTENT (pinned by the
+        # partitioning-invariance test), even though the float stats
+        # remain unreplayable in SQL.
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
         mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
         mu = mat.mean(axis=0)
         sd = mat.std(axis=0)

@@ -120,3 +120,29 @@ def test_conversion_lag_cogroup_same_source(spark):
     assert len(got) == 1
     assert got[0]["n_attributed"] == 1
     assert got[0]["median_lag_seconds"] == 1800.0
+
+
+def test_standardization_invariant_to_partitioning(spark):
+    """Round-9 upgrade of the weakest rows-only query: numpy's pairwise
+    mean/std sums depend on row order, and a pandas group's arrival
+    order depends on the shuffle - so label_standardized_embeddings
+    could differ in the last ulp between partitionings. The UDF now
+    sorts by id first, making the output a bit-exact pure function of
+    the group's content regardless of how the input was partitioned."""
+    from pyspark_data_engineering_assignment_spark.operators.grouped import (
+        standardize_embeddings_by_label,
+    )
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def run(df):
+        return sorted(
+            (r["vec_id"], tuple(r["embedding_std"]))
+            for r in standardize_embeddings_by_label(df).collect()
+        )
+
+    a = run(emb.repartition(3, "vec_id"))
+    b = run(emb.repartition(17, "label"))
+    c = run(emb.coalesce(1))
+    assert a == b == c, "standardization depends on partitioning"
