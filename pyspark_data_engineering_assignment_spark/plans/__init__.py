@@ -33,45 +33,43 @@ from pyspark_data_engineering_assignment_spark.plans import vector_queries  # no
 # Never-sampled remaining after r8: exactly 32 (computed against
 # CORRECTNESS_r01-r07 + the r8 window). Plan, so rounds 9-10 are
 # mechanical (demote that round's proven promotions, promote these):
-#  * round 9 (16) - EXECUTED below this round: simhash_neardup_scaled,
-#    embedding_neardup_scaled, ann_ivf_probe_topk,
-#    doc_prefix_editdist_pairs, doc_unigram_surprisal,
-#    doc_split_leakage_safe, events_quality_report,
-#    events_props_variant, user_event_setops,
+#  * round 9 (16) - EXECUTED, all 16 green in CORRECTNESS_r09:
+#    simhash_neardup_scaled, embedding_neardup_scaled,
+#    ann_ivf_probe_topk, doc_prefix_editdist_pairs,
+#    doc_unigram_surprisal, doc_split_leakage_safe,
+#    events_quality_report, events_props_variant, user_event_setops,
 #    purchase_attribution_linear, value_histogram, value_drift_bins,
 #    user_top_spend_days_ties, doc_repetition_stats,
 #    media_frame_sample, events_zorder_keys
-#  * round 10 (16): activity_dow_hour_heatmap, chunk_dedup_stats,
-#    corpus_mix_weights, customer_order_distribution,
-#    doc_chunk_overlap, doc_length_batching, doc_stratified_take,
-#    event_burst_compaction, null_safe_category_join,
-#    priority_order_counts_sql, returnflag_melt_roundtrip,
-#    top_revenue_suppliers, user_moving_spend, user_spend_anomalies,
-#    value_decile_profile, value_hour_regression_stats
+#  * round 10 (16) - EXECUTED below this round; after it, EVERY
+#    oracle-bearing query in the registry has had at least one
+#    driver-checked round (cumulative keys r1-r10 = the full
+#    oracle-bearing pool) and the rotation RETIRES: the window
+#    should stay stable from round 11 on unless a new query is added.
 # All 32 already pass driver-style canonicalization at sf0.01
 # (tools/driver_gate_sim.py --include-local validates the whole
 # local-oracle pool; run it before each promotion).
 _PROMOTE = [
-    # round 9: the 16 never-driver-sampled queries pre-listed above
-    # (the 16 proven r8 promotions revert to their registered
-    # local_oracle state by dropping out of this list - CORRECTNESS_r08
-    # shows all of them green)
-    "simhash_neardup_scaled",
-    "embedding_neardup_scaled",
-    "ann_ivf_probe_topk",
-    "doc_prefix_editdist_pairs",
-    "doc_unigram_surprisal",
-    "doc_split_leakage_safe",
-    "events_quality_report",
-    "events_props_variant",
-    "user_event_setops",
-    "purchase_attribution_linear",
-    "value_histogram",
-    "value_drift_bins",
-    "user_top_spend_days_ties",
-    "doc_repetition_stats",
-    "media_frame_sample",
-    "events_zorder_keys",
+    # round 10: the final 16 never-driver-sampled queries (the 16
+    # proven r9 promotions revert to their registered local_oracle
+    # state by dropping out of this list - CORRECTNESS_r09 shows all
+    # of them green)
+    "activity_dow_hour_heatmap",
+    "chunk_dedup_stats",
+    "corpus_mix_weights",
+    "customer_order_distribution",
+    "doc_chunk_overlap",
+    "doc_length_batching",
+    "doc_stratified_take",
+    "event_burst_compaction",
+    "null_safe_category_join",
+    "priority_order_counts_sql",
+    "returnflag_melt_roundtrip",
+    "top_revenue_suppliers",
+    "user_moving_spend",
+    "user_spend_anomalies",
+    "value_decile_profile",
+    "value_hour_regression_stats",
 ]
 _DEMOTE = [
     # round 7 demotions (stay local)

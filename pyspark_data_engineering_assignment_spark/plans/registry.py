@@ -618,9 +618,17 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "purchase_asof_click",
     """
     WITH clicks AS (
+        -- a click with no ts has no as-of position (Spark's window
+        -- carry-forward would treat nulls-first as before-everything
+        -- while ASOF's ts >= NULL never matches), and a NULL event_id
+        -- breaks the max_by tie-dedup differently per engine - both
+        -- excluded (round-10 corrupt-events probe)
         SELECT user_id, ts, max(event_id) AS click_id,
                max_by(value, event_id) AS click_value
-        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
+          AND event_id IS NOT NULL
+        GROUP BY 1, 2
     ),
     purchases AS (
         SELECT event_id, user_id, value
@@ -645,7 +653,13 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     clicks = (
-        e.filter(F.col("event_type") == "click")
+        # mirror of the oracle's clicks CTE: no ts -> no as-of position,
+        # no event_id -> no deterministic tie-dedup (round-10 probe)
+        e.filter(
+            (F.col("event_type") == "click")
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
         .groupBy("user_id", "ts")
         .agg(
             F.max("event_id").alias("click_id"),
@@ -1170,7 +1184,7 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            row_number() OVER w AS event_seq
     FROM (SELECT event_id, user_id, ts,
                  CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-          FROM events WHERE ts IS NOT NULL)
+          FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
@@ -1180,9 +1194,13 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic keeps the running sum exact and hash-stable.",
 )
 def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL-ts rows have no place on the running timeline (engine NULL
-    # ordering diverges: Spark sorts them first, DuckDB last)
-    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # a row missing EITHER placement key has no position on the running
+    # timeline: Spark sorts NULLs first, DuckDB last, so a NULL ts (or
+    # a NULL event_id at a timestamp tie) silently reorders the
+    # cumulative sums (round-10 corrupt-events tie probe)
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     w = (
         Window.partitionBy("user_id")
@@ -1676,16 +1694,19 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_type,
                  lag(event_type) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_type
-          FROM events WHERE ts IS NOT NULL)
+          FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
     WHERE prev_type IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL-ts rows have no position in the per-user order (and Spark's
-    # nulls-first vs DuckDB's nulls-last would silently disagree on
-    # which transition they form) - no timestamp, no transition.
-    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # a row missing either placement key has no position in the
+    # per-user order (Spark's nulls-first vs DuckDB's nulls-last would
+    # silently disagree on which transition it forms - a NULL event_id
+    # at a timestamp tie reorders the pair multiset, round-10 probe).
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.withColumn("prev_type", F.lag("event_type").over(w))
@@ -1714,15 +1735,18 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS moving_spend_cents
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
     """,
 )
 def user_moving_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standard guarded cents form: round(value*100).cast(long) threw
     # CAST_OVERFLOW on one NaN under ANSI (round-9 corrupt-events
-    # parity finding); try_cast skips corrupt money. NULL-ts rows have
-    # no frame position (engine NULL ordering diverges).
-    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # parity finding); try_cast skips corrupt money. A row missing
+    # either placement key has no frame position (engine NULL ordering
+    # diverges at ties - round-10 corrupt-events tie probe).
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1973,11 +1997,17 @@ def user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running frame aggregates. Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH c AS (
+        -- cents must be NON-NULL, not merely value IS NOT NULL: a
+        -- NaN/1e308 value survives IS NOT NULL but try_casts to NULL
+        -- cents, and inside the frame count(*) would count it while
+        -- sum() skips it - the exact frame lie this query's skip rule
+        -- exists to prevent (round-10 promotion probe)
         SELECT event_id, user_id, ts,
                CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
         WHERE ts IS NOT NULL AND event_id IS NOT NULL
-          AND value IS NOT NULL
+          AND TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                       AS DECIMAL(18,2)) IS NOT NULL
     ),
     w AS (
         SELECT event_id, user_id, cents,
@@ -2000,11 +2030,12 @@ def user_spend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corrupt observations (no cents value, or unplaceable in the
     # (ts, event_id) order) are skipped BEFORE the window - otherwise
     # count(*) counts them while sum() skips them and the z-test frame
-    # silently lies; mirrors the streaming twin's skip exactly
+    # silently lies; mirrors the streaming twin's skip exactly. The
+    # skip must test the derived CENTS, not value IS NOT NULL: NaN and
+    # 1e308 survive IS NOT NULL but try_cast to NULL cents (round-10
+    # promotion probe).
     e = _t(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull()
-        & F.col("event_id").isNotNull()
-        & F.col("value").isNotNull()
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
     )
     cents = (F.col("value").try_cast(DEC) * 100).cast("long")
     win = (
@@ -2012,7 +2043,9 @@ def user_spend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-10, -1)
     )
-    w = e.select("event_id", "user_id", "ts", cents.alias("cents")).select(
+    w = e.select("event_id", "user_id", "ts", cents.alias("cents")).filter(
+        F.col("cents").isNotNull()
+    ).select(
         "event_id",
         "user_id",
         "cents",
@@ -2534,7 +2567,7 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, ts, event_type,
                lag(event_type) OVER w AS prev_type
-        FROM events WHERE ts IS NOT NULL
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
@@ -2551,9 +2584,13 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # a change event with no timestamp cannot anchor a validity
-    # interval - NULL-ts rows are excluded on both sides
-    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # a change event missing a placement key cannot anchor a validity
+    # interval: NULL ts has no timeline position, and a NULL event_id
+    # at a timestamp tie makes the change-point detection depend on
+    # engine NULL ordering (round-10 probe) - excluded on both sides
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.select(
@@ -2890,10 +2927,18 @@ def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH c AS (
+        -- an observation missing EITHER coordinate must leave ALL the
+        -- moments, not just the sums it is NULL in: count(*) counting
+        -- a row that sum(x)/sum(xy) skip makes n inconsistent with the
+        -- sums and silently biases the derived slope/intercept/r
+        -- (round-10 promotion probe)
         SELECT event_type,
                CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
                CAST(hour(ts) AS BIGINT) AS y
         FROM events
+        WHERE ts IS NOT NULL
+          AND TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                       AS DECIMAL(18,2)) IS NOT NULL
     )
     SELECT event_type, count(*) AS n,
            CAST(sum(x) AS BIGINT) AS sum_x,
@@ -2905,10 +2950,16 @@ def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def value_hour_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a corrupt observation (no cents, or no timestamp -> no hour) must
+    # leave ALL the moments: n counting rows the sums skip biases the
+    # driver-side slope/intercept/r derivation (round-10 probe). The
+    # filter is on the derived coordinates, mirroring the oracle CTE.
     e = _t(spark, sf_dir, "events")
     x = (F.col("value").try_cast(DEC) * 100).cast("long")
     y = F.hour("ts").cast("long")
-    c = e.select("event_type", x.alias("x"), y.alias("y"))
+    c = e.select("event_type", x.alias("x"), y.alias("y")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
     return c.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").cast("long").alias("sum_x"),
@@ -3255,7 +3306,7 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id,
                CASE WHEN event_type = 'error' THEN -1 ELSE 1 END
                * CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta
-        FROM events
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
     ),
     c1 AS (
         SELECT user_id, ts, event_id, sum(delta) OVER w AS bal
@@ -3276,7 +3327,13 @@ def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_spend_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    # a row missing either placement key has no position on the balance
+    # timeline; the round-10 probe showed a NULL-ts row lands at
+    # OPPOSITE ends of the cumulative order in Spark (nulls first) vs
+    # DuckDB (nulls last), shifting peak and drawdown
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     delta = (
         F.when(F.col("event_type") == "error", -1).otherwise(1)
         * (F.col("value").try_cast(DEC) * 100).cast("long")

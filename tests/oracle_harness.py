@@ -97,27 +97,37 @@ def compare_query(spark, con, fn, oracle: str, sf_dir: str) -> tuple[bool, str]:
     return True, f"ok ({len(spark_rows)} rows)"
 
 
+def oracle_tables_of(sql: str) -> frozenset:
+    """Known driver tables an oracle's SQL reads, discovered by a
+    case-insensitive FROM/JOIN scan (an oracle written with lowercase
+    ``from`` or odd spacing must not silently drop out of the corrupt
+    gates). ``test_oracle_conventions.py`` pins that this returns a
+    non-empty set for EVERY oracle-bearing registry query, so a query
+    that discovery cannot see fails loudly instead of being skipped."""
+    import re
+
+    known = frozenset(TABLES)
+    found = re.findall(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", sql, re.IGNORECASE
+    )
+    return frozenset(t.lower() for t in found) & known
+
+
 def oracle_queries_reading_only(tables: frozenset | set) -> list[str]:
     """Names of oracle-bearing registry queries whose SQL reads ONLY
     the given driver tables - shared by the per-table corrupt-corpus
     parity gates (boundary pins, documents, events, TPC-H star) so the
     FROM/JOIN discovery scan and the known-table set have one
     definition instead of four drifting copies."""
-    import re
-
     from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
-    known = frozenset(TABLES)
     want = frozenset(tables)
     out = []
     for n, s in QUERIES.items():
         sql = s.oracle or s.local_oracle
         if not sql:
             continue
-        tabs = (
-            set(re.findall(r"FROM\s+([a-z_]+)", sql))
-            | set(re.findall(r"JOIN\s+([a-z_]+)", sql))
-        ) & known
+        tabs = oracle_tables_of(sql)
         if tabs and tabs <= want:
             out.append(n)
     return out

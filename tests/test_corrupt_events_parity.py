@@ -87,6 +87,30 @@ def corrupt_events_sf(tmp_path_factory):
         dict(event_id=None, ts=base.replace(hour=22), user_id=7,
              event_type="view", value=3.25, props='{"k": 1}')
     )
+    # round-10 promotion probes - the two shapes the round-9 fixture
+    # happened to miss:
+    # (a) a (user_id, ts) TIE where one row's event_id is NULL: Spark
+    #     sorts the NULL tie-break key FIRST, DuckDB LAST, so any
+    #     sequential window (running sum, lag, SCD2 change points)
+    #     that does not exclude NULL event_id diverges at the tie
+    tie = base.replace(hour=23)
+    rows += [
+        e(nxt + 20, tie, 8, "purchase", 5.0),
+        dict(event_id=None, ts=tie, user_id=8, event_type="click",
+             value=7.0, props='{"k": 1}'),
+        e(nxt + 21, tie, 8, "error", 2.0),
+        e(nxt + 22, base.replace(hour=23, minute=30), 8, "purchase", 1.0),
+    ]
+    # (b) a NULL-ts row for a user who ALSO has real-ts events: the
+    #     engines place the unplaceable row at opposite ENDS of the
+    #     (ts, event_id) order, so a cumulative balance/peak that does
+    #     not exclude NULL ts diverges (the round-9 NULL-ts row's user
+    #     had no other events - green by luck, not by design)
+    rows += [
+        e(nxt + 23, base.replace(hour=9), 4, "purchase", 100.0),
+        e(nxt + 24, base.replace(hour=10), 4, "error", 60.0),
+        e(nxt + 25, base.replace(hour=11), 4, "purchase", 3.0),
+    ]
     sf = tmp_path_factory.mktemp("corrupt_events_sf")
     pq.write_table(
         pa.Table.from_pylist(rows, schema=src.schema),

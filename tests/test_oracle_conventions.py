@@ -43,6 +43,28 @@ def test_no_oracle_casts_raw_money_columns_unguarded():
     )
 
 
+def test_every_oracle_is_visible_to_corrupt_gate_discovery():
+    """The corrupt-corpus parity gates discover their query lists via a
+    FROM/JOIN scan in ``oracle_harness.oracle_tables_of``. An oracle the
+    scan cannot see (lowercase ``from``, quoted name, odd spacing) would
+    silently drop out of EVERY gate, and the gates' count floors only
+    catch mass collapse. Pin: discovery sees at least one known driver
+    table in every oracle-bearing query's SQL."""
+    from tests.oracle_harness import oracle_tables_of
+
+    invisible = []
+    for name, spec in QUERIES.items():
+        sql = spec.oracle or spec.local_oracle
+        if not sql:
+            continue
+        if not oracle_tables_of(sql):
+            invisible.append(name)
+    assert not invisible, (
+        "oracles invisible to corrupt-gate discovery (FROM/JOIN scan "
+        f"found no known table): {invisible}"
+    )
+
+
 def test_no_spark_plan_casts_raw_money_columns_unguarded():
     """Source-level lint over the registry modules: no F.col(..).cast(DEC)
     (or the literal decimal string) on a raw input column - Spark's ANSI
