@@ -29,14 +29,22 @@ def _dtype_of(df: DataFrame, col: str) -> DataType:
     """Resolve ``col``'s dataType the way Spark's analyzer would:
     exact match first, then case-insensitive (spark.sql.caseSensitive
     defaults to false, so F.col('Value') legally targets a 'value'
-    field - StructType.__getitem__ alone would raise KeyError)."""
+    field - StructType.__getitem__ alone would raise KeyError). On a
+    schema with two fields differing only by case, the analyzer raises
+    AMBIGUOUS_REFERENCE - mirror that instead of silently guarding
+    whichever field happens to come first."""
     try:
         return df.schema[col].dataType
     except KeyError:
         low = col.lower()
-        for f in df.schema.fields:
-            if f.name.lower() == low:
-                return f.dataType
+        matches = [f for f in df.schema.fields if f.name.lower() == low]
+        if len(matches) > 1:
+            raise ValueError(
+                f"ambiguous column reference {col!r}: matches "
+                f"{[f.name for f in matches]} case-insensitively"
+            ) from None
+        if matches:
+            return matches[0].dataType
         raise
 
 

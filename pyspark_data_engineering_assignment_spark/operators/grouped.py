@@ -35,12 +35,14 @@ from pyspark.sql.types import (
 )
 
 def _standardized_schema(embeddings: DataFrame, id_col: str, label_col: str) -> StructType:
-    """Output schema mirrors the input's id/label types (label is int in
-    the driver tables, string elsewhere - don't assume)."""
+    """Output schema mirrors the input's id/label NAMES and types (label
+    is int in the driver tables, string elsewhere - don't assume; and
+    hard-coding 'vec_id'/'label' here would mismatch the pandas frame
+    the UDF builds for any non-default column names)."""
     return StructType(
         [
-            StructField("vec_id", embeddings.schema[id_col].dataType, False),
-            StructField("label", embeddings.schema[label_col].dataType, True),
+            StructField(id_col, embeddings.schema[id_col].dataType, False),
+            StructField(label_col, embeddings.schema[label_col].dataType, True),
             StructField("embedding_std", ArrayType(FloatType()), True),
         ]
     )
@@ -80,8 +82,8 @@ def standardize_embeddings_by_label(
         out = (mat - mu) / (sd + eps)
         return pd.DataFrame(
             {
-                "vec_id": pdf[id_col],
-                "label": pdf[label_col],
+                id_col: pdf[id_col],
+                label_col: pdf[label_col],
                 "embedding_std": list(out.astype(np.float32)),
             }
         )

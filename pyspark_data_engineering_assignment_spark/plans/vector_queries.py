@@ -546,6 +546,19 @@ def _ivf_index_path(
     for old in stale[:-3]:  # keep the 3 most recent besides current
         if _mtime(old) < cutoff:
             shutil.rmtree(old, ignore_errors=True)
+    # Refresh the grace window on every cache HIT: a session probing a
+    # >1h-old index never bumps its mtime by reading, so without the
+    # touch a 4th fingerprint in ANOTHER session could prune the index
+    # mid-probe (round-9 ADVICE low). Touch every dir carrying the live
+    # token - the ``_det`` variant sibling is the dir the probe query
+    # actually reads. os.utime is missing-path-tolerant like the rest
+    # of the prune machinery.
+    for d in os.listdir(scratch):
+        if d.startswith("ivf_index_") and _token(d) == fp:
+            try:
+                os.utime(os.path.join(scratch, d))
+            except OSError:
+                pass
     return current
 
 

@@ -146,3 +146,19 @@ def test_standardization_invariant_to_partitioning(spark):
     b = run(emb.repartition(17, "label"))
     c = run(emb.coalesce(1))
     assert a == b == c, "standardization depends on partitioning"
+
+
+def test_standardization_honors_custom_column_names(spark):
+    """The output schema and the pandas frame the UDF builds must both
+    use the CALLER's id/label names - hard-coded 'vec_id'/'label' keys
+    would mismatch the declared applyInPandas schema for any
+    non-default names (round-9 ADVICE low)."""
+    rows = [(i, i % 2, [float(i), float(2 * i)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket long, vec array<float>")
+    out = standardize_embeddings_by_label(
+        df, id_col="doc_id", label_col="bucket", vec_col="vec"
+    )
+    assert out.columns == ["doc_id", "bucket", "embedding_std"]
+    got = out.collect()
+    assert len(got) == 8
+    assert {r["bucket"] for r in got} == {0, 1}

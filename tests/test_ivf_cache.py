@@ -160,3 +160,24 @@ def test_prune_spares_current_det_sibling(tmp_path):
         os.utime(d, ns=((i + 1) * 1_000, (i + 1) * 1_000))
     _ivf_index_path(sf, scratch_root=str(scratch))
     assert os.path.isdir(det), "prune deleted the live _det index"
+
+
+def test_cache_hit_refreshes_grace_window(tmp_path):
+    """Reading an index never bumps its dir mtime, so a >1h-old index
+    under active probe was still prune-eligible to OTHER sessions; the
+    path helper must utime the current dir on every hit so live readers
+    keep refreshing the 1h grace window (round-9 ADVICE low)."""
+    sf = _mk_sf_dir(tmp_path)
+    scratch = str(tmp_path / "cache")
+    cur = _ivf_index_path(sf, params="p", scratch_root=scratch)
+    os.makedirs(cur)
+    two_h_ago = __import__("time").time() - 7200
+    os.utime(cur, (two_h_ago, two_h_ago))
+    det = cur + "_det"  # the variant dir the probe query actually reads
+    os.makedirs(det)
+    os.utime(det, (two_h_ago, two_h_ago))
+    assert _ivf_index_path(sf, params="p", scratch_root=scratch) == cur
+    # the hit refreshed mtime: the dirs are young again, outside the
+    # stale-prune cutoff another session would apply
+    assert os.path.getmtime(cur) > two_h_ago + 3600
+    assert os.path.getmtime(det) > two_h_ago + 3600
