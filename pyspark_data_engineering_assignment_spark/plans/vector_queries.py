@@ -776,13 +776,17 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     doc="Per-label z-score whitening of embeddings via applyInPandas "
     "(grouped-map: the normalization needs each label's full "
-    "distribution, inexpressible per-row). Rows-only check: FP "
-    "normalization isn't hash-stable across engines; numerics validated "
-    "against a pure-numpy reimplementation in tests/test_grouped.py "
-    "(zero mean / unit variance per label dimension, exact id/label "
-    "preservation). Output is posexploded to one scalar row per "
-    "(vec_id, dim) - driver harnesses sort-canonicalize cells and "
-    "cannot sort array cells, so no registered query emits arrays.",
+    "distribution, inexpressible per-row). Rows-only at the DRIVER "
+    "gate only because DuckDB cannot replay float32 z-scores "
+    "bit-exactly (parallel double summation is order-unstable); "
+    "locally the check is STRONGER than the SQL gate: since the "
+    "round-9 in-UDF sort made the output a pure function of group "
+    "content, tests/test_grouped.py pins BIT-exact equality against "
+    "a pure-numpy replay on the real sf0.01 table, plus zero-mean/"
+    "unit-variance moments and partitioning invariance. Output is "
+    "posexploded to one scalar row per (vec_id, dim) - driver "
+    "harnesses sort-canonicalize cells and cannot sort array cells, "
+    "so no registered query emits arrays.",
 )
 def label_standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.operators.grouped import (

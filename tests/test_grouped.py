@@ -162,3 +162,57 @@ def test_standardization_honors_custom_column_names(spark):
     got = out.collect()
     assert len(got) == 8
     assert {r["bucket"] for r in got} == {0, 1}
+
+
+def test_label_standardized_embeddings_bitexact_python_oracle(spark):
+    """Value-hash-grade parity for the one remaining float query: the
+    registered ``label_standardized_embeddings`` plan must equal a
+    pure-numpy replay of its contract BIT-FOR-BIT on the real sf0.01
+    table (round-10 verdict task: the round-9 in-UDF sort made the
+    output a pure function of group content, so the historical
+    rows-only justification - last-ulp drift - no longer applies; this
+    is the python-oracle equivalent of the SQL value-hash gate DuckDB
+    cannot run on float32 z-scores).
+
+    The replay shares NO code with the implementation: pyarrow read,
+    plain-python grouping, the same publicly-documented recipe
+    (float64 stack in vec_id order -> mean/std -> (x-mu)/(sd+1e-8) ->
+    float32). Bitwise equality, not approx."""
+    import pyarrow.parquet as pq
+
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["vec_id"], r["dim"]): (r["label"], r["value_std"])
+        for r in QUERIES["label_standardized_embeddings"].fn(spark, sf).collect()
+    }
+
+    tab = pq.read_table(f"{sf}/embeddings.parquet").to_pylist()
+    by_label: dict = {}
+    for row in tab:
+        v = row["embedding"]
+        if v is None or any(x is None for x in v) or any(
+            x is not None and np.isnan(x) for x in v
+        ):
+            continue  # the valid_vector contract: corrupt vectors get no z-score
+        by_label.setdefault(row["label"], []).append((row["vec_id"], v))
+
+    want = {}
+    for label, members in by_label.items():
+        members.sort(key=lambda t: t[0])
+        mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in members])
+        out = ((mat - mat.mean(axis=0)) / (mat.std(axis=0) + 1e-8)).astype(
+            np.float32
+        )
+        for (vid, _), vec in zip(members, out):
+            for d, x in enumerate(vec):
+                want[(vid, d)] = (label, x)
+
+    assert len(got) == len(want)
+    mismatches = [
+        k for k in want
+        if got[k][0] != want[k][0]
+        or np.float32(got[k][1]).tobytes() != want[k][1].tobytes()
+    ]
+    assert not mismatches, f"bit-exact mismatch at {mismatches[:5]}"
