@@ -208,6 +208,61 @@ class ParquetStateStore:
                 shutil.rmtree(vdir, ignore_errors=True)
         return removed
 
+    def rebucket(self, spec: StateTableSpec, new_n_buckets: int) -> int:
+        """Migrate the table to a different hash-bucket count - the
+        documented path for a key-cardinality jump (SCALING.md known
+        limit: bucket count was fixed at table creation; a 100x key
+        jump needs more buckets for merge pruning to keep per-batch
+        I/O localized, and a shrink compacts an over-bucketed table).
+
+        One full read -> re-hash -> one atomically-swapped new version:
+        the same pointer dance as a merge, so concurrent READERS are
+        never torn, and ``last_batch_id``/``batch_meta`` carry over so
+        replay idempotency is unaffected. Content is preserved exactly
+        (same rows, same counters - pinned bit-identical by
+        tests/test_state_store.py); only the _bucket assignment
+        changes. Old snapshots become unreferenced and are reclaimed by
+        ``vacuum()``. Returns the number of non-empty buckets written.
+
+        Not concurrency-safe against a WRITER: like every pointer swap
+        here, last-write-wins - run it between batches (the pipeline is
+        the only writer, and foreachBatch serializes per-table merges).
+        """
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        pointer = self._read_pointer(spec.name)
+        version = pointer["next_version"]
+        out = os.path.join(self.root, spec.name, f"v={version}")
+        current = self.read_state(spec)
+        (
+            current.select(*spec.schema.fieldNames())
+            .withColumn("_bucket", self._bucket_expr(spec, new_n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out)
+        )
+        # only buckets that physically exist enter the pointer: an empty
+        # bucket writes no directory, and a registered-but-missing path
+        # would crash every subsequent read_state
+        try:
+            written = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out)
+                if d.startswith("_bucket=")
+            )
+        except FileNotFoundError:  # empty state: no dir at all
+            written = []
+        self._write_pointer(
+            spec.name,
+            {
+                **pointer,
+                "versions": {str(b): version for b in written},
+                "next_version": version + 1,
+                "n_buckets": new_n_buckets,
+            },
+        )
+        return len(written)
+
     def merge_batch(
         self,
         spec: StateTableSpec,

@@ -343,3 +343,92 @@ def test_state_store_protocol_is_satisfied():
         for method in ("read_state", "merge_batch", "last_batch_id",
                        "batch_meta", "vacuum"):
             assert callable(getattr(backend, method)), (backend, method)
+
+
+def _full_rows(store, spec):
+    """Every column of every state row, last_updated included - the
+    bit-identity witness for the rebucket tests."""
+    return sorted(
+        tuple(r) for r in store.read_state(spec).collect()
+    )
+
+
+def test_rebucket_preserves_content_and_merge_parity(spark, tmp_path):
+    """The SCALING.md known-limit migration: growing 4 -> 32 buckets
+    must preserve state bit-identically, carry the replay guard, and
+    leave a store whose SUBSEQUENT merges equal those of a store born
+    at 32 buckets (the bucket count is physical layout, never
+    semantics)."""
+    grown = ParquetStateStore(spark, str(tmp_path / "grown"), n_buckets=4)
+    born32 = ParquetStateStore(spark, str(tmp_path / "born32"), n_buckets=32)
+    b0 = spark.createDataFrame(
+        [(f"C{i}", f"M{i % 5}", 1, Decimal(f"{i}.25")) for i in range(40)],
+        CM_AGG_SCHEMA,
+    )
+    for s in (grown, born32):
+        s.merge_batch(CUSTOMER_MERCHANT_SUMMARY, b0, batch_id=0, now=NOW)
+
+    before = _full_rows(grown, CUSTOMER_MERCHANT_SUMMARY)
+    n_written = grown.rebucket(CUSTOMER_MERCHANT_SUMMARY, 32)
+    assert 1 <= n_written <= 32
+    # bit-identical content, carried replay guard, new layout
+    assert _full_rows(grown, CUSTOMER_MERCHANT_SUMMARY) == before
+    assert grown.last_batch_id(CUSTOMER_MERCHANT_SUMMARY) == 0
+    assert grown._read_pointer(CUSTOMER_MERCHANT_SUMMARY.name)["n_buckets"] == 32
+
+    # replay of batch 0 is still a no-op after the migration
+    grown.merge_batch(CUSTOMER_MERCHANT_SUMMARY, b0, batch_id=0, now=NOW)
+    assert _full_rows(grown, CUSTOMER_MERCHANT_SUMMARY) == before
+
+    # subsequent merges: the migrated store and the born-at-32 store
+    # must agree exactly (penny-exact decimals included)
+    b1 = spark.createDataFrame(
+        [("C3", "M3", 2, Decimal("0.75")), ("CX", "M9", 1, Decimal("9.99"))],
+        CM_AGG_SCHEMA,
+    )
+    for s in (grown, born32):
+        s.merge_batch(CUSTOMER_MERCHANT_SUMMARY, b1, batch_id=1, now=NOW)
+    assert _full_rows(grown, CUSTOMER_MERCHANT_SUMMARY) == _full_rows(
+        born32, CUSTOMER_MERCHANT_SUMMARY
+    )
+    # and the migrated layout actually prunes: a one-key merge rewrites
+    # exactly one of the 32 buckets
+    v_pre = grown.bucket_versions(CUSTOMER_MERCHANT_SUMMARY)
+    grown.merge_batch(
+        CUSTOMER_MERCHANT_SUMMARY,
+        spark.createDataFrame([("C3", "M3", 1, Decimal("1.00"))], CM_AGG_SCHEMA),
+        batch_id=2,
+        now=NOW,
+    )
+    v_post = grown.bucket_versions(CUSTOMER_MERCHANT_SUMMARY)
+    assert sum(1 for b in v_post if v_post.get(b) != v_pre.get(b)) == 1
+
+
+def test_rebucket_shrink_and_vacuum(spark, tmp_path):
+    """Shrinking compacts an over-bucketed table; the old snapshots are
+    unreferenced afterwards and vacuum reclaims them."""
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=16)
+    b0 = spark.createDataFrame([(f"M{i}", i) for i in range(24)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b0, batch_id=0, now=NOW)
+    before = _full_rows(store, MERCHANT_SUMMARY)
+    store.rebucket(MERCHANT_SUMMARY, 2)
+    assert _full_rows(store, MERCHANT_SUMMARY) == before
+    assert len(store.bucket_versions(MERCHANT_SUMMARY)) <= 2
+    assert store.vacuum(MERCHANT_SUMMARY) > 0  # the 16-bucket snapshot
+    assert _full_rows(store, MERCHANT_SUMMARY) == before  # still readable
+
+
+def test_rebucket_empty_store_and_bad_n(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    assert store.rebucket(MERCHANT_SUMMARY, 8) == 0
+    assert store.read_state(MERCHANT_SUMMARY).count() == 0
+    # a merge after the empty-store migration lands in the new layout
+    store.merge_batch(
+        MERCHANT_SUMMARY,
+        spark.createDataFrame([("M1", 1)], MERCHANT_AGG_SCHEMA),
+        batch_id=0,
+        now=NOW,
+    )
+    assert merchant_state(store) == {"M1": 1}
+    with pytest.raises(ValueError, match="new_n_buckets"):
+        store.rebucket(MERCHANT_SUMMARY, 0)
