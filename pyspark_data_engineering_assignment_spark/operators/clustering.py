@@ -77,7 +77,14 @@ def kmeans_fixedpoint(
     # centroid (sorting FIRST under Spark's nulls-first asc vs LAST in
     # DuckDB) and poison centroid dimension sums. Same exclusion as
     # _det_base.
-    v = df.filter(valid_vector(vec_col)).select(
+    # A NULL id is excluded with the corrupt vectors: the deterministic
+    # seed order is (md5(vid), vid), and md5(NULL) sorts FIRST in Spark
+    # but LAST in DuckDB - a NULL-id row would be a SEED in one engine
+    # and not the other, diverging every centroid (round-10 NULL-PK
+    # probe in test_clustering).
+    v = df.filter(
+        valid_vector(vec_col) & F.col(id_col).isNotNull()
+    ).select(
         F.col(id_col).alias("vid"), _fixpoint(F.col(vec_col)).alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -196,7 +203,12 @@ def _det_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # take NULL distances with engine-divergent NULL ordering. Exclude
     # all three up front rather than letting them ride the window with
     # arbitrary rank.
-    return df.filter(valid_vector(vec_col)).select(
+    # NULL ids are excluded like corrupt vectors: the seed order and
+    # every ranked probe tie-break on vid, where engine NULL ordering
+    # diverges (see kmeans_fixedpoint).
+    return df.filter(
+        valid_vector(vec_col) & F.col(id_col).isNotNull()
+    ).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _fixpoint(F.col(vec_col)).alias("v"),

@@ -65,7 +65,13 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     metadata. Stands in for image/audio ingestion; the binary column
     semantics (opaque payload, sha256 identity, byte length) are real."""
     payload = F.encode(F.col("text"), "utf-8")
-    return docs.select(
+    return docs.filter(
+        # MEDIA_SCHEMA declares media_id non-nullable - an id-less doc
+        # is unattributable media, and letting it through crashed the
+        # first Arrow batch of every downstream mapInPandas against the
+        # declared schema (round-10 corrupt-docs NULL-PK probe)
+        F.col("doc_id").isNotNull()
+    ).select(
         F.col("doc_id").alias("media_id"),
         F.lit("text").alias("media_type"),
         payload.alias("payload"),

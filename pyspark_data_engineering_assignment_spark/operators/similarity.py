@@ -53,10 +53,16 @@ def brute_force_topk(
     O(pairs) -> O(rows) for the norm cost, and the per-value IEEE op
     sequence (dot / (sqrt_a * sqrt_b)) is unchanged, so the value-hash
     oracle stays exact."""
-    q = queries.select(
+    # NULL ids are excluded on BOTH sides: a NULL query_id would merge
+    # every id-less query into ONE rank partition (window null-grouping)
+    # and a NULL neighbor_id is an unactionable result whose rank
+    # placement at a cosine tie depends on engine NULL ordering. The
+    # registered queries were already safe via their <> / < predicates;
+    # this hardens the operator for exclude_self=False callers too.
+    q = queries.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("_qn", l2_norm(F.col("qvec")))
-    c = corpus.select(
+    c = corpus.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     ).withColumn("_cn", l2_norm(F.col("cvec")))
     pairs = F.broadcast(q).crossJoin(c)
@@ -136,7 +142,9 @@ def int8_topk(
     # NULL elements get the same pre-join exclusion: F.exists ignores
     # them (measured), and a NULL-holed vector quantizes to NULL-holed
     # codes whose NULL dot would ride to the rank window as a NULL cos.
-    _clean = valid_vector
+    # NULL ids excluded with the corrupt vectors on both sides (same
+    # rank-partition / tie-placement hazard as brute_force_topk).
+    _clean = lambda v: valid_vector(v) & F.col(id_col).isNotNull()  # noqa: E731
     q = _codes(
         queries.filter(_clean(vec_col)), "query_id", "qv"
     ).withColumn("qq2", dot(F.col("qv"), F.col("qv")))
@@ -246,6 +254,10 @@ def lsh_bucketed_topk(
     buckets one bit-flip away - each corpus vector lives in exactly one
     bucket, so probes never duplicate a (query, neighbor) pair."""
     planes = _hyperplanes(dim, n_planes, seed)
+    # NULL ids excluded on both sides (same rank-partition /
+    # tie-placement hazard as brute_force_topk)
+    corpus = corpus.filter(F.col(id_col).isNotNull())
+    queries = queries.filter(F.col(id_col).isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),

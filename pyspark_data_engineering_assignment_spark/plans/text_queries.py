@@ -720,10 +720,13 @@ def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_byte_histogram",
     """
     WITH b AS (
+        -- doc_id IS NOT NULL mirrors documents_as_media's media_id
+        -- contract (id-less media is unattributable; Spark's declared
+        -- non-null schema would reject it at the Arrow boundary)
         SELECT doc_id AS media_id, hex(encode(text)) AS h,
                octet_length(encode(text)) AS n_bytes
         FROM documents
-        WHERE text IS NOT NULL
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     bytes AS (
         SELECT media_id, n_bytes,
@@ -1282,9 +1285,11 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH m AS (
+        -- doc_id IS NOT NULL mirrors documents_as_media's media_id
+        -- contract (see media_byte_histogram)
         SELECT doc_id AS media_id, text,
                octet_length(encode(text)) AS n_bytes
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     f AS (
         SELECT media_id, text,

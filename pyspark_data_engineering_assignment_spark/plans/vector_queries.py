@@ -596,6 +596,10 @@ def _kmeans_train_ctes(
                   x -> isnan(CAST(x AS DOUBLE))), true)
           AND NOT list_contains(list_transform(embedding,
                   x -> x IS NULL), true)
+          -- NULL ids excluded like corrupt vectors: the seed order
+          -- (md5(vid), vid) diverges on engine NULL placement
+          -- (mirrors clustering.kmeans_fixedpoint / _det_base)
+          AND vec_id IS NOT NULL
     ),
     c0 AS (
         SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS c FROM (

@@ -172,6 +172,14 @@ def test_det_oracles_agree_on_corrupt_vectors(spark, tmp_path):
     with_null_elem = [0.5] * dim
     with_null_elem[3] = None
     rows.append({"vec_id": nxt + 2, "embedding": with_null_elem, "label": 0})
+    # round-10 tie probe: a NULL PRIMARY key on a VALID vector that
+    # exactly duplicates a clean row's embedding - vec_id is the
+    # tie-break of every cos-ranked window and the k-means seed order;
+    # Spark sorts the NULL tie-break FIRST, DuckDB LAST, so this row
+    # diverges any ranked query that does not exclude unplaceable rows
+    rows.append(
+        {"vec_id": None, "embedding": list(rows[0]["embedding"]), "label": 0}
+    )
 
     corrupt_sf = tmp_path / "sf_corrupt"
     corrupt_sf.mkdir()

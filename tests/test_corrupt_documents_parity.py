@@ -55,6 +55,20 @@ def corrupt_docs_sf(tmp_path_factory):
         # exact duplicate of a clean doc under a new id
         dict(doc_id=nxt + 10, text=dup_of["text"], lang=dup_of["lang"],
              source=dup_of["source"], n_chars=dup_of["n_chars"]),
+        # round-10 tie probe: a NULL PRIMARY key whose text exactly
+        # duplicates a clean doc - doc_id is the tie-break of every
+        # ordered documents window (canonical keeper's n_chars tie,
+        # incremental dedup's id order, packing's per-shard order,
+        # stratified take's md5 rank) and the member id of the dedup
+        # cluster queries; Spark sorts the NULL tie-break FIRST,
+        # DuckDB LAST, so this row diverges any ordered query that
+        # does not exclude unplaceable rows on both sides
+        dict(doc_id=None, text=dup_of["text"], lang=dup_of["lang"],
+             source=dup_of["source"], n_chars=dup_of["n_chars"]),
+        # and one NULL-id row with unique text (no tie: exercises the
+        # NULL id alone through tokenize/quality/langid groupings)
+        dict(doc_id=None, text="solitary null keyed document words",
+             lang="en", source="srcX", n_chars=34),
     ]
     # exact token-count boundary shapes: the packing cut (512/513), the
     # chunk width (32/33) and the chunk stride (24/25) - off-by-one

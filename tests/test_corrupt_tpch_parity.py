@@ -122,6 +122,13 @@ def corrupt_tpch_sf(tmp_path_factory):
         od(5, o_custkey=None),
         od(6, o_custkey=99_999_999),  # orphan FK
         od(7, o_orderstatus=None),
+        # round-10 tie probe: a NULL PRIMARY key at a window-order tie.
+        # o_orderkey is the tie-break of every ordered orders window
+        # (customer_order_gaps, top_orders_per_customer) - Spark sorts
+        # the NULL tie-break FIRST, DuckDB LAST, so a row tying the
+        # base order's (custkey, orderdate) and (custkey, totalprice)
+        # diverges unless unplaceable rows are excluded on both sides
+        od(8, o_orderkey=None),
     ]
     pq.write_table(pa.Table.from_pylist(orows, schema=o.schema),
                    str(sf / "orders.parquet"))
