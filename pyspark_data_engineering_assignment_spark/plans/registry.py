@@ -434,13 +434,18 @@ def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
-        FROM orders
+        FROM orders WHERE o_orderkey IS NOT NULL
     ) WHERE rank <= 3
     """,
     doc="Window top-k per group with total ordering (tie-break on key).",
 )
 def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # an order missing its PRIMARY key cannot occupy a deterministic
+    # rank slot: at a price tie Spark puts the NULL tie-break first and
+    # DuckDB last (round-10 decisive-tie probe), and one NULL in the
+    # emitted int key column float-ifies the whole column in any
+    # pandas-side harness - excluded on both sides
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
     return top_k_per_group(
         o,
         ["o_custkey"],

@@ -14,6 +14,8 @@ same way on both sides.
 
 from __future__ import annotations
 
+import datetime as dt
+
 import duckdb
 import pytest
 
@@ -127,8 +129,14 @@ def corrupt_tpch_sf(tmp_path_factory):
         # (customer_order_gaps, top_orders_per_customer) - Spark sorts
         # the NULL tie-break FIRST, DuckDB LAST, so a row tying the
         # base order's (custkey, orderdate) and (custkey, totalprice)
-        # diverges unless unplaceable rows are excluded on both sides
-        od(8, o_orderkey=None),
+        # diverges unless unplaceable rows are excluded on both sides.
+        # The extra earlier/cheaper order for the same customer forces
+        # the tie pair into ranked (top-3) and lagged (gap) positions
+        # where the swap is OBSERVABLE - without it the tie sat outside
+        # every window's emitting range and the gate was green by luck
+        od(8, o_orderkey=None, o_totalprice=999999.99),
+        od(9, o_orderdate=obase["o_orderdate"] - dt.timedelta(days=30),
+           o_totalprice=999999.99),
     ]
     pq.write_table(pa.Table.from_pylist(orows, schema=o.schema),
                    str(sf / "orders.parquet"))
