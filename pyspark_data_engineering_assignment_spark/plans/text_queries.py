@@ -1069,8 +1069,10 @@ def doc_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE source < 'src1_'
     ),
     batch AS (
+        -- doc_id IS NOT NULL mirrors the Spark side: the keeper window
+        -- tie-breaks on doc_id (round-10 NULL-PK probe convention)
         SELECT doc_id, source, md5(lower(trim(text))) AS fingerprint
-        FROM documents WHERE source >= 'src1_'
+        FROM documents WHERE source >= 'src1_' AND doc_id IS NOT NULL
     ),
     fresh AS (
         SELECT b.* FROM batch b
@@ -1097,9 +1099,16 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("source") < "src1_").select(
         md5_fingerprint(F.col("text")).alias("fingerprint")
     ).distinct()
-    batch = d.filter(F.col("source") >= "src1_").select(
-        "doc_id", "source", "text"
-    )
+    # id-less batch docs excluded: the keeper window tie-breaks on
+    # doc_id (engine NULL placement diverges at a fingerprint group
+    # with a NULL-id member), and a NULL-TEXT + NULL-id row would key
+    # the null-passthrough partition on NULL, dedup-collapsing
+    # missing-data rows (round-10 NULL-PK probe convention). The
+    # corpus side needs no filter - it contributes only DISTINCT
+    # fingerprints, id-free.
+    batch = d.filter(
+        (F.col("source") >= "src1_") & F.col("doc_id").isNotNull()
+    ).select("doc_id", "source", "text")
     return dedup_against_corpus(batch, corpus).select(
         "doc_id", "source", "fingerprint"
     )
@@ -1164,9 +1173,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "few GB of tokens each). Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH t AS (
+        -- id-less docs excluded: multiple NULL ids are order-UNDEFINED
+        -- among themselves in the id-ordered stream, so their pack
+        -- assignment would depend on physical row order - violating
+        -- the operator's determinism contract (round-10 NULL-PK probe)
         SELECT doc_id, doc_id % 8 AS shard,
                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     c AS (
         -- sum(BIGINT) OVER is HUGEINT in DuckDB; cast back so pack_id
@@ -1190,7 +1203,11 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_summary,
     )
 
-    d = _t(spark, sf_dir, "documents").select(
+    # id-less docs excluded: their pack assignment would depend on
+    # physical row order (see oracle)
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    ).select(
         "doc_id",
         (F.col("doc_id") % 8).alias("shard"),
         token_count(F.col("text")).cast("long").alias("tokens"),
@@ -1618,9 +1635,13 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neutral (local_oracle).",
     local_oracle="""
     WITH t AS (
+        -- an id-less doc has no deterministic rank slot: at an
+        -- n_tokens tie the NULL tie-break sorts first in Spark, last
+        -- in DuckDB, and a batch boundary between the tied pair would
+        -- reshape both batches (round-10 NULL-PK probe convention)
         SELECT doc_id, source,
                len(string_split(trim(text), ' ')) AS n_tokens
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     b AS (
         SELECT source, doc_id, n_tokens,
@@ -1641,7 +1662,8 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents")
+    # id-less docs excluded: no deterministic rank slot (see oracle)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     t = d.select(
         "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
     )

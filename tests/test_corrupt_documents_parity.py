@@ -69,6 +69,16 @@ def corrupt_docs_sf(tmp_path_factory):
         # NULL id alone through tokenize/quality/langid groupings)
         dict(doc_id=None, text="solitary null keyed document words",
              lang="en", source="srcX", n_chars=34),
+        # a 600-token NULL-id doc: with the rows above there are now
+        # multiple NULL-id docs whose RELATIVE order in any doc_id-
+        # ordered window is undefined (equal NULL keys), and their
+        # combined token mass straddles the 512-token packing cut -
+        # if packing/chunking assigns them order-dependently the gate
+        # reds; green means id-less docs are excluded or order-free
+        dict(doc_id=None,
+             text=" ".join(f"w{k % 29}" for k in range(600)),
+             lang="en", source="srcB",
+             n_chars=len(" ".join(f"w{k % 29}" for k in range(600)))),
     ]
     # exact token-count boundary shapes: the packing cut (512/513), the
     # chunk width (32/33) and the chunk stride (24/25) - off-by-one
