@@ -2809,9 +2809,12 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot are inverse reshapes, so the melted rows must equal the "
     "plain groupBy aggregation the pivot started from (minus the "
     "fillna zeros the pivot fabricated, filtered out to make the "
-    "inverse exact). Covers the official wide-to-long API the "
-    "expectations module hand-rolls with stack(). Driver-window "
-    "neutral (local_oracle).",
+    "inverse exact - which NECESSARILY also drops real groups whose "
+    "sum is NULL or exactly 0: after fillna(0) those cells are "
+    "indistinguishable from fabricated ones; the oracle's HAVING "
+    "mirrors that inherent lossiness of the fillna-pivot roundtrip). "
+    "Covers the official wide-to-long API the expectations module "
+    "hand-rolls with stack(). Driver-window neutral (local_oracle).",
     local_oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -2822,6 +2825,16 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- through the melt (round-9 corrupt-star parity finding)
     WHERE l_linestatus IN ('F', 'O')
     GROUP BY 1, 2
+    -- after fillna(0), a pivot cell cannot distinguish "combo absent"
+    -- from "present with NULL or zero sum" - groups whose guarded sum
+    -- is NULL (all-corrupt quantities) or exactly 0 cannot round-trip
+    -- and are dropped on BOTH sides (round-10 all-corrupt-group probe:
+    -- without this HAVING, Spark silently deleted the group while the
+    -- oracle emitted its NULL row)
+    HAVING CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           IS NOT NULL
+       AND CAST(sum(CAST(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           <> 0
     """,
 )
 def returnflag_melt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,6 +99,16 @@ def corrupt_tpch_sf(tmp_path_factory):
         l(_ln=6, l_returnflag=None, l_linestatus=None),
         l(_ln=7, l_quantity=-4.0),
         l(_ln=8, l_suppkey=None, l_partkey=None),
+        # round-10 all-corrupt-group probe: a (returnflag, linestatus)
+        # group whose EVERY row has corrupt quantity/price - its sums
+        # are NULL, the shape where "fillna(0) then drop zeros" pivot
+        # paths silently delete the group while a SQL oracle emits the
+        # NULL row (and where a genuine all-corrupt group at 100 TB
+        # disappears from a report without a trace)
+        l(_ln=9, l_returnflag="X", l_linestatus="F",
+          l_quantity=float("nan"), l_extendedprice=float("nan")),
+        l(_ln=10, l_returnflag="X", l_linestatus="F",
+          l_quantity=1e308, l_extendedprice=1e308),
     ]
     pq.write_table(pa.Table.from_pylist(rows, schema=li.schema),
                    str(sf / "lineitem.parquet"))
