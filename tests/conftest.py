@@ -25,7 +25,15 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    # REPO_TEST_SHUFFLE_PARTITIONS varies the shuffle layout without
+    # code changes: the round-10 "flaky green" class (window results
+    # over EQUAL order keys depend on physical row order) only
+    # surfaces under some partitionings, so the corrupt gates are
+    # swept at 1 / 8 / 32 to shake out order-dependent passes.
+    import os
+
+    n = os.environ.get("REPO_TEST_SHUFFLE_PARTITIONS", "8")
+    spark = get_spark(app_name="tests", extra_conf={"spark.sql.shuffle.partitions": n})
     yield spark
 
 
