@@ -111,9 +111,12 @@ class DuckDBStateStore:
             return json.loads(row[1])
         return None
 
-    def vacuum(self, spec: StateTableSpec) -> int:
+    def vacuum(
+        self, spec: StateTableSpec, retention_seconds: float = 0.0
+    ) -> int:
         """No-op for Protocol parity: the embedded database updates rows
-        in place, there are no orphaned snapshot files to collect."""
+        in place, there are no orphaned snapshot files to collect (and
+        therefore nothing for ``retention_seconds`` to spare)."""
         return 0
 
     def read_state(self, spec: StateTableSpec) -> DataFrame:

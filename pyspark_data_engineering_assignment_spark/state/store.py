@@ -183,24 +183,40 @@ class ParquetStateStore:
             return self.spark.createDataFrame([], spec.schema)
         return self.spark.read.schema(spec.schema).parquet(*paths)
 
-    def vacuum(self, spec: StateTableSpec) -> int:
+    def vacuum(self, spec: StateTableSpec, retention_seconds: float = 0.0) -> int:
         """Delete bucket snapshots no longer referenced by the pointer
-        (the Delta ``VACUUM`` analog). Safe at any time: the pointer swap
-        is atomic, so every live reader resolves only referenced paths.
-        Returns the number of snapshot directories removed."""
+        (the Delta ``VACUUM`` analog). The pointer swap is atomic, so
+        every NEW read resolves only referenced paths - but a lazy
+        DataFrame materialized from ``read_state`` BEFORE a merge
+        superseded its snapshot still scans the old paths, exactly like
+        a long-running query over a Delta table another writer vacuums.
+        ``retention_seconds`` is the Delta retention analog: snapshots
+        unreferenced for less than that long are spared, so out-of-band
+        readers are safe as long as their queries finish within the
+        window. The default 0 keeps immediate reclamation - correct for
+        the single-threaded foreachBatch pipeline, where vacuum and all
+        reads share one thread. Returns the number of snapshot
+        directories removed."""
         import glob as _glob
         import shutil
+        import time as _time
 
         pointer = self._read_pointer(spec.name)
         live = {
             os.path.join(self.root, spec.name, f"v={v}", f"_bucket={b}")
             for b, v in pointer["versions"].items()
         }
+        cutoff = _time.time() - retention_seconds
         removed = 0
         for bdir in _glob.glob(
             os.path.join(self.root, spec.name, "v=*", "_bucket=*")
         ):
             if bdir not in live:
+                try:
+                    if os.path.getmtime(bdir) > cutoff:
+                        continue  # inside the retention window
+                except OSError:
+                    pass  # deleted by a concurrent vacuum: nothing to spare
                 shutil.rmtree(bdir, ignore_errors=True)
                 removed += 1
         for vdir in _glob.glob(os.path.join(self.root, spec.name, "v=*")):

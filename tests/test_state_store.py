@@ -432,3 +432,33 @@ def test_rebucket_empty_store_and_bad_n(spark, tmp_path):
     assert merchant_state(store) == {"M1": 1}
     with pytest.raises(ValueError, match="new_n_buckets"):
         store.rebucket(MERCHANT_SUMMARY, 0)
+
+
+def test_vacuum_retention_spares_recent_snapshots(spark, tmp_path):
+    """Delta-retention analog: a lazy DataFrame read BEFORE a merge
+    superseded its snapshot still scans the old paths, so vacuum with a
+    retention window must spare snapshots unreferenced more recently
+    than the window - out-of-band readers stay safe for queries shorter
+    than the retention."""
+    import os as _os
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=2)
+    b = spark.createDataFrame([("M1", 1)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b, batch_id=0, now=NOW)
+    # a pre-supersede lazy reader over the v=0 snapshot
+    stale_reader = store.read_state(MERCHANT_SUMMARY)
+    store.merge_batch(MERCHANT_SUMMARY, b, batch_id=1, now=NOW)  # supersedes v=0
+
+    # inside the window: nothing reclaimed, the stale reader still scans
+    assert store.vacuum(MERCHANT_SUMMARY, retention_seconds=3600) == 0
+    assert stale_reader.count() == 1
+
+    # age the old snapshot past the window: reclaimed
+    root = str(tmp_path / "state" / MERCHANT_SUMMARY.name)
+    for d in _os.listdir(root):
+        if d.startswith("v="):
+            for bdir in _os.listdir(_os.path.join(root, d)):
+                p = _os.path.join(root, d, bdir)
+                _os.utime(p, (0, 0))
+    assert store.vacuum(MERCHANT_SUMMARY, retention_seconds=3600) > 0
+    assert merchant_state(store) == {"M1": 2}  # live state untouched
