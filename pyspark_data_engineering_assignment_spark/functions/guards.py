@@ -32,7 +32,17 @@ def _dtype_of(df: DataFrame, col: str) -> DataType:
     field - StructType.__getitem__ alone would raise KeyError). On a
     schema with two fields differing only by case, the analyzer raises
     AMBIGUOUS_REFERENCE - mirror that instead of silently guarding
-    whichever field happens to come first."""
+    whichever field happens to come first.
+
+    DELIBERATE divergence from the analyzer (round-10 advisor note):
+    an exact-case match wins immediately, even when a second field
+    differs only by case - a reference Spark itself would reject as
+    AMBIGUOUS_REFERENCE under caseSensitive=false. Mirroring that
+    rejection here would make the GUARD the thing that crashes a plan
+    the caller never executes; instead the guard resolves the exact
+    field and lets the engine raise on the real reference if the plan
+    is ever analyzed. test_guards.py pins this exact-match-wins order
+    as intended behavior."""
     try:
         return df.schema[col].dataType
     except KeyError:

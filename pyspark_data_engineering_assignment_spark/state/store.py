@@ -143,6 +143,22 @@ class ParquetStateStore:
             json.dump(pointer, f)
         os.replace(tmp, path)  # atomic on POSIX
 
+    def _mark_unreferenced(self, table: str, old_versions: dict, buckets=None) -> None:
+        """Stamp NOW as the mtime of every bucket snapshot this pointer
+        swap supersedes. A bucket dir's natural mtime is its WRITE time
+        (merges never touch superseded dirs again), so ``vacuum``'s
+        retention window measured against it would reclaim a long-lived
+        snapshot the instant it is superseded - breaking the documented
+        out-of-band-reader guarantee. Delta measures retention from the
+        remove action's deletionTimestamp (unreference time); ``os.utime``
+        at swap time gives the same semantics with no extra state.
+        Best-effort: a dir already gone (concurrent vacuum) is skipped."""
+        for path in self._bucket_paths(table, old_versions, buckets):
+            try:
+                os.utime(path)
+            except OSError:
+                pass
+
     def _bucket_expr(self, spec: StateTableSpec, n_buckets: int):
         return F.pmod(
             F.xxhash64(*[F.col(c) for c in spec.key_cols]), F.lit(n_buckets)
@@ -193,10 +209,15 @@ class ParquetStateStore:
         ``retention_seconds`` is the Delta retention analog: snapshots
         unreferenced for less than that long are spared, so out-of-band
         readers are safe as long as their queries finish within the
-        window. The default 0 keeps immediate reclamation - correct for
-        the single-threaded foreachBatch pipeline, where vacuum and all
-        reads share one thread. Returns the number of snapshot
-        directories removed."""
+        window. The clock starts at UNREFERENCE time (the pointer swap
+        ``os.utime``s superseded dirs - Delta's deletionTimestamp
+        analog), not write time, so a snapshot referenced longer than
+        the window is still spared for a full window after it is
+        superseded. The default 0 keeps immediate reclamation - correct
+        for the single-threaded foreachBatch pipeline, where vacuum and
+        all reads share one thread. Returns the number of snapshot
+        directories this call removed (a dir already deleted by a
+        concurrent vacuum is not counted)."""
         import glob as _glob
         import shutil
         import time as _time
@@ -216,7 +237,7 @@ class ParquetStateStore:
                     if os.path.getmtime(bdir) > cutoff:
                         continue  # inside the retention window
                 except OSError:
-                    pass  # deleted by a concurrent vacuum: nothing to spare
+                    continue  # already gone (concurrent vacuum): not ours to count
                 shutil.rmtree(bdir, ignore_errors=True)
                 removed += 1
         for vdir in _glob.glob(os.path.join(self.root, spec.name, "v=*")):
@@ -277,6 +298,9 @@ class ParquetStateStore:
                 "n_buckets": new_n_buckets,
             },
         )
+        # every pre-migration snapshot is superseded at once: start its
+        # retention clock now (unreference time), not at its write time
+        self._mark_unreferenced(spec.name, pointer["versions"])
         return len(written)
 
     def merge_batch(
@@ -379,5 +403,7 @@ class ParquetStateStore:
                     "batch_meta": batch_meta,
                 },
             )
+            # retention clock starts at UNREFERENCE time, not write time
+            self._mark_unreferenced(spec.name, pointer["versions"], touched)
         finally:
             batch_side.unpersist()

@@ -462,3 +462,67 @@ def test_vacuum_retention_spares_recent_snapshots(spark, tmp_path):
                 _os.utime(p, (0, 0))
     assert store.vacuum(MERCHANT_SUMMARY, retention_seconds=3600) > 0
     assert merchant_state(store) == {"M1": 2}  # live state untouched
+
+
+def test_vacuum_retention_clock_starts_at_unreference_time(spark, tmp_path):
+    """The retention window measures from when a snapshot was SUPERSEDED
+    (Delta's remove-action deletionTimestamp), not from when it was
+    WRITTEN. An old snapshot that stayed live for hours and was
+    superseded a moment ago must survive a vacuum whose window is far
+    shorter than the snapshot's age - otherwise any long-lived snapshot
+    is reclaimed the instant a merge supersedes it and the out-of-band
+    reader guarantee is false (round-10 advisor medium)."""
+    import os as _os
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=2)
+    b = spark.createDataFrame([("M1", 1)], MERCHANT_AGG_SCHEMA)
+    store.merge_batch(MERCHANT_SUMMARY, b, batch_id=0, now=NOW)
+
+    # make the v=0 snapshot LOOK hours old (old WRITE time) while still live
+    root = str(tmp_path / "state" / MERCHANT_SUMMARY.name)
+    for d in _os.listdir(root):
+        if not d.startswith("v="):
+            continue
+        for bdir in _os.listdir(_os.path.join(root, d)):
+            if bdir.startswith("_bucket="):
+                _os.utime(_os.path.join(root, d, bdir), (0, 0))
+
+    stale_reader = store.read_state(MERCHANT_SUMMARY)
+    # supersede it NOW: the pointer swap restamps the old dirs' mtime
+    store.merge_batch(MERCHANT_SUMMARY, b, batch_id=1, now=NOW)
+
+    # write-time is epoch 0 (way past any window) but unreference-time is
+    # "just now": a 1h window must spare it, and the stale reader scans on
+    assert store.vacuum(MERCHANT_SUMMARY, retention_seconds=3600) == 0
+    assert stale_reader.count() == 1
+    # with no window it is reclaimable as before
+    assert store.vacuum(MERCHANT_SUMMARY, retention_seconds=0) > 0
+
+
+def test_rebucket_restamps_superseded_snapshots(spark, tmp_path):
+    """rebucket supersedes EVERY old bucket at once; each gets the
+    unreference-time stamp so a retention vacuum right after a
+    migration spares the pre-migration snapshot."""
+    import os as _os
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    rows = [(f"M{i}", i) for i in range(8)]
+    store.merge_batch(
+        MERCHANT_SUMMARY,
+        spark.createDataFrame(rows, MERCHANT_AGG_SCHEMA),
+        batch_id=0,
+        now=NOW,
+    )
+    root = str(tmp_path / "state" / MERCHANT_SUMMARY.name)
+    for d in _os.listdir(root):
+        if not d.startswith("v="):
+            continue
+        for bdir in _os.listdir(_os.path.join(root, d)):
+            if bdir.startswith("_bucket="):
+                _os.utime(_os.path.join(root, d, bdir), (0, 0))
+    stale_reader = store.read_state(MERCHANT_SUMMARY)
+    store.rebucket(MERCHANT_SUMMARY, 8)
+    assert store.vacuum(MERCHANT_SUMMARY, retention_seconds=3600) == 0
+    assert stale_reader.count() == 8
+    assert store.vacuum(MERCHANT_SUMMARY, retention_seconds=0) > 0
+    assert merchant_state(store) == {f"M{i}": i for i in range(8)}
