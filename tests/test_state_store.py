@@ -51,6 +51,12 @@ CM_AGG_SCHEMA = StructType(
 def _make_store(backend: str, spark, path):
     if backend == "parquet":
         return ParquetStateStore(spark, str(path))
+    if backend == "jdbc":
+        from pyspark_data_engineering_assignment_spark.state.jdbc_store import (
+            JdbcStateStore,
+        )
+
+        return JdbcStateStore.duckdb(spark, str(path) + ".jdbc.duckdb")
     from pyspark_data_engineering_assignment_spark.state.duckdb_store import (
         DuckDBStateStore,
     )
@@ -58,11 +64,11 @@ def _make_store(backend: str, spark, path):
     return DuckDBStateStore(spark, str(path) + ".duckdb")
 
 
-@pytest.fixture(params=["parquet", "duckdb"])
+@pytest.fixture(params=["parquet", "duckdb", "jdbc"])
 def store(request, spark, tmp_path):
-    """Every merge-semantics test runs against BOTH backends: the
-    distributed parquet/Delta-shaped store and the reference-parity
-    RDBMS UPSERT store."""
+    """Every merge-semantics test runs against ALL THREE backends: the
+    distributed parquet/Delta-shaped store, the embedded RDBMS UPSERT
+    store, and the reference-protocol temp-table+UPSERT JDBC store."""
     return _make_store(request.param, spark, tmp_path / "state")
 
 
@@ -190,7 +196,7 @@ def test_all_null_keyed_batch_is_empty_merge(spark, store):
     assert store.last_batch_id(MERCHANT_SUMMARY) == 1
 
 
-@pytest.mark.parametrize("backend", ["parquet", "duckdb"])
+@pytest.mark.parametrize("backend", ["parquet", "duckdb", "jdbc"])
 def test_batch_invariance(spark, tmp_path, backend):
     """Chunking must not matter: one big batch vs three small ones yield
     the same final state (survey §5.4 property)."""
@@ -261,7 +267,7 @@ def test_vacuum_removes_only_unreferenced_snapshots(spark, tmp_path):
     assert store.vacuum(MERCHANT_SUMMARY) == 0  # idempotent
 
 
-@pytest.mark.parametrize("backend", ["parquet", "duckdb"])
+@pytest.mark.parametrize("backend", ["parquet", "duckdb", "jdbc"])
 def test_backends_agree(spark, tmp_path, backend):
     """Cross-backend contract: identical batch sequence -> identical
     state rows (modulo last_updated, pinned via now=...)."""
