@@ -80,27 +80,43 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_payload(payload: bytes, media_type: str) -> bytes:
-    """Real decoders are unavailable in this container. For media types
-    we can't decode, fail loudly rather than fake silently."""
-    if media_type == "text":
-        return payload
-    raise NotImplementedError(
-        f"no codec for media_type={media_type!r} in this environment; "
-        "swap in PIL/torchaudio/ffmpeg here on a real cluster"
-    )
+# Codec registry: media_type -> decode(payload bytes) -> raw bytes.
+# "text" is the one codec this container genuinely has (identity). A
+# deployment registers real decoders by PASSING a dict to the operators
+# below (``decoders={"jpeg": pil_decode, ...}``) rather than mutating
+# module state: the dict travels to executors BY VALUE inside the
+# cloudpickled closure, whereas a module-level registration made at
+# driver runtime would silently not exist on the re-imported module in
+# the Python workers.
+DEFAULT_DECODERS = {"text": bytes}
 
 
-def _payload_histogram(payload, media_type: str, dim: int) -> np.ndarray:
+def decode_payload(payload: bytes, media_type: str, decoders=None) -> bytes:
+    """Decode via the registry; for media types with no registered
+    codec, fail LOUDLY rather than fake silently (round-11 pinned
+    contract: an undeclared codec is a job error naming the type, not a
+    quietly-wrong histogram)."""
+    decoders = DEFAULT_DECODERS if decoders is None else decoders
+    fn = decoders.get(media_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"no codec registered for media_type={media_type!r} "
+            f"(have: {sorted(decoders)}); pass decoders={{...}} with a "
+            "real decoder (PIL/torchaudio/ffmpeg) on a cluster that has one"
+        )
+    return fn(payload)
+
+
+def _payload_histogram(payload, media_type: str, dim: int, decoders=None) -> np.ndarray:
     """Byte histogram folded to ``dim`` buckets, numpy-vectorized: the
     per-byte work is ``np.frombuffer`` + ``np.bincount`` (no Python loop
     over bytes - that would defeat the Arrow batching)."""
-    raw = decode_payload(bytes(payload), media_type)
+    raw = decode_payload(bytes(payload), media_type, decoders)
     arr = np.frombuffer(raw, dtype=np.uint8)
     return np.bincount(arr % dim, minlength=dim).astype(np.int64)
 
 
-def byte_histogram(media: DataFrame, dim: int = 16) -> DataFrame:
+def byte_histogram(media: DataFrame, dim: int = 16, decoders=None) -> DataFrame:
     """Exact byte-bucket counts per payload via ``mapInPandas`` - the
     integer-domain core of ``extract_features``, exposed separately so the
     DuckDB oracle can check it exactly (integer counts are hash-stable
@@ -123,7 +139,7 @@ def byte_histogram(media: DataFrame, dim: int = 16) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
                     "counts": [
-                        _payload_histogram(p, m, dim)
+                        _payload_histogram(p, m, dim, decoders)
                         for p, m in zip(pdf["payload"], pdf["media_type"])
                     ],
                 }
@@ -134,7 +150,7 @@ def byte_histogram(media: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+def extract_features(media: DataFrame, feature_dim: int = 16, decoders=None) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
     The feature itself is a deterministic stand-in (normalized byte
@@ -152,7 +168,7 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
                 continue  # same Arrow empty-frame typing trap as above
             feats = []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
-                counts = _payload_histogram(payload, mtype, feature_dim)
+                counts = _payload_histogram(payload, mtype, feature_dim, decoders)
                 total = counts.sum() or 1
                 feats.append((counts / total).astype(np.float32))
             yield pd.DataFrame(
@@ -169,7 +185,7 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     )
 
 
-def byte_histogram_arrow(media: DataFrame, dim: int = 16) -> DataFrame:
+def byte_histogram_arrow(media: DataFrame, dim: int = 16, decoders=None) -> DataFrame:
     """``byte_histogram`` implemented over ``mapInArrow`` - the fifth and
     last Python batch API, the right entry point for big BINARY columns.
 
@@ -190,7 +206,7 @@ def byte_histogram_arrow(media: DataFrame, dim: int = 16) -> DataFrame:
             tbl = batch.to_pydict()
             keep = [i for i, p in enumerate(tbl["payload"]) if p is not None]
             counts = [
-                _payload_histogram(tbl["payload"][i], tbl["media_type"][i], dim).tolist()
+                _payload_histogram(tbl["payload"][i], tbl["media_type"][i], dim, decoders).tolist()
                 for i in keep
             ]
             yield pa.RecordBatch.from_pydict(

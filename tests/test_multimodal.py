@@ -128,3 +128,107 @@ def test_sample_frames_validation(spark):
     )
     with _pytest.raises(ValueError):
         sample_frames(df, frame_bytes=0)
+
+
+# --- round-11: NON-TEXT binary fixture + registered-decoder parity ---------
+#
+# Until now every media test fed text-as-bytes payloads through the one
+# real codec ("text" = identity). This block feeds genuinely non-text
+# byte patterns with a DECLARED fake media_type and pins both halves of
+# the codec contract (round-11 verdict task #5):
+#   (a) an undeclared codec fails the JOB loudly, naming the type - no
+#       quietly-wrong histogram rows for payloads we cannot decode;
+#   (b) with a decoder REGISTERED (passed by value into the closure so
+#       it reaches executors), histogram and feature outputs match a
+#       pure-python replay of decode+count exactly, across both the
+#       pandas and Arrow implementations.
+
+
+def _synthetic_binary_media(spark, media_type="synthwave"):
+    """Deterministic non-text payloads: byte i of payload k is
+    (k*37 + i*11) % 251 - full 0..250 byte range, nothing utf-8."""
+    rows = []
+    for k in range(1, 6):
+        payload = bytes((k * 37 + i * 11) % 251 for i in range(64 * k))
+        rows.append((k, media_type, payload, len(payload)))
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, n_bytes long"
+    )
+
+
+def _make_xor5a():
+    """The registered fake codec: XOR every byte with 0x5A. Stands in
+    for a real decode (output differs from the raw payload, so a test
+    passing proves the decoder RAN, not that it was skipped). Built as
+    a NESTED function: cloudpickle ships nested functions by VALUE,
+    while a test-module-level function pickles by reference and the
+    executors cannot import the test module."""
+
+    def xor5a(payload: bytes) -> bytes:
+        return bytes(b ^ 0x5A for b in payload)
+
+    return xor5a
+
+
+def test_undeclared_codec_fails_job_loudly(spark):
+    media = _synthetic_binary_media(spark, media_type="undeclared_codec")
+    with pytest.raises(Exception, match="undeclared_codec"):
+        byte_histogram(media).collect()
+
+
+def test_registered_decoder_histogram_parity(spark):
+    """Histogram over DECODED bytes == pure-python replay, for both the
+    mapInPandas and mapInArrow implementations."""
+    from pyspark_data_engineering_assignment_spark.operators.multimodal import (
+        byte_histogram_arrow,
+    )
+
+    xor5a = _make_xor5a()
+    decoders = {"synthwave": xor5a}
+    media = _synthetic_binary_media(spark)
+
+    def expected(k: int, dim: int = 16) -> list[int]:
+        payload = bytes((k * 37 + i * 11) % 251 for i in range(64 * k))
+        hist = [0] * dim
+        for b in xor5a(payload):
+            hist[b % dim] += 1
+        return hist
+
+    for impl in (byte_histogram, byte_histogram_arrow):
+        got = {
+            r["media_id"]: list(r["counts"])
+            for r in impl(media, decoders=decoders).collect()
+        }
+        assert got == {k: expected(k) for k in range(1, 6)}, impl.__name__
+
+
+def test_registered_decoder_feature_parity(spark):
+    xor5a = _make_xor5a()
+    decoders = {"synthwave": xor5a}
+    media = _synthetic_binary_media(spark)
+    feats = {
+        r["media_id"]: np.array(r["feature"], dtype=np.float64)
+        for r in extract_features(media, decoders=decoders).collect()
+    }
+    for k in range(1, 6):
+        payload = bytes((k * 37 + i * 11) % 251 for i in range(64 * k))
+        hist = np.zeros(16)
+        for b in xor5a(payload):
+            hist[b % 16] += 1
+        assert feats[k] == pytest.approx(hist / hist.sum(), abs=1e-6), k
+
+
+def test_mixed_types_one_decoded_one_loud(spark):
+    """A corpus mixing a decodable type with an undecodable one: the
+    job must FAIL (loud contract) rather than emit partial results -
+    partial-and-silent is the failure mode that poisons a 100 TB
+    curation run."""
+    rows = [
+        (1, "text", b"hello", 5),
+        (2, "video", b"\x00\x01\x02", 3),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, n_bytes long"
+    )
+    with pytest.raises(Exception, match="video"):
+        byte_histogram(media).collect()
