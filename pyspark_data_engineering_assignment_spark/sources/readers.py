@@ -49,10 +49,24 @@ def read_csv_stream(
     archive dir must live OUTSIDE the source glob (Spark refuses
     self-overlapping archives); cleaning is best-effort and lags one
     batch behind consumption by design.
+
+    ``enforceSchema=false``: with the default (true), Spark IGNORES each
+    file's header and maps columns POSITIONALLY - a schema-drifted chunk
+    (producer reordered/renamed columns) is silently read with amounts
+    in the customer column, the worst failure mode a 100 TB ingest has
+    (measured round 11: a reordered two-column file reads wrong with
+    zero warnings). With false, every file's header is validated and a
+    drifted file fails the batch LOUDLY, naming the file; the batch has
+    not committed, so fixing or removing the file and restarting from
+    the checkpoint resumes exactly where it stopped (pinned in
+    tests/test_streaming_corrupt_inputs.py). Malformed ROWS under a
+    correct header still just null out (PERMISSIVE) - row damage is
+    quarantinable, header damage is a producer contract breach.
     """
     reader = (
         spark.readStream.format("csv")
         .option("header", "true")
+        .option("enforceSchema", "false")
         .schema(schema)
     )
     if max_files_per_trigger:
