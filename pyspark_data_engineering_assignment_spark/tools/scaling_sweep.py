@@ -68,12 +68,53 @@ def _warm_time(spark, name: str, sf_dir: str) -> float:
     return round(elapsed, 3)
 
 
+def exponent_sweep(spark, names, sf_dirs: dict[str, str]) -> list[dict]:
+    """Round-11 scale-exponent table: warm time per query at each sf in
+    ``sf_dirs`` ({label: dir}, ascending scale), plus the fitted
+    per-decade scaling exponent  e = log10(t_hi / t_lo) / decades.
+    On fixed cores a perfectly linear operator has e = 1.0; at small sf
+    fixed overheads (planning, task launch, exchange setup) amortize, so
+    healthy queries land well under 1. e > 1 means super-linear growth
+    and must be explained by the operator's documented shape (e.g. the
+    brute-force ANN baseline is O(corpus) per query by DESIGN)."""
+    import math
+
+    labels = list(sf_dirs)
+    lo, hi = labels[0], labels[-1]
+    decades = math.log10(float(hi.lstrip("sf")) / float(lo.lstrip("sf")))
+    rows = []
+    for name in names:
+        times = {}
+        err = None
+        for label, d in sf_dirs.items():
+            try:
+                times[label] = _warm_time(spark, name, d)
+            except Exception as exc:  # keep sweeping; record the failure
+                err = f"{label}: {type(exc).__name__}: {exc}"[:200]
+                break
+        row = {"query": name, **times}
+        if err:
+            row["err"] = err
+        elif times[lo] > 0:
+            row["exponent"] = round(
+                math.log10(max(times[hi], 1e-3) / times[lo]) / decades, 3
+            )
+        rows.append(row)
+        print(json.dumps(row, separators=(",", ":")), flush=True)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--queries", default=None)
     ap.add_argument("--src", default=SRC)
     ap.add_argument("--dst", default=DST)
+    ap.add_argument(
+        "--exponents",
+        action="store_true",
+        help="full-registry three-point (sf0.1/sf1/sf10) exponent table",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scaling_sweep")
@@ -90,6 +131,20 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    if args.exponents:
+        all_names = args.queries.split(",") if args.queries else sorted(QUERIES)
+        rows = exponent_sweep(
+            spark,
+            all_names,
+            {
+                "sf0.1": args.src,
+                "sf1": "/root/repo/.scratch/sf1.0",
+                "sf10": "/root/repo/.scratch/sf10",
+            },
+        )
+        print(json.dumps({"exponents": rows}, separators=(",", ":")))
+        return
 
     rows = []
     for name in names:
