@@ -155,7 +155,11 @@ class JdbcStateStore:
         self.spark = spark
         self.max_batch_rows = max_batch_rows
         self._ph = "?" if paramstyle == "qmark" else "%s"
-        self.cur = connect().cursor()
+        # hold the CONNECTION, not just its cursor: psycopg invalidates
+        # cursors when the (otherwise unreferenced) connection is
+        # garbage-collected; duckdb merely tolerates it
+        self.con = connect()
+        self.cur = self.con.cursor()
         self.cur.execute(
             "CREATE TABLE IF NOT EXISTS _applied_batches ("
             "table_name VARCHAR, batch_id BIGINT, meta VARCHAR, "
@@ -177,17 +181,22 @@ class JdbcStateStore:
             self._created.add(spec.name)
 
     def last_batch_id(self, spec: StateTableSpec) -> int:
-        row = self.cur.execute(
+        # execute-then-fetch, never chained: DB-API says execute()
+        # returns an unspecified value (psycopg: None); only DuckDB
+        # happens to return the cursor
+        self.cur.execute(
             f"SELECT batch_id FROM _applied_batches WHERE table_name = {self._ph}",
             [spec.name],
-        ).fetchone()
+        )
+        row = self.cur.fetchone()
         return row[0] if row else -1
 
     def batch_meta(self, spec: StateTableSpec, batch_id: int) -> dict | None:
-        row = self.cur.execute(
+        self.cur.execute(
             f"SELECT batch_id, meta FROM _applied_batches WHERE table_name = {self._ph}",
             [spec.name],
-        ).fetchone()
+        )
+        row = self.cur.fetchone()
         if row and row[0] == batch_id and row[1] is not None:
             return json.loads(row[1])
         return None
@@ -202,7 +211,8 @@ class JdbcStateStore:
         JDBC URL that is the drop-in replacement for this fetch)."""
         self._ensure_table(spec)
         cols = ", ".join(spec.schema.fieldNames())
-        rows = self.cur.execute(f"SELECT {cols} FROM {spec.name}").fetchall()
+        self.cur.execute(f"SELECT {cols} FROM {spec.name}")
+        rows = self.cur.fetchall()
         return self.spark.createDataFrame(rows, spec.schema)
 
     def merge_batch(
