@@ -83,6 +83,14 @@ def feed_chunks_from_df(
     cluster whose drop dir is the shared store the stream source
     watches (the reference's S3 bucket plays that role,
     ``mechanism_x.py:48``).
+
+    Determinism contract (the same one RDD.zipWithIndex carries): the
+    two passes (count offsets, assign indices) must see identical
+    partition contents. The input frame is persisted between them, and
+    the caller's frame should be a DETERMINISTIC lineage (a file scan /
+    narrow projection, as the events feed is) so a cache-evicted block
+    recomputes identically; feeding a nondeterministically-ordered
+    shuffle output could mis-index rows in an evicted block.
     """
     import math
 
