@@ -35,6 +35,32 @@ import pandas as pd
 DEFAULT_CHUNK_ROWS = 10_000  # mechanism_x.py:17
 
 
+def local_publish(tmp_path: str, final_path: str, mtime: float) -> None:
+    """Default publish step: stamp the ordering mtime and atomically
+    rename into the watched directory.
+
+    This is the object-store seam (round-11; the reference PUTs each
+    chunk to S3 with boto3, ``mechanism_x.py:48``, ``:93``). A real
+    deployment passes ``publish_fn`` instead, e.g.::
+
+        def s3_publish(tmp_path, final_path, mtime):
+            # final_path's basename is the object key under the prefix
+            boto3.client("s3").upload_file(
+                tmp_path, BUCKET, f"{PREFIX}/{os.path.basename(final_path)}"
+            )
+            os.unlink(tmp_path)
+
+    The contract publish_fn must honor: visibility is ALL-OR-NOTHING
+    (S3 PUT is atomic; local rename is atomic; never copy-in-place into
+    a watched dir), and for local drops the given mtime must be applied
+    BEFORE the rename (the file stream source orders its backlog by
+    mtime). Errors must propagate - a silently dropped chunk is data
+    loss.
+    """
+    os.utime(tmp_path, (mtime, mtime))
+    os.replace(tmp_path, final_path)
+
+
 def _default_name(part: int) -> str:
     # transactions_chunk_{ts}_{uuid8}_part{n}.csv  (mechanism_x.py:80-82)
     ts = time.strftime("%Y%m%d%H%M%S")
@@ -52,6 +78,7 @@ def feed_chunks_from_df(
     out_dir: str,
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     name_fn=None,
+    publish_fn=None,
 ) -> list[str]:
     """Distributed Mechanism X: split a DataFrame into header-bearing CSV
     chunk files of exactly ``chunk_rows`` rows (last chunk partial)
@@ -99,6 +126,7 @@ def feed_chunks_from_df(
     staging = os.path.join(out_dir, ".staging")
     os.makedirs(staging, exist_ok=True)
     name_fn = name_fn or _default_name
+    publish_fn = publish_fn or local_publish  # ships to executors by value
     cols = list(df.columns)
 
     pid_df = df.withColumn("_pid", F.spark_partition_id()).persist()
@@ -160,9 +188,7 @@ def feed_chunks_from_df(
                 fd, tmp = tempfile.mkstemp(dir=staging_abs, suffix=".tmp")
                 os.close(fd)
                 chunk.to_csv(tmp, index=False, header=True)
-                mtime = base_mtime + part
-                os.utime(tmp, (mtime, mtime))
-                os.replace(tmp, final_path)
+                publish_fn(tmp, final_path, base_mtime + part)
                 rows_out.append((part, len(chunk)))
             if rows_out:  # empty partition: yield nothing (Arrow typing)
                 yield pd.DataFrame(rows_out, columns=["part", "rows"])
@@ -194,6 +220,7 @@ def feed_chunks(
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     interval_s: float = 0.0,
     name_fn=None,
+    publish_fn=None,
 ) -> list[str]:
     """Split ``src_csv`` into chunk files under ``out_dir``; returns the
     written paths in feed order.
@@ -208,6 +235,7 @@ def feed_chunks(
     staging = os.path.join(out_dir, ".staging")
     os.makedirs(staging, exist_ok=True)
     name_fn = name_fn or _default_name
+    publish_fn = publish_fn or local_publish
     written: list[str] = []
     base_mtime = time.time()
     for part, chunk in enumerate(iter_chunks(src_csv, chunk_rows)):
@@ -216,9 +244,7 @@ def feed_chunks(
         os.close(fd)
         chunk.to_csv(tmp, index=False, header=True)  # header per chunk (mechanism_x.py:89)
         # strictly increasing mtimes: the stream source sorts backlog by mtime
-        mtime = base_mtime + part
-        os.utime(tmp, (mtime, mtime))
-        os.replace(tmp, final_path)  # atomic: watcher never sees partial file
+        publish_fn(tmp, final_path, base_mtime + part)
         written.append(final_path)
         if interval_s:
             time.sleep(interval_s)

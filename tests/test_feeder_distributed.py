@@ -144,3 +144,41 @@ def test_distributed_feed_at_sf1(spark, tmp_path):
     ).fetchone()
     assert total == n
     assert customers == tx.select("customer").distinct().count()
+
+
+def test_pluggable_publish_fn(spark, tmp_path):
+    """The object-store seam: a custom publish_fn receives every chunk's
+    tmp file, final path and ordering mtime, and fully replaces the
+    local rename (an S3 deployment PUTs the object instead). The fake
+    here records calls into a directory the assertions read back -
+    executor-side, so it also proves the callable ships by value."""
+    import glob
+    import json as _json
+    import os as _os
+
+    record_dir = str(tmp_path / "record")
+    _os.makedirs(record_dir)
+
+    def recording_publish(tmp, final, mtime):
+        with open(tmp) as f:
+            n_rows = sum(1 for _ in f) - 1  # minus header
+        rec = {"final": _os.path.basename(final), "mtime": mtime, "rows": n_rows}
+        with open(_os.path.join(record_dir, _os.path.basename(final) + ".json"), "w") as f:
+            _json.dump(rec, f)
+        _os.unlink(tmp)  # consumed: nothing lands in the watched dir
+
+    df = spark.range(2_500).selectExpr("id", "id * 2 as v")
+    out = str(tmp_path / "incoming")
+    paths = feed_chunks_from_df(
+        df, out, chunk_rows=1_000, name_fn=_named, publish_fn=recording_publish
+    )
+    assert len(paths) == 3
+    # nothing was locally renamed - the publish_fn owned delivery
+    assert glob.glob(_os.path.join(out, "*.csv")) == []
+    recs = sorted(
+        (_json.load(open(p)) for p in glob.glob(_os.path.join(record_dir, "*.json"))),
+        key=lambda r: r["final"],
+    )
+    assert [r["rows"] for r in recs] == [1_000, 1_000, 500]
+    mtimes = [r["mtime"] for r in recs]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
