@@ -180,3 +180,29 @@ def test_duplicate_redelivery_same_name_is_noop(spark, tmp_path):
 def test_importance_rows_unused():
     """Keep the imported fixture visibly load-bearing (lint guard)."""
     assert len(IMPORTANCE_ROWS) == 3
+
+
+@pytest.mark.parametrize("shape", ["extra_column", "missing_column"])
+def test_column_count_drift_fails_loudly(spark, tmp_path, shape):
+    """The other two drift shapes: a chunk whose header gained or lost a
+    column. Header validation must fail the batch naming the file (the
+    default reader would have read these positionally: an extra leading
+    column shifts every field right; a lost column nulls the tail)."""
+    input_dir, imp_path, chunks = _write_inputs(tmp_path)
+    row = (4, "C9", "3", "M", "28007", "M9", "28007", "es_a", "7.0", 0)
+    if shape == "extra_column":
+        cols = ["ingest_ts", *COLUMNS]
+        rows = [("2024-01-01", *row)]
+    else:
+        cols = COLUMNS[:-1]
+        rows = [row[:-1]]
+    bad_path = os.path.join(input_dir, "chunk_00004.csv")
+    pd.DataFrame(rows, columns=cols).to_csv(bad_path, index=False)
+    mt = _time.time() + 10
+    os.utime(bad_path, (mt, mt))
+
+    pipe, store = _pipe(spark, tmp_path, imp_path)
+    with pytest.raises(Exception, match="chunk_00004"):
+        pipe.run_stream(input_dir, str(tmp_path / "ckpt")).awaitTermination()
+    # committed prefix intact
+    assert sum(_merchant_state(store).values()) == len(ROWS)
