@@ -37,6 +37,13 @@ SENTINELS = [
     "embedding_kmeans_cells",  # iterative clustering (per-round passes)
     "flat_sales_export",  # fact-fact shuffle join (AQE-sized dims)
     "patid1_upgrade",  # reference pattern (percentile + 3 joins)
+    # round-11 full-registry exponent sweep (EXPONENTS_r11.json) adds:
+    "embedding_neardup_scaled",  # the twin of the ONE superlinear query
+    #   (fixed-plane embedding_neardup, e=1.395 by documented design);
+    #   this pins that the SHIPPED scale path stays sub-linear
+    "small_quantity_part_revenue",  # worst measured sub-linear exponent
+    #   (0.805) among relational plans - the earliest query to trip if a
+    #   join/agg shape regresses super-linear
 ]
 
 
