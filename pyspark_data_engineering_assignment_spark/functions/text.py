@@ -111,10 +111,28 @@ def winnow_minima(hashes: Column, window: int = 4) -> Column:
     return F.array_sort(mins)
 
 
+#: ASCII case-fold pair for fingerprinting. Full Unicode lower() is
+#: LIBRARY-dependent - the JVM applies the full mapping (U+0130 ->
+#: "i"+U+0307, 2 code points) while utf8proc/DuckDB applies the simple
+#: mapping (U+0130 -> "i") - so a fingerprint built on lower() is not
+#: reproducible across engines or engine upgrades. Same call ClickHouse
+#: makes: lower() folds ASCII only; full folding is an explicit opt-in
+#: normalization pass, never baked into an identity key.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 hex of the normalized
-    (trimmed, lowercased) text - the exact-dedup key."""
-    return F.md5(F.lower(F.trim(text)))
+    (trimmed, ASCII-case-folded) text - the exact-dedup key.
+
+    Case normalization is deliberately ASCII-only (``translate``, not
+    ``lower``): see ``_ASCII_UPPER``. Non-ASCII case variants ("МИР" vs
+    "мир") are treated as distinct documents - deterministically, in
+    every engine; the round-11 unicode parity sweep
+    (tests/test_unicode_documents_parity.py) pins this cross-engine.
+    """
+    return F.md5(F.translate(F.trim(text), _ASCII_UPPER, _ASCII_LOWER))
 
 
 def shingle_hashes(shingles: Column) -> Column:

@@ -959,7 +959,7 @@ def nations_above_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keepers AS (
         SELECT min(doc_id) AS doc_id
-        FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+        FROM (SELECT doc_id, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp FROM documents)
         GROUP BY fp
     ),
     gated AS (

@@ -77,7 +77,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     """
     SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_id
-    FROM (SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents)
+    FROM (SELECT doc_id, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint FROM documents)
     GROUP BY 1
     """,
     doc="Exact dedup: hash-groupBy on normalized fingerprint; one shuffle "
@@ -1065,13 +1065,13 @@ def doc_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle, a no-op on this data (no null texts).",
     local_oracle="""
     WITH corpus AS (
-        SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+        SELECT DISTINCT md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
         FROM documents WHERE source < 'src1_'
     ),
     batch AS (
         -- doc_id IS NOT NULL mirrors the Spark side: the keeper window
         -- tie-breaks on doc_id (round-10 NULL-PK probe convention)
-        SELECT doc_id, source, md5(lower(trim(text))) AS fingerprint
+        SELECT doc_id, source, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
         FROM documents WHERE source >= 'src1_' AND doc_id IS NOT NULL
     ),
     fresh AS (
@@ -1462,8 +1462,8 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN m < 90 THEN 'val'
                     ELSE 'test' END AS split,
                fp
-        FROM (SELECT md5(lower(trim(text))) AS fp,
-                     ('0x' || substr(md5(md5(lower(trim(text))) || '|' ||
+        FROM (SELECT md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
+                     ('0x' || substr(md5(md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) || '|' ||
                                          'split-v1'), 1, 15))::BIGINT
                          % 100 AS m
               FROM documents)
