@@ -2396,8 +2396,19 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coerces 2.9 -> 2 and true -> 1, silently diverging from
     # events_props_json (whose results this query contractually
     # equals) and from any SQL oracle.
-    k = F.try_variant_get(
-        F.try_parse_json(F.col("props")), "$.k", "string"
+    # coalesce fallback to get_json_object (round-11 unicode-events
+    # parity finding): the Variant spec REJECTS duplicate object keys,
+    # so try_parse_json('{"k":1,"k":2}') is NULL while every string-
+    # path parser here (Jackson get_json_object, DuckDB yyjson) takes
+    # the FIRST value - the variant path silently DROPPED such rows.
+    # The fallback fires only when the variant is unrepresentable
+    # (coalesce short-circuits), keeping the parse-once fast path for
+    # well-formed props and the events_props_json contract for the rest.
+    k = F.coalesce(
+        F.try_variant_get(
+            F.try_parse_json(F.col("props")), "$.k", "string"
+        ),
+        F.get_json_object(F.col("props"), "$.k"),
     ).try_cast("long")
     return (
         e.select(k.alias("k_value"), "user_id")
