@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from dataclasses import dataclass
 from typing import Protocol
 
@@ -238,7 +239,20 @@ class ParquetStateStore:
                         continue  # inside the retention window
                 except OSError:
                     continue  # already gone (concurrent vacuum): not ours to count
-                shutil.rmtree(bdir, ignore_errors=True)
+                # Atomic CLAIM before delete: two vacuums racing on the
+                # same dir would otherwise both pass the getmtime probe
+                # and both count the rmtree (ignore_errors hides the
+                # loser's no-op). os.rename is atomic on POSIX, so
+                # exactly one claimer wins; losers skip. A tombstone
+                # orphaned by a crash mid-delete self-heals: it is never
+                # in ``live``, keeps the stale mtime (rename preserves
+                # it), and is reclaimed by any later vacuum pass.
+                tomb = f"{bdir}.vacuum.{os.getpid()}.{threading.get_ident()}"
+                try:
+                    os.rename(bdir, tomb)
+                except OSError:
+                    continue  # lost the claim to a concurrent vacuum
+                shutil.rmtree(tomb, ignore_errors=True)
                 removed += 1
         for vdir in _glob.glob(os.path.join(self.root, spec.name, "v=*")):
             if not any(e.startswith("_bucket=") for e in os.listdir(vdir)):
