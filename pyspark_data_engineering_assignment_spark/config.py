@@ -50,6 +50,12 @@ class EngineConfig:
     # is committed, i.e. as a later batch starts.
     clean_source: str | None = None
     source_archive_dir: str | None = None
+    # RFC-4180 embedded newlines in quoted CSV fields. False (default)
+    # keeps the fast line-split streaming parse; the feeder then
+    # REFUSES newline-bearing cells at produce time (loud, not silent
+    # shredding). True opts the stream into Spark's multiLine parse -
+    # measured 5.8x slower on the sf1 flagship drain (readers.py).
+    csv_multi_line: bool = False
     # vacuum unreferenced state-store snapshot versions every N committed
     # batches (0 disables). Long-running streams otherwise accumulate one
     # snapshot dir per touched bucket per batch.

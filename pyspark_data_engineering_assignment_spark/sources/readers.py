@@ -19,9 +19,33 @@ from pyspark.sql.types import StructType
 from pyspark_data_engineering_assignment_spark.schemas import IMPORTANCE_SCHEMA, TRANSACTION_SCHEMA
 
 
-def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    """Static CSV scan, header on, schema explicit (never inferred)."""
-    return spark.read.csv(path, header=True, schema=schema)
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    multi_line: bool = False,
+) -> DataFrame:
+    """Static CSV scan, header on, schema explicit (never inferred).
+
+    ``escape='"'`` (round-11 unicode/quoting sweep): Spark's CSV default
+    escape is BACKSLASH, but everything that feeds this engine - pandas
+    ``to_csv`` (the reference's Mechanism X), DuckDB, Excel, RFC 4180 -
+    doubles quotes instead. Under the default, a value containing a
+    quote came back with its quoting characters embedded in the data
+    (measured round 11). Costless and scale-neutral.
+
+    ``multi_line``: quoted fields containing newlines require
+    ``multiLine=true``, which parses each FILE as one split - fine for
+    bounded chunk files, a parallelism cliff for one huge CSV (a single
+    100 GB file becomes a single task). Static bulk scans therefore
+    default to false; callers whose data embeds newlines must opt in
+    (or chunk the file, as the feeder does).
+    """
+    return (
+        spark.read.option("escape", '"')
+        .option("multiLine", str(multi_line).lower())
+        .csv(path, header=True, schema=schema)
+    )
 
 
 def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
@@ -38,6 +62,7 @@ def read_csv_stream(
     max_files_per_trigger: int | None = 1,
     clean_source: str | None = None,
     source_archive_dir: str | None = None,
+    multi_line: bool = False,
 ) -> DataFrame:
     """Streaming file source tailing a directory (local stand-in for the
     reference's S3 prefix, ``Mechanism Y.py:100-105``).
@@ -67,6 +92,16 @@ def read_csv_stream(
         spark.readStream.format("csv")
         .option("header", "true")
         .option("enforceSchema", "false")
+        # RFC-4180 doubled-quote escape (round-11 sweep; see read_csv).
+        .option("escape", '"')
+        # multiLine lets a quoted field contain a newline but switches
+        # univocity to the whole-file parse path - measured 5.8x slower
+        # on the sf1 flagship drain (1M rows: 196k -> 34k rows/s), so
+        # the FAST line-split path stays the default and newline-free
+        # chunks are a producer contract the feeder enforces loudly
+        # (tools/feeder.py allow_multiline). Producers that need
+        # embedded newlines opt in here (EngineConfig.csv_multi_line).
+        .option("multiLine", str(multi_line).lower())
         .schema(schema)
     )
     if max_files_per_trigger:
@@ -110,6 +145,7 @@ def read_csv_audited(
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("escape", '"')  # RFC-4180 doubled quotes (see read_csv)
         .schema(audited)
         .csv(path)
     )

@@ -258,6 +258,7 @@ class DetectionPipeline:
             self.config.max_files_per_trigger,
             clean_source=self.config.clean_source,
             source_archive_dir=self.config.source_archive_dir,
+            multi_line=self.config.csv_multi_line,
         )
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)

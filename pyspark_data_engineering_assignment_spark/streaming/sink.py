@@ -111,6 +111,11 @@ def write_detections(
             .write.mode("overwrite")
             .partitionBy("bucket")
             .option("header", "true")
+            # RFC-4180 output (round-11 sweep): Spark's default CSV
+            # escape is backslash, which pandas/DuckDB/Excel readers
+            # mis-parse when a detection name contains a quote; doubled
+            # quotes round-trip everywhere (readers.py read_csv doc).
+            .option("escape", '"')
             .csv(target)
         )
         return total

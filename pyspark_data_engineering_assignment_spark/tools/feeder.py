@@ -61,6 +61,33 @@ def local_publish(tmp_path: str, final_path: str, mtime: float) -> None:
     os.replace(tmp_path, final_path)
 
 
+def _guard_newline_free(chunk: pd.DataFrame, where: str) -> None:
+    """Producer contract for the DEFAULT fast streaming parse: no cell
+    may embed a newline. Spark's line-split CSV reader (multiLine=false)
+    SHREDS a quoted-newline record into bogus rows with zero warnings -
+    silent corruption, measured round 11 - while the multiLine parse
+    that handles them is 5.8x slower on the flagship drain. So the
+    feeder fails LOUDLY at produce time instead of letting the default
+    reader corrupt; producers with genuine newline data pass
+    ``allow_multiline=True`` here AND ``csv_multi_line=True`` on the
+    consuming EngineConfig."""
+    obj = chunk.select_dtypes(include="object")
+    if obj.empty:
+        return
+    bad = obj.apply(
+        lambda col: col.astype("string").str.contains("[\\r\\n]", regex=True)
+    ).fillna(False)
+    if bool(bad.any().any()):
+        cols = [c for c in bad.columns if bad[c].any()]
+        raise ValueError(
+            f"{where}: cells in column(s) {cols} embed newline characters; "
+            "the default stream parse (multiLine=false) would shred these "
+            "rows. Pass allow_multiline=True and read with "
+            "EngineConfig(csv_multi_line=True), or strip the newlines "
+            "upstream."
+        )
+
+
 def _default_name(part: int) -> str:
     # transactions_chunk_{ts}_{uuid8}_part{n}.csv  (mechanism_x.py:80-82)
     ts = time.strftime("%Y%m%d%H%M%S")
@@ -79,6 +106,7 @@ def feed_chunks_from_df(
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     name_fn=None,
     publish_fn=None,
+    allow_multiline: bool = False,
 ) -> list[str]:
     """Distributed Mechanism X: split a DataFrame into header-bearing CSV
     chunk files of exactly ``chunk_rows`` rows (last chunk partial)
@@ -184,6 +212,8 @@ def feed_chunks_from_df(
                     if len(grps) > 1
                     else grps[0].sort_values("_idx")[cols]
                 )
+                if not allow_multiline:
+                    _guard_newline_free(chunk, f"chunk {part}")
                 final_path = os.path.join(out_dir_abs, names[part])
                 fd, tmp = tempfile.mkstemp(dir=staging_abs, suffix=".tmp")
                 os.close(fd)
@@ -221,6 +251,7 @@ def feed_chunks(
     interval_s: float = 0.0,
     name_fn=None,
     publish_fn=None,
+    allow_multiline: bool = False,
 ) -> list[str]:
     """Split ``src_csv`` into chunk files under ``out_dir``; returns the
     written paths in feed order.
@@ -239,6 +270,8 @@ def feed_chunks(
     written: list[str] = []
     base_mtime = time.time()
     for part, chunk in enumerate(iter_chunks(src_csv, chunk_rows)):
+        if not allow_multiline:
+            _guard_newline_free(chunk, f"chunk {part}")
         final_path = os.path.join(out_dir, name_fn(part))
         fd, tmp = tempfile.mkstemp(dir=staging, suffix=".tmp")
         os.close(fd)
