@@ -30,7 +30,14 @@ import decimal
 import duckdb
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import DataType, DecimalType, LongType, StringType, TimestampType
+from pyspark.sql.types import (
+    DataType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    StringType,
+    TimestampType,
+)
 
 from pyspark_data_engineering_assignment_spark.state.store import StateTableSpec
 
@@ -38,6 +45,8 @@ from pyspark_data_engineering_assignment_spark.state.store import StateTableSpec
 def _ddl_type(dt: DataType) -> str:
     if isinstance(dt, StringType):
         return "VARCHAR"
+    if isinstance(dt, IntegerType):
+        return "INTEGER"
     if isinstance(dt, LongType):
         return "BIGINT"
     if isinstance(dt, DecimalType):
@@ -45,6 +54,43 @@ def _ddl_type(dt: DataType) -> str:
     if isinstance(dt, TimestampType):
         return "TIMESTAMP"
     raise TypeError(f"unsupported state column type: {dt}")
+
+
+def migration_statements(
+    old_spec: StateTableSpec, new_spec: StateTableSpec
+) -> list[str]:
+    """Portable ALTER TABLE plan for evolving ``old_spec`` into
+    ``new_spec`` - the SQL every targeted engine (DuckDB, PostgreSQL)
+    accepts verbatim: ``ADD COLUMN`` (with ``DEFAULT 0`` + backfill for
+    new sum_cols), ``ALTER COLUMN ... SET DATA TYPE`` for type changes
+    (standard syntax, valid in both), ``DROP COLUMN`` for removals.
+    Shared by DuckDBStateStore and JdbcStateStore so the two RDBMS
+    backends cannot drift."""
+    old_fields = {f.name: f for f in old_spec.schema.fields}
+    new_fields = {f.name: f for f in new_spec.schema.fields}
+    stmts = []
+    for name, f in new_fields.items():
+        ddl = _ddl_type(f.dataType)
+        if name not in old_fields:
+            default = " DEFAULT 0" if name in new_spec.sum_cols else ""
+            stmts.append(
+                f"ALTER TABLE {old_spec.name} ADD COLUMN {name} {ddl}{default}"
+            )
+            if name in new_spec.sum_cols:
+                # DEFAULT covers future inserts; backfill existing rows
+                stmts.append(
+                    f"UPDATE {old_spec.name} SET {name} = 0 "
+                    f"WHERE {name} IS NULL"
+                )
+        elif _ddl_type(old_fields[name].dataType) != ddl:
+            stmts.append(
+                f"ALTER TABLE {old_spec.name} ALTER COLUMN {name} "
+                f"SET DATA TYPE {ddl}"
+            )
+    for name in old_fields:
+        if name not in new_fields:
+            stmts.append(f"ALTER TABLE {old_spec.name} DROP COLUMN {name}")
+    return stmts
 
 
 class DuckDBStateStore:
@@ -125,6 +171,39 @@ class DuckDBStateStore:
         rows = self.con.execute(f"SELECT {cols} FROM {spec.name}").fetchall()
         return self.spark.createDataFrame(rows, spec.schema)
 
+    def migrate_schema(
+        self, old_spec: StateTableSpec, new_spec: StateTableSpec
+    ) -> int:
+        """The RDBMS face of ``ParquetStateStore.migrate_schema``: the
+        same evolution expressed as the DDL the reference's Postgres
+        tables would take (ALTER TABLE ADD/DROP COLUMN, ALTER TYPE),
+        with identical rules - keys immutable, added sum_cols default
+        0, other added columns NULL, drops discard, type changes cast.
+        One transaction, so a concurrent reader on another connection
+        sees the old or the new shape, never half. Returns the number
+        of ALTER statements executed."""
+        if old_spec.name != new_spec.name:
+            raise ValueError(
+                f"migrate_schema evolves one table in place: "
+                f"{old_spec.name!r} != {new_spec.name!r}"
+            )
+        if tuple(old_spec.key_cols) != tuple(new_spec.key_cols):
+            raise ValueError(
+                "key columns are the table's identity and cannot be "
+                f"migrated: {old_spec.key_cols} -> {new_spec.key_cols}"
+            )
+        self._ensure_table(old_spec)
+        stmts = migration_statements(old_spec, new_spec)
+        self.con.execute("BEGIN")
+        try:
+            for s in stmts:
+                self.con.execute(s)
+            self.con.execute("COMMIT")
+        except Exception:
+            self.con.execute("ROLLBACK")
+            raise
+        return len(stmts)
+
     def merge_batch(
         self,
         spec: StateTableSpec,
@@ -190,8 +269,13 @@ class DuckDBStateStore:
         # applies the identical filter so both backends agree (pinned by
         # test_null_keyed_rows_excluded_both_backends).
         not_null = " AND ".join(f"{k} IS NOT NULL" for k in spec.key_cols)
+        # target columns NAMED, not positional: after a migrate_schema
+        # the table's physical column order differs from the spec's
+        # (ALTER TABLE ADD COLUMN appends last), and a positional
+        # INSERT would land counters in last_updated
+        target_cols = ", ".join([*spec.key_cols, *spec.sum_cols, "last_updated"])
         sql = (
-            f"INSERT INTO {spec.name} "
+            f"INSERT INTO {spec.name} ({target_cols}) "
             f"SELECT {keys}, {', '.join(agg_exprs)}, {ts_expr} AS last_updated "
             f"FROM batch_view WHERE {not_null} GROUP BY {keys} "
             f"ON CONFLICT ({keys}) DO UPDATE SET "

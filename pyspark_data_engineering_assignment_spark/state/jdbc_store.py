@@ -215,6 +215,41 @@ class JdbcStateStore:
         rows = self.cur.fetchall()
         return self.spark.createDataFrame(rows, spec.schema)
 
+    def migrate_schema(
+        self, old_spec: StateTableSpec, new_spec: StateTableSpec
+    ) -> int:
+        """Schema evolution over the wire protocol: executes the shared
+        portable ALTER plan (``duckdb_store.migration_statements`` -
+        valid DuckDB and PostgreSQL verbatim) in one explicit
+        transaction. Same rules as both other backends: keys immutable,
+        added sum_cols default 0 with backfill, drops discard, type
+        changes cast. Returns the number of statements executed."""
+        if old_spec.name != new_spec.name:
+            raise ValueError(
+                f"migrate_schema evolves one table in place: "
+                f"{old_spec.name!r} != {new_spec.name!r}"
+            )
+        if tuple(old_spec.key_cols) != tuple(new_spec.key_cols):
+            raise ValueError(
+                "key columns are the table's identity and cannot be "
+                f"migrated: {old_spec.key_cols} -> {new_spec.key_cols}"
+            )
+        from pyspark_data_engineering_assignment_spark.state.duckdb_store import (
+            migration_statements,
+        )
+
+        self._ensure_table(old_spec)
+        stmts = migration_statements(old_spec, new_spec)
+        self.cur.execute("BEGIN")
+        try:
+            for s in stmts:
+                self.cur.execute(s)
+            self.cur.execute("COMMIT")
+        except Exception:
+            self.cur.execute("ROLLBACK")
+            raise
+        return len(stmts)
+
     def merge_batch(
         self,
         spec: StateTableSpec,

@@ -255,7 +255,13 @@ class ParquetStateStore:
                 shutil.rmtree(tomb, ignore_errors=True)
                 removed += 1
         for vdir in _glob.glob(os.path.join(self.root, spec.name, "v=*")):
-            if not any(e.startswith("_bucket=") for e in os.listdir(vdir)):
+            try:
+                empty = not any(
+                    e.startswith("_bucket=") for e in os.listdir(vdir)
+                )
+            except OSError:
+                continue  # a concurrent vacuum already removed it
+            if empty:
                 shutil.rmtree(vdir, ignore_errors=True)
         return removed
 
@@ -315,6 +321,82 @@ class ParquetStateStore:
         # every pre-migration snapshot is superseded at once: start its
         # retention clock now (unreference time), not at its write time
         self._mark_unreferenced(spec.name, pointer["versions"])
+        return len(written)
+
+    def migrate_schema(
+        self, old_spec: StateTableSpec, new_spec: StateTableSpec
+    ) -> int:
+        """Evolve the table to ``new_spec``'s schema - the lakehouse
+        ALTER TABLE (a long-lived pipeline WILL add a counter; the
+        reference's Postgres tables would take DDL, sql/postgres_tables
+        .sql:3-25, and a 100 TB parquet state cannot be dropped and
+        re-accumulated).
+
+        Rules: key columns are the table's identity and must be
+        UNCHANGED (a key change is a different table - create one and
+        backfill). Added ``sum_cols`` are filled with typed 0 so reads
+        and additive merges work immediately; other added columns fill
+        NULL; dropped columns discard their data; a same-named column
+        whose type changed is ``cast`` (caller owns cast safety -
+        widenings are safe, narrowings are on them).
+
+        Same pointer dance as ``rebucket``: one full read -> project ->
+        one atomically-swapped new version, so concurrent readers are
+        never torn; ``last_batch_id`` carries over, so replaying a
+        pre-migration batch id stays a no-op; old snapshots start their
+        retention clock at the swap and fall to ``vacuum``. Same
+        single-writer contract as every pointer swap here: run between
+        batches. Returns the number of non-empty buckets written.
+        """
+        if old_spec.name != new_spec.name:
+            raise ValueError(
+                f"migrate_schema evolves one table in place: "
+                f"{old_spec.name!r} != {new_spec.name!r}"
+            )
+        if tuple(old_spec.key_cols) != tuple(new_spec.key_cols):
+            raise ValueError(
+                "key columns are the table's identity and cannot be "
+                f"migrated: {old_spec.key_cols} -> {new_spec.key_cols}"
+            )
+        pointer = self._read_pointer(old_spec.name)
+        version = pointer["next_version"]
+        out = os.path.join(self.root, old_spec.name, f"v={version}")
+        old_cols = set(old_spec.schema.fieldNames())
+        proj = []
+        for f in new_spec.schema.fields:
+            if f.name in old_cols:
+                proj.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif f.name in new_spec.sum_cols:
+                proj.append(F.lit(0).cast(f.dataType).alias(f.name))
+            else:
+                proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+        (
+            self.read_state(old_spec)
+            .select(*proj)
+            # keys unchanged => bucket assignment unchanged; rewrite is
+            # still all-buckets because every file's schema changes
+            .withColumn("_bucket", self._bucket_expr(new_spec, pointer["n_buckets"]))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out)
+        )
+        try:
+            written = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out)
+                if d.startswith("_bucket=")
+            )
+        except FileNotFoundError:  # empty state
+            written = []
+        self._write_pointer(
+            old_spec.name,
+            {
+                **pointer,
+                "versions": {str(b): version for b in written},
+                "next_version": version + 1,
+            },
+        )
+        self._mark_unreferenced(old_spec.name, pointer["versions"])
         return len(written)
 
     def merge_batch(
