@@ -257,3 +257,42 @@ def minhash_signature_md5(hashed_shingles: Column, num_hashes: int) -> Column:
             for i in range(num_hashes)
         ]
     )
+
+
+_NFC_UDF = None
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization - the explicit opt-in pass the
+    fingerprint docstring points to: ``md5_fingerprint`` deliberately
+    does NOT normalize (an identity key must be cheap and
+    engine-stable), so corpora where composed and decomposed spellings
+    of the same word should deduplicate together run this pass first.
+
+    NFC has no JVM built-in in Spark SQL, so this is the one place the
+    text family uses Python - as an Arrow-batched pandas UDF (never
+    row-at-a-time), applying ``unicodedata.normalize("NFC", ...)``.
+    Cross-engine safe: DuckDB's ``nfc_normalize`` implements the same
+    Unicode normalization form and matches bit-for-bit (verified on
+    decomposed accents, combining dakuten, ligatures, astral plane -
+    round-11 unicode sweep), so NFC-based queries stay value-hash
+    oracle-checkable. The UDF is built lazily and cached: creating a
+    pandas UDF needs no session, but deferring keeps import light."""
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _nfc(s):
+            import unicodedata
+
+            return s.map(
+                lambda v: v if v is None else unicodedata.normalize("NFC", v)
+            )
+
+        # real (non-string) annotations: this module's `from __future__
+        # import annotations` would stringify inline hints, which
+        # pandas_udf cannot resolve for a locally-imported pd
+        _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _NFC_UDF = pandas_udf(_nfc, "string")
+    return _NFC_UDF(text)

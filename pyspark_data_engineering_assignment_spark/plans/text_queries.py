@@ -1874,3 +1874,44 @@ def doc_prefix_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 5)
     )
+
+
+@register(
+    "dedup_exact_nfc",
+    None,
+    doc="NFC-normalized exact dedup - the explicit normalization pass "
+    "md5_fingerprint deliberately omits (functions/text.py): composed "
+    "and decomposed spellings of the same word (U+00E9 vs e+U+0301) "
+    "are DISTINCT under the raw fingerprint, and collapse here. NFC "
+    "has no JVM built-in, so normalization runs as an Arrow-batched "
+    "pandas UDF (unicodedata.normalize) - the documented slow-path "
+    "exception, never row-at-a-time; everything downstream (trim, "
+    "ASCII fold, md5, the groupBy shuffle) stays codegen. The oracle "
+    "uses DuckDB's nfc_normalize, verified bit-identical to Python's "
+    "on decomposed accents, combining dakuten, ligatures and astral "
+    "plane (round-11 unicode sweep, which also runs THIS query over "
+    "the hazard corpus). Driver-window neutral (local_oracle).",
+    local_oracle="""
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM (SELECT doc_id,
+                 md5(translate(trim(nfc_normalize(text)),
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def dedup_exact_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.functions.text import (
+        nfc_normalize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            md5_fingerprint(nfc_normalize(F.col("text"))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )

@@ -198,6 +198,7 @@ EXCHANGE_BUDGET = {
     "dedup_canonical": 1,
     "dedup_clusters": 0,
     "dedup_exact": 1,
+    "dedup_exact_nfc": 1,
     "dedup_prefix_groups": 1,
     "distinct_supplier_flags": 1,
     "doc_boilerplate_shingles": 2,
