@@ -56,6 +56,15 @@ class EngineConfig:
     # shredding). True opts the stream into Spark's multiLine parse -
     # measured 5.8x slower on the sf1 flagship drain (readers.py).
     csv_multi_line: bool = False
+    # Quarantine channel (round 11). None (default): schema-failing
+    # rows under a correct header PERMISSIVE-null through, the
+    # pre-round-11 behavior. A directory path: such rows are captured
+    # WHOLE (raw line) via a declared corrupt-record column, written to
+    # quarantine_dir/batch_id=N/ as parquet (idempotent overwrite per
+    # batch, like the detection sink), and EXCLUDED from state and
+    # detections - repair-and-refeed is the operator's call, silent
+    # partial parsing never is.
+    quarantine_dir: str | None = None
     # vacuum unreferenced state-store snapshot versions every N committed
     # batches (0 disables). Long-running streams otherwise accumulate one
     # snapshot dir per touched bucket per batch.

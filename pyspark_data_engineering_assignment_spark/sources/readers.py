@@ -63,9 +63,18 @@ def read_csv_stream(
     clean_source: str | None = None,
     source_archive_dir: str | None = None,
     multi_line: bool = False,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Streaming file source tailing a directory (local stand-in for the
     reference's S3 prefix, ``Mechanism Y.py:100-105``).
+
+    ``corrupt_col`` (round 11): the streaming face of
+    ``read_csv_audited`` - when set, rows that fail the schema under a
+    CORRECT header (untypable field, wrong arity) land WHOLE in this
+    declared column instead of silently nulling fields; the pipeline's
+    quarantine channel filters on it. Header damage still fails the
+    batch loudly (enforceSchema=false below) - row damage is
+    quarantinable, header damage is a producer contract breach.
 
     ``clean_source`` (T6) is the reference's abandoned
     ``cleanSource=archive`` option (``Mechanism Y.py:106-107``), working
@@ -102,8 +111,17 @@ def read_csv_stream(
         # (tools/feeder.py allow_multiline). Producers that need
         # embedded newlines opt in here (EngineConfig.csv_multi_line).
         .option("multiLine", str(multi_line).lower())
-        .schema(schema)
     )
+    if corrupt_col:
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(
+            [*schema.fields, StructField(corrupt_col, StringType(), True)]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    reader = reader.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if clean_source:

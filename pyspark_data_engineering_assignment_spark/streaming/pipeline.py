@@ -120,6 +120,33 @@ class DetectionPipeline:
         y_start = self.clock.now_str()
         if batch_df.isEmpty():  # T8 short-circuit, a single probe job
             return 0
+        raw = None
+        if self.config.quarantine_dir and "_corrupt_record" in batch_df.columns:
+            # quarantine channel: rows the schema rejected under a
+            # correct header arrive with the RAW line in the declared
+            # corrupt column. They are written whole (idempotent
+            # overwrite per batch_id, same replay contract as the
+            # detection sink) and excluded from state/detections -
+            # partial-and-silent is the failure mode that poisons a
+            # 100 TB ingest; repair-and-refeed is the operator's call.
+            # persist FIRST: Spark disallows queries over a raw CSV
+            # scan whose referenced columns are only the corrupt-record
+            # column (SPARK-21610); the cached parse is the sanctioned
+            # route, and the batch is about to be persisted anyway.
+            raw = batch_df.persist()
+            bad = raw.filter(F.col("_corrupt_record").isNotNull())
+            if not bad.isEmpty():
+                bad.select("_corrupt_record").write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.config.quarantine_dir, f"batch_id={batch_id}"
+                    )
+                )
+            batch_df = raw.filter(
+                F.col("_corrupt_record").isNull()
+            ).drop("_corrupt_record")
+            if batch_df.isEmpty():
+                raw.unpersist()
+                return 0
         batch_df.persist()
         try:
             # 1. partial aggregates -> final additive merge (idempotent).
@@ -240,6 +267,8 @@ class DetectionPipeline:
             )
         finally:
             batch_df.unpersist()
+            if raw is not None:
+                raw.unpersist()
 
     # ------------------------------------------------------------------
     def run_stream(self, input_dir: str, checkpoint_dir: str) -> StreamingQuery:
@@ -259,6 +288,9 @@ class DetectionPipeline:
             clean_source=self.config.clean_source,
             source_archive_dir=self.config.source_archive_dir,
             multi_line=self.config.csv_multi_line,
+            corrupt_col=(
+                "_corrupt_record" if self.config.quarantine_dir else None
+            ),
         )
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)
