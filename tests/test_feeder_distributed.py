@@ -182,3 +182,27 @@ def test_pluggable_publish_fn(spark, tmp_path):
     assert [r["rows"] for r in recs] == [1_000, 1_000, 500]
     mtimes = [r["mtime"] for r in recs]
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+
+def test_newline_guard_fires_on_executors(spark, tmp_path):
+    """The distributed feeder enforces the same newline-free producer
+    contract as the local one (round-11 RFC-4180 work) - inside the
+    WRITER task, where the chunk's pandas frame already exists, so the
+    check costs no extra pass. allow_multiline=True lifts it."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "clean"), ("b", "bro\nken")], "id string, payload string"
+    )
+    with pytest.raises(Exception, match="newline"):
+        feed_chunks_from_df(
+            df, str(tmp_path / "incoming"), chunk_rows=10, name_fn=_named
+        )
+    paths = feed_chunks_from_df(
+        df,
+        str(tmp_path / "incoming2"),
+        chunk_rows=10,
+        name_fn=_named,
+        allow_multiline=True,
+    )
+    assert len(paths) == 1
