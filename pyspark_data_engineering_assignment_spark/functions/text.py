@@ -275,9 +275,14 @@ def nfc_normalize(text: Column) -> Column:
     Cross-engine safe: DuckDB's ``nfc_normalize`` implements the same
     Unicode normalization form and matches bit-for-bit (verified on
     decomposed accents, combining dakuten, ligatures, astral plane -
-    round-11 unicode sweep), so NFC-based queries stay value-hash
-    oracle-checkable. The UDF is built lazily and cached: creating a
-    pandas UDF needs no session, but deferring keeps import light."""
+    round-11 unicode sweep; property-tested over arbitrary unicode in
+    tests/test_unicode_properties.py). One known DuckDB-side quirk,
+    pinned there: DuckDB nfc_normalize C-string-truncates some
+    NUL-bearing inputs (``'\\x00\\x80'`` -> ``''``) where this UDF and
+    the JVM preserve NUL - NUL-bearing text is the one shape the
+    dedup_exact_nfc ORACLE cannot check (the engine side is fine).
+    The UDF is built lazily and cached: creating a pandas UDF needs no
+    session, but deferring keeps import light."""
     global _NFC_UDF
     if _NFC_UDF is None:
         import pandas as pd

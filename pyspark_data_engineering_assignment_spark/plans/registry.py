@@ -728,13 +728,20 @@ def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  -- 'abc' / out-of-range - round-9 review findings);
                  -- json_valid guards malformed JSON, which THROWS in
                  -- DuckDB's json functions but nulls in Spark
-                 CASE WHEN trim(js) SIMILAR TO '[+-]?[0-9]+'
-                      THEN TRY_CAST(trim(js) AS BIGINT) END AS k_value
+                 -- jss mirrors Spark's cast-side trim exactly: every
+                 -- char <= 0x20 (tabs, newlines, even NUL), NOTHING
+                 -- above (DuckDB's bare trim also strips NBSP/U+3000,
+                 -- which Spark's cast does not - round-11 property pin)
+                 CASE WHEN jss SIMILAR TO '[+-]?[0-9]+'
+                      THEN TRY_CAST(jss AS BIGINT) END AS k_value
           FROM (SELECT user_id,
-                       json_extract_string(
-                           CASE WHEN props IS NOT NULL
-                                 AND json_valid(props)
-                                THEN props END, '$.k') AS js
+                       regexp_replace(
+                           json_extract_string(
+                               CASE WHEN props IS NOT NULL
+                                     AND json_valid(props)
+                                    THEN props END, '$.k'),
+                           '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                           AS jss
                 FROM events))
     WHERE k_value IS NOT NULL
     GROUP BY 1
@@ -959,7 +966,7 @@ def nations_above_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keepers AS (
         SELECT min(doc_id) AS doc_id
-        FROM (SELECT doc_id, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp FROM documents)
+        FROM (SELECT doc_id, md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp FROM documents)
         GROUP BY fp
     ),
     gated AS (
@@ -967,7 +974,7 @@ def nations_above_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d
         WHERE d.doc_id IN (SELECT doc_id FROM keepers)
           AND d.n_chars >= 100
-          AND len(string_split(trim(d.text), ' ')) >= 20
+          AND len(string_split(trim(d.text, ' '), ' ')) >= 20
     )
     SELECT lang, source, count(*) AS n_docs
     FROM gated GROUP BY 1, 2
@@ -2375,13 +2382,20 @@ def user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                  -- 'abc' / out-of-range - round-9 review findings);
                  -- json_valid guards malformed JSON, which THROWS in
                  -- DuckDB's json functions but nulls in Spark
-                 CASE WHEN trim(js) SIMILAR TO '[+-]?[0-9]+'
-                      THEN TRY_CAST(trim(js) AS BIGINT) END AS k_value
+                 -- jss mirrors Spark's cast-side trim exactly: every
+                 -- char <= 0x20 (tabs, newlines, even NUL), NOTHING
+                 -- above (DuckDB's bare trim also strips NBSP/U+3000,
+                 -- which Spark's cast does not - round-11 property pin)
+                 CASE WHEN jss SIMILAR TO '[+-]?[0-9]+'
+                      THEN TRY_CAST(jss AS BIGINT) END AS k_value
           FROM (SELECT user_id,
-                       json_extract_string(
-                           CASE WHEN props IS NOT NULL
-                                 AND json_valid(props)
-                                THEN props END, '$.k') AS js
+                       regexp_replace(
+                           json_extract_string(
+                               CASE WHEN props IS NOT NULL
+                                     AND json_valid(props)
+                                    THEN props END, '$.k'),
+                           '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                           AS jss
                 FROM events))
     WHERE k_value IS NOT NULL
     GROUP BY 1

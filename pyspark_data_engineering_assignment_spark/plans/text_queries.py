@@ -2,7 +2,7 @@
 
 Oracle convention notes specific to text:
   * tokenization is single-space split of trimmed text in both engines
-    (``split(trim(x), ' ')`` == ``string_split(trim(x), ' ')``);
+    (``split(trim(x, ' '), ' ')`` == ``string_split(trim(x, ' '), ' ')``);
   * set sizes compare as integers; ratio thresholds are integer
     cross-multiplied;
   * md5 of identical bytes is identical hex in both engines.
@@ -77,7 +77,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     """
     SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_id
-    FROM (SELECT doc_id, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint FROM documents)
+    FROM (SELECT doc_id, md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint FROM documents)
     GROUP BY 1
     """,
     doc="Exact dedup: hash-groupBy on normalized fingerprint; one shuffle "
@@ -102,7 +102,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     SELECT prefix, count(*) AS n_docs, min(doc_id) AS keeper_id
     FROM (SELECT doc_id,
-                 array_to_string(list_slice(string_split(trim(text), ' '), 1, 2), ' ')
+                 array_to_string(list_slice(string_split(trim(text, ' '), ' '), 1, 2), ' ')
                      AS prefix
           FROM documents)
     GROUP BY 1 HAVING count(*) > 1
@@ -139,8 +139,8 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
         SELECT doc_id,
-               list_distinct(string_split(trim(text), ' ')) AS toks,
-               string_split(trim(text), ' ')[1] AS bucket
+               list_distinct(string_split(trim(text, ' '), ' ')) AS toks,
+               string_split(trim(text, ' '), ' ')[1] AS bucket
         FROM documents
     ),
     capped AS (
@@ -173,7 +173,7 @@ def ngram_jaccard_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+           CAST(sum(len(string_split(trim(text, ' '), ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY 1, 2
     """,
@@ -193,7 +193,7 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_frequency",
     """
     SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
-    FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    FROM (SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS tok
           FROM documents)
     GROUP BY 1
     """,
@@ -217,12 +217,12 @@ def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            n_chars,
-           len(string_split(trim(text), ' ')) AS n_tokens,
-           len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+           len(string_split(trim(text, ' '), ' ')) AS n_tokens,
+           len(list_distinct(string_split(trim(text, ' '), ' '))) AS n_distinct_tokens,
            CASE WHEN n_chars >= 100
-                     AND len(string_split(trim(text), ' ')) >= 20
-                     AND 100 * len(list_distinct(string_split(trim(text), ' ')))
-                         >= 10 * len(string_split(trim(text), ' '))
+                     AND len(string_split(trim(text, ' '), ' ')) >= 20
+                     AND 100 * len(list_distinct(string_split(trim(text, ' '), ' ')))
+                         >= 10 * len(string_split(trim(text, ' '), ' '))
                 THEN 1 ELSE 0 END AS is_high_quality
     FROM documents
     """,
@@ -301,7 +301,7 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs baseline. Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH t AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+        SELECT doc_id, string_split(trim(text, ' '), ' ') AS toks FROM documents
     ),
     sh AS (
         SELECT doc_id,
@@ -445,7 +445,7 @@ def _simhash_scaled_oracle(
     )
     return f"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS tok
         FROM documents
     ),
     h AS (
@@ -536,7 +536,7 @@ def simhash_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neutral (local_oracle).",
     local_oracle="""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS tok
         FROM documents
     ),
     h AS (
@@ -640,13 +640,13 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS (
         SELECT doc_id,
-               len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+               len(list_intersect(list_distinct(string_split(trim(text, ' '), ' ')),
                                   {_sql_vocab('en')})) AS hits_en,
-               len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+               len(list_intersect(list_distinct(string_split(trim(text, ' '), ' ')),
                                   {_sql_vocab('es')})) AS hits_es,
-               len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+               len(list_intersect(list_distinct(string_split(trim(text, ' '), ' ')),
                                   {_sql_vocab('fr')})) AS hits_fr,
-               len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+               len(list_intersect(list_distinct(string_split(trim(text, ' '), ' ')),
                                   {_sql_vocab('de')})) AS hits_de
         FROM documents
     )
@@ -687,14 +687,14 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            len(text) AS q_chars,
-           len(string_split(trim(text), ' ')) AS q_tokens,
-           len(list_distinct(string_split(trim(text), ' '))) AS q_distinct_tokens,
+           len(string_split(trim(text, ' '), ' ')) AS q_tokens,
+           len(list_distinct(string_split(trim(text, ' '), ' '))) AS q_distinct_tokens,
            len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS q_punct,
-           list_max(list_transform(string_split(trim(text), ' '), x -> len(x)))
+           list_max(list_transform(string_split(trim(text, ' '), ' '), x -> len(x)))
                AS q_max_token_len,
-           CAST(floor(list_sum(list_transform(string_split(trim(text), ' '),
+           CAST(floor(list_sum(list_transform(string_split(trim(text, ' '), ' '),
                                               x -> len(x))) * 100
-                      / len(string_split(trim(text), ' '))) AS BIGINT)
+                      / len(string_split(trim(text, ' '), ' '))) AS BIGINT)
                AS q_mean_token_len_x100
     FROM documents
     """,
@@ -785,7 +785,7 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_winnowing",
     """
     WITH g AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+        SELECT doc_id, string_split(trim(text, ' '), ' ') AS toks FROM documents
     ),
     h AS (
         SELECT doc_id,
@@ -856,8 +856,8 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE d AS (
         SELECT doc_id,
-               list_distinct(string_split(trim(text), ' ')) AS toks,
-               array_to_string(list_slice(string_split(trim(text), ' '), 1, 2),
+               list_distinct(string_split(trim(text, ' '), ' ')) AS toks,
+               array_to_string(list_slice(string_split(trim(text, ' '), ' '), 1, 2),
                                ' ') AS bucket
         FROM documents
     ),
@@ -1065,13 +1065,13 @@ def doc_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle, a no-op on this data (no null texts).",
     local_oracle="""
     WITH corpus AS (
-        SELECT DISTINCT md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
+        SELECT DISTINCT md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
         FROM documents WHERE source < 'src1_'
     ),
     batch AS (
         -- doc_id IS NOT NULL mirrors the Spark side: the keeper window
         -- tie-breaks on doc_id (round-10 NULL-PK probe convention)
-        SELECT doc_id, source, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
+        SELECT doc_id, source, md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
         FROM documents WHERE source >= 'src1_' AND doc_id IS NOT NULL
     ),
     fresh AS (
@@ -1130,7 +1130,7 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- the token array is NULL; without this WHERE the oracle
         -- emitted a NULL/0 row AND pandas float-ified the whole int
         -- column (round-9 corrupt-docs parity finding)
-        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        SELECT doc_id, string_split(trim(text, ' '), ' ') AS toks
         FROM documents WHERE text IS NOT NULL
     ),
     b AS (
@@ -1178,7 +1178,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- assignment would depend on physical row order - violating
         -- the operator's determinism contract (round-10 NULL-PK probe)
         SELECT doc_id, doc_id % 8 AS shard,
-               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens
+               CAST(len(string_split(trim(text, ' '), ' ')) AS BIGINT) AS tokens
         FROM documents WHERE doc_id IS NOT NULL
     ),
     c AS (
@@ -1231,8 +1231,8 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH RECURSIVE d AS (
         SELECT doc_id,
-               list_distinct(string_split(trim(text), ' ')) AS toks,
-               array_to_string(list_slice(string_split(trim(text), ' '), 1, 2),
+               list_distinct(string_split(trim(text, ' '), ' ')) AS toks,
+               array_to_string(list_slice(string_split(trim(text, ' '), ' '), 1, 2),
                                ' ') AS bucket
         FROM documents
     ),
@@ -1347,7 +1347,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a 100x-growing broadcast side, the same hazard class as the "
     "removed broadcast hints. Integer outputs, hash-exact.",
     local_oracle="""
-    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS l
+    WITH tok AS (SELECT doc_id, string_split(trim(text, ' '), ' ') AS l
                  FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(l) - 6, 1)),
@@ -1385,7 +1385,7 @@ def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shingle-partitioned passes; the hot-span table is output-bounded. "
     "Integer outputs, hash-exact. Driver-window neutral (local_oracle).",
     local_oracle="""
-    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS l
+    WITH tok AS (SELECT doc_id, string_split(trim(text, ' '), ' ') AS l
                  FROM documents),
     sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(l) - 6, 1)),
@@ -1420,7 +1420,7 @@ def doc_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum so only integers aggregate (ln parity verified empirically at "
     "all SFs). Driver-window neutral (local_oracle).",
     local_oracle="""
-    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS tok
                FROM documents),
     f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
     tot AS (SELECT count(*) AS n FROM t),
@@ -1462,8 +1462,8 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN m < 90 THEN 'val'
                     ELSE 'test' END AS split,
                fp
-        FROM (SELECT md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
-                     ('0x' || substr(md5(md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) || '|' ||
+        FROM (SELECT md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
+                     ('0x' || substr(md5(md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) || '|' ||
                                          'split-v1'), 1, 15))::BIGINT
                          % 100 AS m
               FROM documents)
@@ -1509,7 +1509,7 @@ _CHUNK_SQL = """
                        ((greatest(len(toks) - 32, 0) + 23) // 24) + 1))
                        AS chunk_idx
             FROM (SELECT doc_id, source,
-                         string_split(trim(text), ' ') AS toks
+                         string_split(trim(text, ' '), ' ') AS toks
                   FROM documents)
         )
 """
@@ -1579,7 +1579,7 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     WITH tf AS (
         SELECT doc_id, tok, count(*) AS tf
-        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM (SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS tok
               FROM documents)
         GROUP BY 1, 2
     ),
@@ -1640,7 +1640,7 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- in DuckDB, and a batch boundary between the tied pair would
         -- reshape both batches (round-10 NULL-PK probe convention)
         SELECT doc_id, source,
-               len(string_split(trim(text), ' ')) AS n_tokens
+               len(string_split(trim(text, ' '), ' ')) AS n_tokens
         FROM documents WHERE doc_id IS NOT NULL
     ),
     b AS (
@@ -1767,7 +1767,7 @@ def media_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cells).",
     local_oracle="""
     WITH t AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+        SELECT doc_id, string_split(trim(text, ' '), ' ') AS toks FROM documents
     ),
     p AS (
         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS term
@@ -1816,10 +1816,10 @@ def doc_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- NULL text gets no blocking bucket (missing data, not
         -- content); matches the Spark side's explicit filter
         SELECT doc_id,
-               array_to_string(list_slice(string_split(trim(text), ' '),
+               array_to_string(list_slice(string_split(trim(text, ' '), ' '),
                                           1, 5), ' ') AS prefix,
-               string_split(trim(text), ' ')[1] || ' ' ||
-                   COALESCE(string_split(trim(text), ' ')[2], '') AS bucket
+               string_split(trim(text, ' '), ' ')[1] || ' ' ||
+                   COALESCE(string_split(trim(text, ' '), ' ')[2], '') AS bucket
         FROM documents WHERE text IS NOT NULL
     ),
     capped AS (
@@ -1894,7 +1894,7 @@ def doc_prefix_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_oracle="""
     SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_id
     FROM (SELECT doc_id,
-                 md5(translate(trim(nfc_normalize(text)),
+                 md5(translate(trim(nfc_normalize(text), ' '),
                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                      'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
           FROM documents)

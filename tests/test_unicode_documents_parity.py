@@ -95,6 +95,13 @@ UNICODE_TEXTS = [
     # U+FEFF (BOM / zero-width no-break space) leading and mid-word
     ("bom_in_text",
      "\ufeffstart mid\ufeffdle end"),
+    # LEADING/TRAILING unicode whitespace (round-11 property finding:
+    # DuckDB's bare trim strips NBSP/U+3000 where Spark's trim strips
+    # U+0020 only - every oracle now spells trim(text, ' ') and these
+    # rows keep that honest through every documents query)
+    ("lead_trail_nbsp", "\u00a0padded words\u00a0"),
+    ("lead_ideographic_space", "\u3000wide lead\u3000"),
+    ("lead_tab_trail_newline", "\tleading tab trailing\n"),
 ]
 
 

@@ -1,0 +1,112 @@
+"""Property pins for the cross-engine unicode primitives (round-11).
+
+The unicode sweeps test curated hazard rows; these properties run the
+same contracts over ARBITRARY hypothesis-generated unicode, guarding
+the library seams against version drift (utf8proc in DuckDB vs the
+CPython unicodedata tables vs the JVM) without needing a Spark
+session - both sides here are engine-library calls, so hundreds of
+examples cost milliseconds:
+
+* DuckDB ``nfc_normalize`` == Python ``unicodedata.normalize("NFC")``
+  (the exact pair ``nfc_normalize``/``dedup_exact_nfc`` rely on)
+* the ASCII-fold fingerprint expression evaluates identically in
+  DuckDB and in a pure-Python replay (md5 + translate + trim as the
+  oracles spell them)
+* NFC idempotence (normalize twice == once) - the property that makes
+  ``dedup_exact_nfc`` stable under re-ingestion of its own output
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# surrogates are unencodable in UTF-8 (parquet/DuckDB reject them);
+# everything else, including astral plane, combining marks, ZWSP, BOM,
+# controls, is fair game
+TEXT = st.text(
+    alphabet=st.characters(exclude_categories=("Cs",)), max_size=200
+)
+# NUL additionally excluded for the NFC property ONLY: DuckDB's
+# nfc_normalize C-string-truncates some NUL-bearing inputs (found by
+# this file's first run: nfc_normalize('\\x00\\x80') = '' while
+# '\\x00' alone passes through) - a DuckDB quirk pinned separately in
+# test_duckdb_nfc_nul_quirk_is_still_there below, documented as the
+# one shape the dedup_exact_nfc oracle cannot check.
+TEXT_NO_NUL = st.text(
+    alphabet=st.characters(exclude_categories=("Cs",), exclude_characters="\x00"),
+    max_size=200,
+)
+
+_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LO = "abcdefghijklmnopqrstuvwxyz"
+_FOLD = str.maketrans(_UP, _LO)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    try:
+        yield c
+    finally:
+        c.close()
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=TEXT_NO_NUL)
+def test_nfc_matches_python(s):
+    c = duckdb.connect()
+    try:
+        d = c.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+    finally:
+        c.close()
+    assert d == unicodedata.normalize("NFC", s)
+
+
+def test_duckdb_nfc_nul_quirk_is_still_there():
+    """Pin the known DuckDB divergence the property above excludes:
+    nfc_normalize truncates some NUL-bearing strings (C-string
+    handling), where Python/the JVM preserve NUL as an ordinary code
+    point. If a DuckDB upgrade FIXES this, this test fails and both
+    the exclusion above and the nfc_normalize docstring note should be
+    dropped."""
+    c = duckdb.connect()
+    try:
+        got = c.execute("SELECT nfc_normalize(?)", ["\x00\x80"]).fetchone()[0]
+    finally:
+        c.close()
+    assert got == "" != unicodedata.normalize("NFC", "\x00\x80")
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=TEXT)
+def test_fingerprint_expression_matches_python_replay(s):
+    c = duckdb.connect()
+    try:
+        d = c.execute(
+            # the EXACT expression the oracles use: two-arg trim,
+            # because DuckDB's bare trim also strips NBSP/U+3000 where
+            # Spark's trim strips U+0020 only (this file's first run
+            # found exactly that on s='\xa0'; 49 oracle sites fixed)
+            "SELECT md5(translate(trim(?, ' '), "
+            f"'{_UP}', '{_LO}'))",
+            [s],
+        ).fetchone()[0]
+    finally:
+        c.close()
+    py = hashlib.md5(
+        s.strip(" ").translate(_FOLD).encode("utf-8")
+    ).hexdigest()
+    assert d == py
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=TEXT)
+def test_nfc_is_idempotent(s):
+    once = unicodedata.normalize("NFC", s)
+    assert unicodedata.normalize("NFC", once) == once
