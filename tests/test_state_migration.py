@@ -169,3 +169,36 @@ def test_parquet_migration_swaps_atomically_and_vacuums(spark, tmp_path):
     assert store.vacuum(ADDED, retention_seconds=3600.0) == 0
     assert store.vacuum(ADDED) == len(before)
     assert _state(store, ADDED) == {"x": (3, 0), "y": (5, 0)}
+
+
+def test_parquet_migration_crash_before_swap_leaves_table_intact(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-atomicity: migrate_schema writes the full new version
+    BEFORE the single pointer swap. A crash between the two (simulated
+    by failing _write_pointer) must leave the table reading the OLD
+    schema and content completely, and a retry must succeed - the
+    orphaned half-written version is unreferenced garbage for vacuum,
+    never visible state."""
+    store = ParquetStateStore(spark, str(tmp_path), n_buckets=4)
+    store.merge_batch(OLD, _agg(spark, OLD, [("x", 3), ("y", 5)]), 0, now=NOW)
+    before_versions = store.bucket_versions(OLD)
+
+    real = ParquetStateStore._write_pointer
+
+    def crash(self, table, pointer):
+        raise RuntimeError("injected crash before pointer swap")
+
+    monkeypatch.setattr(ParquetStateStore, "_write_pointer", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        store.migrate_schema(OLD, ADDED)
+    monkeypatch.setattr(ParquetStateStore, "_write_pointer", real)
+
+    # old pointer untouched: table reads fully under the OLD spec
+    assert store.bucket_versions(OLD) == before_versions
+    assert _state(store, OLD) == {"x": (3,), "y": (5,)}
+    # retry completes; the orphaned version is vacuum fodder
+    store.migrate_schema(OLD, ADDED)
+    assert _state(store, ADDED) == {"x": (3, 0), "y": (5, 0)}
+    assert store.vacuum(ADDED) >= len(before_versions)
+    assert _state(store, ADDED) == {"x": (3, 0), "y": (5, 0)}
