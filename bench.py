@@ -120,12 +120,17 @@ def bench_streaming(spark) -> dict:
         q = pipe.run_stream(indir, os.path.join(tmp, "checkpoint"))
         q.awaitTermination()
         elapsed = time.perf_counter() - t0
+        from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
+            progress_latency_stats,
+        )
+
         return {
             "rows": n,
             "seconds": round(elapsed, 3),
             "rows_per_sec": round(n / elapsed),
             "chunk_rows": 10_000,
             "baseline_offered_rows_per_sec": 10_000,
+            "latency": progress_latency_stats(q),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -146,7 +151,8 @@ def bench_streaming_sf(spark) -> dict:
     try:
         run = run_events_flagship(spark, SF_DIR, tmp)
         return {
-            k: run[k] for k in ("rows", "seconds", "rows_per_sec", "chunk_rows")
+            k: run[k]
+            for k in ("rows", "seconds", "rows_per_sec", "chunk_rows", "latency")
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -176,10 +182,59 @@ def bench_streaming_sf1(spark) -> dict:
     try:
         run = run_events_flagship(spark, sf1_dir, tmp)
         return {
-            k: run[k] for k in ("rows", "seconds", "rows_per_sec", "chunk_rows")
+            k: run[k]
+            for k in ("rows", "seconds", "rows_per_sec", "chunk_rows", "latency")
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_streaming_latency(spark) -> dict:
+    """Per-trigger commit-latency percentiles (round-12 verdict task #6):
+    the throughput sections above drain their whole backlog in ONE
+    availableNow batch, so a stalled trigger would hide inside the
+    average. This probe re-drains the same feeds capped at
+    maxFilesPerTrigger so the run is genuinely multi-batch - sf0.1 at 1
+    file (10k rows)/trigger = the reference feeder's offered cadence,
+    sf1 at 10 files (100k rows)/trigger - and reports nearest-rank
+    p50/p95/max of durationMs.triggerExecution per non-empty batch
+    (streaming/pipeline.py:progress_latency_stats)."""
+    from pyspark_data_engineering_assignment_spark.tools.events_feed import (
+        run_events_flagship,
+    )
+
+    out: dict[str, dict] = {}
+    sf_label = "sf" + SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    tmp = tempfile.mkdtemp(prefix="stream_lat_sf01_")
+    try:
+        run = run_events_flagship(spark, SF_DIR, tmp, max_files_per_trigger=1)
+        out[sf_label] = dict(
+            run["latency"],
+            rows=run["rows"],
+            seconds=run["seconds"],
+            max_files_per_trigger=1,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch", "sf1.0"),
+    )
+    if not os.path.isdir(sf1_dir):
+        out["sf1"] = {"skipped": f"sf1 dir absent: {sf1_dir}"}
+        return out
+    tmp = tempfile.mkdtemp(prefix="stream_lat_sf1_")
+    try:
+        run = run_events_flagship(spark, sf1_dir, tmp, max_files_per_trigger=10)
+        out["sf1"] = dict(
+            run["latency"],
+            rows=run["rows"],
+            seconds=run["seconds"],
+            max_files_per_trigger=10,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def _solo_converged_warm(name: str, runs: int = 4) -> float | None:
@@ -337,6 +392,7 @@ def main() -> None:
     streaming = bench_streaming(spark)
     streaming_sf = bench_streaming_sf(spark)
     streaming_sf1 = bench_streaming_sf1(spark)
+    streaming_latency = bench_streaming_latency(spark)
     # The driver captures only the last ~2000 chars of stdout and parses the
     # final line as the headline JSON.  r04's single combined line outgrew
     # that window (parsed: null), and r05's stdout detail line outgrew it
@@ -358,6 +414,7 @@ def main() -> None:
         "streaming": streaming,
         "streaming_sf": streaming_sf,
         "streaming_sf1": streaming_sf1,
+        "streaming_latency": streaming_latency,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -373,6 +430,7 @@ def main() -> None:
         "streaming_rows_per_sec": streaming["rows_per_sec"],
         "streaming_sf": streaming_sf,
         "streaming_sf1": streaming_sf1,
+        "streaming_latency": streaming_latency,
     }
     print(json.dumps(summary, separators=(",", ":")))
 

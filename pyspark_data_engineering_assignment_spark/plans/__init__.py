@@ -70,6 +70,16 @@ _PROMOTE = [
     "user_spend_anomalies",
     "value_decile_profile",
     "value_hour_regression_stats",
+    # round 12 (VERDICT r11 task #2): dedup_exact_nfc was the one
+    # registry query never driver-sampled (added round 11 with a local
+    # oracle only); promote it into the frozen window in exchange for
+    # long-green rollup_lineitem_status (driver-green since round 1,
+    # its ROLLUP evidence redundant with orders_status_priority_cube's
+    # CUBE + returnflag_pivot's lineitem aggregation - demoted below,
+    # keeps the identical check as a local oracle). FROZEN_WINDOW in
+    # tests/test_registry_stability.py is updated in the same commit -
+    # that update IS the promotion note the pin prescribes.
+    "dedup_exact_nfc",
 ]
 _DEMOTE = [
     # round 7 demotions (stay local)
@@ -90,6 +100,8 @@ _DEMOTE = [
     "embedding_quantization_error",
     # round 8: one more long-green slot ceded to the promotions
     "events_value_brackets",
+    # round 12: slot ceded to dedup_exact_nfc (see _PROMOTE note)
+    "rollup_lineitem_status",
 ]
 from dataclasses import replace as _replace
 

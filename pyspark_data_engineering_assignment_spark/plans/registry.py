@@ -729,9 +729,12 @@ def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  -- json_valid guards malformed JSON, which THROWS in
                  -- DuckDB's json functions but nulls in Spark
                  -- jss mirrors Spark's cast-side trim exactly: every
-                 -- char <= 0x20 (tabs, newlines, even NUL), NOTHING
-                 -- above (DuckDB's bare trim also strips NBSP/U+3000,
-                 -- which Spark's cast does not - round-11 property pin)
+                 -- char <= 0x20 (tabs, newlines, even NUL) PLUS DEL
+                 -- 0x7F (Java isWhitespace covers neither but the
+                 -- cast's UTF8String.trimAll does strip it - round-12
+                 -- advice fix), NOTHING above (DuckDB's bare trim also
+                 -- strips NBSP/U+3000, which Spark's cast does not -
+                 -- round-11 property pin)
                  CASE WHEN jss SIMILAR TO '[+-]?[0-9]+'
                       THEN TRY_CAST(jss AS BIGINT) END AS k_value
           FROM (SELECT user_id,
@@ -740,7 +743,7 @@ def events_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                CASE WHEN props IS NOT NULL
                                      AND json_valid(props)
                                     THEN props END, '$.k'),
-                           '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                           '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g')
                            AS jss
                 FROM events))
     WHERE k_value IS NOT NULL
@@ -2383,9 +2386,12 @@ def user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                  -- json_valid guards malformed JSON, which THROWS in
                  -- DuckDB's json functions but nulls in Spark
                  -- jss mirrors Spark's cast-side trim exactly: every
-                 -- char <= 0x20 (tabs, newlines, even NUL), NOTHING
-                 -- above (DuckDB's bare trim also strips NBSP/U+3000,
-                 -- which Spark's cast does not - round-11 property pin)
+                 -- char <= 0x20 (tabs, newlines, even NUL) PLUS DEL
+                 -- 0x7F (Java isWhitespace covers neither but the
+                 -- cast's UTF8String.trimAll does strip it - round-12
+                 -- advice fix), NOTHING above (DuckDB's bare trim also
+                 -- strips NBSP/U+3000, which Spark's cast does not -
+                 -- round-11 property pin)
                  CASE WHEN jss SIMILAR TO '[+-]?[0-9]+'
                       THEN TRY_CAST(jss AS BIGINT) END AS k_value
           FROM (SELECT user_id,
@@ -2394,7 +2400,7 @@ def user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                                CASE WHEN props IS NOT NULL
                                      AND json_valid(props)
                                     THEN props END, '$.k'),
-                           '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                           '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g')
                            AS jss
                 FROM events))
     WHERE k_value IS NOT NULL

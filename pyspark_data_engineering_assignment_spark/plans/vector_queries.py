@@ -385,27 +385,31 @@ def _embedding_neardup_scaled_oracle(
 
 
 @register(
-    "embedding_neardup_scaled",
+    "embedding_neardup",
     None,
-    doc="OCCUPANCY-SCALED twin of embedding_neardup - the 100 TB "
-    "configuration, registered so the bench actually RUNS the "
-    "scale-safe shape instead of only documenting it: n_planes = "
+    doc="Embedding-cosine near-duplicate pairs (cos >= 0.9) within LSH "
+    "buckets, 1-bit multi-probe on the self-join's left side - "
+    "OCCUPANCY-SCALED by default (round 12): n_planes = "
     "recommended_n_planes(corpus.count()) (operators/similarity.py), "
     "so bucket occupancy stays ~8 and within-bucket pair work stays "
-    "~linear in the corpus (round-7 sf10 sweep measured the fixed-8-"
-    "plane cliff: 1008s at 200k vectors vs 15.9s occupancy-scaled, "
-    "~98% pair retention; THIS query re-measured round 8: 12.2s at "
-    "2M vectors, 9.4x for 10x data = the linear asymptote, vs the "
-    "pinned-plane quadratic). The oracle derives the SAME width from "
-    "count(*) in SQL and masks a 24-plane signature family (prefix "
-    "property of the sequential RNG), so the twin stays value-hash "
-    "checked at EVERY sf - the fixed-parameter original remains the "
-    "driver-rotation/bit-exactness baseline. The corpus count is one "
+    "~linear in the corpus. The previous fixed-8-plane default was the "
+    "registry's ONE measured superlinear plan (EXPONENTS_r11_close: "
+    "e=1.565/decade, 917s at sf10; occupancy-scaled twin e=0.78, 22x "
+    "faster at sf10 with ~98% pair retention per the round-7 sweep) - "
+    "it is demoted to the test-only bit-exactness/recall baseline "
+    "embedding_neardup_fixedplane below, the same pattern as the "
+    "uncapped ngram_jaccard_neardup. The oracle derives the SAME width "
+    "from count(*) in SQL and masks a 24-plane signature family "
+    "(prefix property of the sequential RNG), so the query stays "
+    "value-hash checked at EVERY sf. The corpus count is one "
     "metadata-sized driver crossing, same class as pyspark.ml's. "
-    "Driver-window neutral (local_oracle).",
+    "Planted-near-dup detection additionally tested in "
+    "tests/test_similarity.py (distinguishes '0 rows because no "
+    "near-dups exist' from broken). Driver-window neutral "
+    "(local_oracle).",
     local_oracle=_embedding_neardup_scaled_oracle(),
 )
-def embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_engineering_assignment_spark.operators.similarity import (
         recommended_n_planes,
     )
@@ -415,25 +419,19 @@ def embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb, n_planes=n_planes, min_cosine=0.9)
 
 
-@register(
-    "embedding_neardup",
-    None,
-    doc="Embedding-cosine near-duplicate pairs (cos >= 0.9) within LSH "
-    "buckets, 1-bit multi-probe on the self-join's left side. "
-    "Value-hash oracle-checked (upgraded from rows-only) by the same "
-    "construction as ann_lsh_topk: literal hyperplanes + sequential "
-    "folds make buckets and cosines bit-identical cross-engine. "
-    "Planted-near-dup detection additionally tested in "
-    "tests/test_similarity.py (distinguishes '0 rows because no "
-    "near-dups exist' from broken). SCALE NOTE (round-7 sf10 smoke): "
-    "n_planes=8 is pinned for the bit-exact oracle and right for bench "
-    "sf; bucket work grows ~occupancy^2, so at larger corpora raise "
-    "n_planes ~log2(corpus) - measured at 200k vectors: 1008s @ 8 "
-    "planes -> 15.9s @ 16 with ~98% of true pairs retained. "
-    "Driver-window neutral (local_oracle).",
-    local_oracle=_embedding_neardup_oracle(),
-)
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup_fixedplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-8-plane near-dup baseline - UNREGISTERED since round 12.
+
+    This was the registered ``embedding_neardup`` plan through round
+    11: 8 pinned hyperplanes = 256 buckets, so occupancy grows linearly
+    with the corpus and in-bucket pair work ~occupancy^2 - the
+    registry's one measured superlinear plan (e=1.565/decade, 916.7s at
+    sf10, EXPONENTS_r11_close.json). Kept ONLY as the test-time
+    bit-exactness/recall baseline for the occupancy-scaled registered
+    query (tests/test_similarity.py proves the scaled plan retains its
+    pairs at bench sf; tests/test_oracle_parity.py keeps it value-hash
+    checked vs _embedding_neardup_oracle at sf0.001/0.01), mirroring
+    how the uncapped ngram_jaccard_neardup is retained."""
     return embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), min_cosine=0.9
     )

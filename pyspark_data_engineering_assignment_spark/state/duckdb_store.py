@@ -62,8 +62,12 @@ def migration_statements(
     """Portable ALTER TABLE plan for evolving ``old_spec`` into
     ``new_spec`` - the SQL every targeted engine (DuckDB, PostgreSQL)
     accepts verbatim: ``ADD COLUMN`` (with ``DEFAULT 0`` + backfill for
-    new sum_cols), ``ALTER COLUMN ... SET DATA TYPE`` for type changes
-    (standard syntax, valid in both), ``DROP COLUMN`` for removals.
+    new sum_cols), ``ALTER COLUMN ... SET DATA TYPE ... USING CAST``
+    for type changes (the explicit USING clause matters: PostgreSQL
+    rejects ``SET DATA TYPE`` without it for any change lacking an
+    assignment cast, e.g. VARCHAR->BIGINT, while DuckDB accepts the
+    USING form too - round-12 advice fix; only the DuckDB dialect is
+    exercised by tests in this sandbox), ``DROP COLUMN`` for removals.
     Shared by DuckDBStateStore and JdbcStateStore so the two RDBMS
     backends cannot drift."""
     old_fields = {f.name: f for f in old_spec.schema.fields}
@@ -85,7 +89,7 @@ def migration_statements(
         elif _ddl_type(old_fields[name].dataType) != ddl:
             stmts.append(
                 f"ALTER TABLE {old_spec.name} ALTER COLUMN {name} "
-                f"SET DATA TYPE {ddl}"
+                f"SET DATA TYPE {ddl} USING CAST({name} AS {ddl})"
             )
     for name in old_fields:
         if name not in new_fields:

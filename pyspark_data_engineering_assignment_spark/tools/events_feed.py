@@ -83,6 +83,7 @@ def run_events_flagship(
     workdir: str,
     chunk_rows: int = 10_000,
     store_factory=None,
+    max_files_per_trigger: int | None = None,
 ) -> dict:
     """Feed ``sf_dir``'s events (mapped to transactions) through the full
     DetectionPipeline with availableNow and return run facts:
@@ -140,15 +141,21 @@ def run_events_flagship(
         store,
         read_importance(spark, imp_path),
         os.path.join(workdir, "detections"),
-        # drain the whole backlog per trigger: per-batch overhead is
-        # fixed, so sustained throughput is set by batch size
-        config=EngineConfig(max_files_per_trigger=None),
+        # default None drains the whole backlog per trigger: per-batch
+        # overhead is fixed, so sustained throughput is set by batch
+        # size; the bench's latency probe instead caps files/trigger to
+        # force a multi-batch drain and measure per-trigger latency
+        config=EngineConfig(max_files_per_trigger=max_files_per_trigger),
         clock=FixedClock(),
     )
     t0 = time.perf_counter()
     q = pipe.run_stream(incoming, os.path.join(workdir, "checkpoint"))
     q.awaitTermination()
     elapsed = time.perf_counter() - t0
+    from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
+        progress_latency_stats,
+    )
+
     return {
         "rows": n_rows,
         "seconds": round(elapsed, 3),
@@ -157,4 +164,5 @@ def run_events_flagship(
         "chunks": chunks,
         "store": store,
         "detections_dir": os.path.join(workdir, "detections"),
+        "latency": progress_latency_stats(q),
     }

@@ -205,7 +205,6 @@ def test_det_oracles_agree_on_corrupt_vectors(spark, tmp_path):
             "label_centroid_dims",
             "ann_lsh_topk",
             "embedding_neardup",
-            "embedding_neardup_scaled",
             "embedding_quantization_error",
         ):
             spec = QUERIES[name]

@@ -222,7 +222,6 @@ EXCHANGE_BUDGET = {
     "doc_winnowing": 0,
     "embedding_kmeans_cells": 3,
     "embedding_neardup": 2,
-    "embedding_neardup_scaled": 2,
     "embedding_norms": 0,
     "embedding_quantization_error": 1,
     "event_burst_compaction": 1,
@@ -637,7 +636,6 @@ def test_registry_hint_budget(spark):
         "doc_unigram_surprisal": 2,
         "embedding_kmeans_cells": 1,
         "embedding_neardup": 1,
-        "embedding_neardup_scaled": 1,
         "event_reach_setops_kmv": 2,
         "events_hourly_gapfill": 1,
         "flat_sales_export": 3,

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
 # The exact window as of the round-10 close (CORRECTNESS_r10.json keys,
-# all 50 green). Order matters: the driver samples by position.
+# all 50 green), with ONE deliberate round-12 promotion - this edit is
+# the promotion note the module docstring prescribes: dedup_exact_nfc
+# (added round 11, the only query never driver-sampled) swaps in for
+# long-green rollup_lineitem_status (driver-green r1-r11; demoted to
+# local_oracle in plans/__init__.py, keeping the identical
+# rows+schema+value-hash check in tests/test_oracle_parity.py).
+# Order matters: the driver samples by position.
 FROZEN_WINDOW = [
     "patid2_child",
     "patid3_dei",
@@ -29,7 +35,6 @@ FROZEN_WINDOW = [
     "pricing_summary",
     "revenue_by_nation",
     "returnflag_pivot",
-    "rollup_lineitem_status",
     "events_hourly",
     "events_sessions",
     "purchase_asof_click",
@@ -71,6 +76,7 @@ FROZEN_WINDOW = [
     "doc_chunk_overlap",
     "chunk_dedup_stats",
     "doc_length_batching",
+    "dedup_exact_nfc",
     "ann_cosine_topk",
     "conversion_lag_stats",
 ]

@@ -38,9 +38,11 @@ SENTINELS = [
     "flat_sales_export",  # fact-fact shuffle join (AQE-sized dims)
     "patid1_upgrade",  # reference pattern (percentile + 3 joins)
     # round-11 full-registry exponent sweep (EXPONENTS_r11.json) adds:
-    "embedding_neardup_scaled",  # the twin of the ONE superlinear query
-    #   (fixed-plane embedding_neardup, e=1.395 by documented design);
-    #   this pins that the SHIPPED scale path stays sub-linear
+    "embedding_neardup",  # occupancy-scaled by default since round 12
+    #   (the fixed-plane plan it replaced was the ONE superlinear query,
+    #   e=1.565 at r11 close, now the unregistered test-only baseline
+    #   embedding_neardup_fixedplane); this pins that the SHIPPED
+    #   scale path stays sub-linear
     "small_quantity_part_revenue",  # worst measured sub-linear exponent
     #   (0.805) among relational plans - the earliest query to trip if a
     #   join/agg shape regresses super-linear

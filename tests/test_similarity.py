@@ -335,3 +335,86 @@ def test_probe_ivf_query_side_carries_no_broadcast_hint(spark, emb):
     )._jdf.queryExecution().analyzed().toString()
     hints = plan.count("UnresolvedHint") + plan.count("ResolvedHint")
     assert hints == 1, f"expected exactly the centroid broadcast, got {hints}:\n{plan[:2000]}"
+
+
+def _planted_64d_sfdir(tmp_path) -> str:
+    """A minimal sf_dir holding only embeddings.parquet: 120 random
+    64-dim gaussian vectors plus one exact duplicate (0,300) and one
+    tiny perturbation (1,301) - so the near-dup queries return rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(11)
+    dim = 64
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(120)]
+    rows.append((300, list(rows[0][1])))
+    rows.append((301, [x + rng.gauss(0.0, 0.005) for x in rows[1][1]]))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(r[1], dtype=np.float32) for r in rows],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_neardup_fixedplane_baseline_oracle_parity(spark, tmp_path):
+    """Round-12 demotion pin: the fixed-8-plane plan (the registered
+    ``embedding_neardup`` through round 11, retired for its measured
+    superlinear exponent e=1.565) survives as an UNREGISTERED test-only
+    baseline - this keeps it value-hash checked vs its DuckDB oracle on
+    a corpus with planted near-dups (non-empty parity, unlike the
+    sf0.001 registry gate where the result is legitimately empty), the
+    same pattern as the uncapped ngram_jaccard_neardup baseline."""
+    import duckdb
+
+    from tests.oracle_harness import compare_query
+    from pyspark_data_engineering_assignment_spark.plans.vector_queries import (
+        _embedding_neardup_oracle,
+        embedding_neardup_fixedplane,
+    )
+
+    sf = _planted_64d_sfdir(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    try:
+        assert embedding_neardup_fixedplane(spark, sf).count() >= 2
+        ok, msg = compare_query(
+            spark, con, embedding_neardup_fixedplane, _embedding_neardup_oracle(), sf
+        )
+        assert ok, f"fixed-plane baseline diverged: {msg}"
+    finally:
+        con.close()
+
+
+def test_neardup_scaled_default_finds_planted_pairs_and_matches_oracle(
+    spark, tmp_path
+):
+    """The registered ``embedding_neardup`` (occupancy-scaled by default
+    since round 12) must (a) stay value-hash identical to its
+    count-derived-width oracle on a NON-empty corpus and (b) find the
+    planted exact-dup and perturbation pairs - proving the demotion of
+    the fixed-plane plan lost no detection power on true near-dups."""
+    import duckdb
+
+    from tests.oracle_harness import compare_query
+    from pyspark_data_engineering_assignment_spark.plans import QUERIES
+
+    sf = _planted_64d_sfdir(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    try:
+        spec = QUERIES["embedding_neardup"]
+        ok, msg = compare_query(
+            spark, con, spec.fn, spec.oracle or spec.local_oracle, sf
+        )
+        assert ok, f"occupancy-scaled default diverged: {msg}"
+        pairs = {(r["id_a"], r["id_b"]) for r in spec.fn(spark, sf).collect()}
+        assert (0, 300) in pairs and (1, 301) in pairs, pairs
+    finally:
+        con.close()

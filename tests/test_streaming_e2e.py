@@ -675,3 +675,58 @@ def test_malformed_chunk_is_not_a_poison_pill(spark, tmp_path):
     assert None not in m
     # and the stream really consumed the poison batch (id advanced past it)
     assert store.last_batch_id(MERCHANT_SUMMARY) == 4
+
+
+def test_progress_latency_stats_multi_batch(spark, tmp_path):
+    """Round-12 bench addition: per-trigger commit-latency percentiles.
+
+    Drain the sf0.001 events feed (1000 rows) in 250-row chunks at
+    maxFilesPerTrigger=1 so the availableNow run is genuinely
+    multi-batch, then pin progress_latency_stats's contract: one sample
+    per NON-EMPTY batch (the trailing zero-input probe is excluded),
+    nearest-rank p50 <= p95 <= max, all positive ints."""
+    from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
+        progress_latency_stats,
+    )
+    from pyspark_data_engineering_assignment_spark.tools.events_feed import (
+        run_events_flagship,
+    )
+
+    run = run_events_flagship(
+        spark,
+        "/root/testdata/sf0.001",
+        str(tmp_path),
+        chunk_rows=250,
+        max_files_per_trigger=1,
+    )
+    lat = run["latency"]
+    n_chunks = len(run["chunks"])
+    assert n_chunks >= 3, run["chunks"]
+    assert lat["n_batches"] == n_chunks, lat
+    assert 0 < lat["p50_ms"] <= lat["p95_ms"] <= lat["max_ms"], lat
+    assert all(isinstance(lat[k], int) for k in ("p50_ms", "p95_ms", "max_ms"))
+
+
+def test_progress_latency_stats_percentile_math():
+    """Nearest-rank percentile pin on a synthetic progress history (no
+    Spark): 10 batches of known durations -> p50 = 5th-smallest, p95 =
+    10th-smallest; empty/idle-only histories -> n_batches 0."""
+    from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
+        progress_latency_stats,
+    )
+
+    class FakeQuery:
+        def __init__(self, progress):
+            self.recentProgress = progress
+
+    durs = [100, 20, 30, 40, 50, 60, 70, 80, 90, 10]
+    hist = [
+        {"numInputRows": 5, "durationMs": {"triggerExecution": d}} for d in durs
+    ]
+    hist.append({"numInputRows": 0, "durationMs": {"triggerExecution": 1}})
+    got = progress_latency_stats(FakeQuery(hist))
+    assert got == {"n_batches": 10, "p50_ms": 50, "p95_ms": 100, "max_ms": 100}
+    assert progress_latency_stats(FakeQuery([])) == {"n_batches": 0}
+    assert progress_latency_stats(
+        FakeQuery([{"numInputRows": 0, "durationMs": {"triggerExecution": 9}}])
+    ) == {"n_batches": 0}

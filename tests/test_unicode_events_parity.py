@@ -92,6 +92,17 @@ def unicode_events_sf(tmp_path_factory):
         e(nxt + 13, base.replace(hour=23, minute=20), 6, emoji, 12.0),
         e(nxt + 14, base.replace(hour=23, minute=30), 6, cjk, 13.0),
         e(nxt + 15, base.replace(hour=23, minute=40), 6, cjk, 14.0),
+        # DEL (0x7F): Spark's string->long cast trims chars <= 0x20 AND
+        # 0x7F (UTF8String.trimAll; verified try_cast('123\x7f')=123 on
+        # the installed Spark) - the oracle's trim-mirror class is
+        # [\x00-\x20\x7f] (round-12 advice fix). Interior DEL must stay
+        # NULL in both engines.
+        e(nxt + 16, base.replace(hour=23, minute=50), 7, "view", 15.0,
+          props='{"k": "123"}'),
+        e(nxt + 17, base.replace(hour=23, minute=55), 7, "view", 16.0,
+          props='{"k": "\\t 45"}'),
+        e(nxt + 18, base.replace(hour=23, minute=59), 7, "view", 17.0,
+          props='{"k": "123"}'),
     ]
     sf = tmp_path_factory.mktemp("unicode_events_sf")
     pq.write_table(
