@@ -261,8 +261,28 @@ class ParquetStateStore:
                 )
             except OSError:
                 continue  # a concurrent vacuum already removed it
-            if empty:
-                shutil.rmtree(vdir, ignore_errors=True)
+            if not empty:
+                continue
+            # A version dir with no _bucket= children is NOT necessarily
+            # garbage: a concurrent writer's brand-new v= dir holds only
+            # the output committer's _temporary tree until the first
+            # bucket commits - the round-12 multi-PROCESS axis caught
+            # this sweep rmtree-ing _temporary out from under an
+            # in-flight cross-process merge (TASK_WRITE_FAILED on the
+            # writer). Spare such dirs until they age past the SAME
+            # retention cutoff as bucket snapshots: an in-flight dir is
+            # always fresh, while one orphaned by a crashed writer goes
+            # stale and is reclaimed by the first vacuum after the
+            # window. With retention 0 the caller is asserting the
+            # documented single-writer context (the foreachBatch
+            # pipeline), where nothing can be in flight during vacuum.
+            try:
+                in_flight = "_temporary" in os.listdir(vdir)
+                if in_flight and os.path.getmtime(vdir) > cutoff:
+                    continue
+            except OSError:
+                continue  # already gone (concurrent vacuum)
+            shutil.rmtree(vdir, ignore_errors=True)
         return removed
 
     def rebucket(self, spec: StateTableSpec, new_n_buckets: int) -> int:

@@ -1,0 +1,311 @@
+"""Multi-PROCESS state-store concurrency pins (round-12 verdict task #3).
+
+Round 11 pinned the ParquetStateStore's concurrency contracts against
+driver THREADS (tests/test_state_concurrency.py). The remaining axis is
+separate OS processes - two independent Python/Spark drivers sharing one
+store directory, the way two jobs on a cluster share one lakehouse
+table:
+
+* merges to DIFFERENT tables from two processes, with the parent
+  process polling ``read_state`` and vacuuming throughout - every
+  observed snapshot must be a committed batch prefix (the pointer swap
+  is ``os.replace``, atomic across processes on POSIX, not just across
+  threads)
+* SIGKILL of a writer at arbitrary points (including between the data
+  write and the pointer swap, and mid-``mkstemp``): the store must
+  remain readable, the pointer must equal a committed prefix, a fresh
+  process must resume merging from ``last_batch_id + 1``, and vacuum
+  must reclaim whatever the crash orphaned without touching live state
+* deterministic crash artifacts (stray pointer temp file, orphan
+  version dir, vacuum tombstone) - each exact on-disk state a SIGKILL
+  can leave, reconstructed byte-for-byte and fed to reader/merge/vacuum
+
+The single-writer-per-table contract is unchanged: no test here runs
+two writers against ONE table (that is the documented non-goal, same as
+every pointer-swap store without a lock service; Delta needs its
+transaction log for that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from pyspark_data_engineering_assignment_spark.state.store import (
+    CUSTOMER_MERCHANT_SUMMARY,
+    MERCHANT_SUMMARY,
+    ParquetStateStore,
+)
+
+NOW = "2024-01-01 00:00:00"
+KEYS = ["M0", "M1", "M2", "M3"]
+
+MERCHANT_AGG_SCHEMA = StructType(
+    [
+        StructField("merchant_id", StringType(), False),
+        StructField("total_transactions", LongType(), True),
+    ]
+)
+
+# Writer subprocess: its OWN SparkSession + ParquetStateStore on the
+# shared root. Merges +1 per key per batch (merchant table) or one
+# C1/M1 row (customer_merchant table), printing MERGED <b> after each
+# committed batch so the parent can synchronize/kill deterministically.
+_WRITER = r"""
+import sys, time
+root, table, n_batches, sleep_s = sys.argv[1], sys.argv[2], int(sys.argv[3]), float(sys.argv[4])
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from pyspark_data_engineering_assignment_spark.state.store import (
+    CUSTOMER_MERCHANT_SUMMARY, MERCHANT_SUMMARY, ParquetStateStore)
+store = ParquetStateStore(spark, root, n_buckets=4)
+if table == "merchant":
+    spec = MERCHANT_SUMMARY
+    sch = StructType([StructField("merchant_id", StringType(), False),
+                      StructField("total_transactions", LongType(), True)])
+    rows = [(f"M{k}", 1) for k in range(4)]
+    mk = lambda b: spark.createDataFrame(rows, sch)
+else:
+    spec = CUSTOMER_MERCHANT_SUMMARY
+    sch = StructType([StructField("customer_id", StringType(), False),
+                      StructField("merchant_id", StringType(), False),
+                      StructField("transaction_count", LongType(), True),
+                      StructField("total_amount_sum", StringType(), True)])
+    mk = lambda b: (spark.createDataFrame([("C1", "M1", 1, "10.00")], sch)
+                    .withColumn("total_amount_sum",
+                                F.col("total_amount_sum").cast("decimal(18,2)")))
+start = store.last_batch_id(spec) + 1
+print(f"START {start}", flush=True)
+for b in range(start, n_batches):
+    store.merge_batch(spec, mk(b), batch_id=b, now="2024-01-01 00:00:00")
+    print(f"MERGED {b}", flush=True)
+    if sleep_s:
+        time.sleep(sleep_s)
+print("DONE", flush=True)
+"""
+
+
+def _spawn_writer(root: str, table: str, n_batches: int, sleep_s: float):
+    err = open(os.path.join(root, f"writer_{table}.stderr"), "w")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _WRITER, root, table, str(n_batches), str(sleep_s)],
+        stdout=subprocess.PIPE,
+        stderr=err,
+        text=True,
+        cwd="/root/repo",
+    )
+    proc._stderr_path = err.name
+    return proc
+
+
+def _stderr_tail(proc) -> str:
+    with open(proc._stderr_path) as f:
+        return f.read()[-3000:]
+
+
+def _merchant_totals(store) -> dict[str, int]:
+    return {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    }
+
+
+def _wait_for_merges(proc, n: int, timeout_s: float = 180.0) -> int:
+    """Block until the writer has printed ``n`` MERGED lines; return the
+    last batch id seen."""
+    deadline = time.monotonic() + timeout_s
+    seen = -1
+    count = 0
+    while count < n:
+        assert time.monotonic() < deadline, "writer produced no progress"
+        line = proc.stdout.readline()
+        assert line, f"writer exited early (rc={proc.poll()})"
+        if line.startswith("MERGED"):
+            seen = int(line.split()[1])
+            count += 1
+    return seen
+
+
+@pytest.mark.slow
+def test_two_processes_merge_different_tables_parent_polls_and_vacuums(
+    spark, tmp_path
+):
+    """Two independent Spark drivers merge to different tables of one
+    store root while THIS process polls both tables and vacuums with a
+    retention window. Cross-process analog of
+    test_concurrent_merges_to_different_tables +
+    test_polling_reader_sees_only_committed_prefixes: every polled
+    merchant snapshot must be all-equal across the 4 keys (each batch
+    adds +1 to every key and the pointer swap is atomic, so a torn read
+    would show unequal values), and final totals are exact."""
+    root = str(tmp_path)
+    n_batches = 5
+    store = ParquetStateStore(spark, root, n_buckets=4)
+
+    w1 = _spawn_writer(root, "merchant", n_batches, 0.3)
+    w2 = _spawn_writer(root, "cm", n_batches, 0.3)
+    observed: set[int] = set()
+    try:
+        while w1.poll() is None or w2.poll() is None:
+            totals = _merchant_totals(store)
+            if totals:
+                vals = set(totals.values())
+                assert len(vals) == 1 and set(totals) == set(KEYS), (
+                    f"torn snapshot: {totals}"
+                )
+                observed.add(vals.pop())
+            # reader-side vacuum with a retention window is always safe
+            store.vacuum(MERCHANT_SUMMARY, retention_seconds=3600.0)
+            store.vacuum(CUSTOMER_MERCHANT_SUMMARY, retention_seconds=3600.0)
+        w1.wait(timeout=60)
+        w2.wait(timeout=60)
+    finally:
+        for w in (w1, w2):
+            if w.poll() is None:
+                w.kill()
+    assert w1.returncode == 0 and w2.returncode == 0, (
+        f"merchant rc={w1.returncode}:\n{_stderr_tail(w1)}\n"
+        f"cm rc={w2.returncode}:\n{_stderr_tail(w2)}"
+    )
+    assert observed <= set(range(n_batches + 1)), observed
+
+    assert _merchant_totals(store) == {k: n_batches for k in KEYS}
+    cm = {
+        (r["customer_id"], r["merchant_id"]): (
+            r["transaction_count"],
+            str(r["total_amount_sum"]),
+        )
+        for r in store.read_state(CUSTOMER_MERCHANT_SUMMARY).collect()
+    }
+    assert cm == {("C1", "M1"): (n_batches, f"{n_batches * 10}.00")}
+    # now-unreferenced snapshots reclaim cleanly after the writers exit
+    store.vacuum(MERCHANT_SUMMARY)
+    store.vacuum(CUSTOMER_MERCHANT_SUMMARY)
+    assert _merchant_totals(store) == {k: n_batches for k in KEYS}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("extra_delay_s", [0.0, 0.12])
+def test_sigkill_writer_leaves_committed_prefix_and_resumable_store(
+    spark, tmp_path, extra_delay_s
+):
+    """SIGKILL a writer process mid-stream (two delays: immediately
+    after a commit line, and mid-way through the next merge - the
+    latter lands inside the data-write/pointer-swap window on most
+    runs). Invariants: the pointer parses, totals equal EXACTLY
+    last_batch_id + 1 (the committed prefix - never the half-merged
+    batch), a fresh store handle resumes from last_batch_id + 1 to the
+    target, and vacuum reclaims the crash's orphaned snapshot dirs
+    without disturbing live state."""
+    root = str(tmp_path)
+    target = 6
+    w = _spawn_writer(root, "merchant", 50, 0.0)
+    try:
+        _wait_for_merges(w, 2)
+        if extra_delay_s:
+            time.sleep(extra_delay_s)
+        os.kill(w.pid, signal.SIGKILL)
+        w.wait(timeout=60)
+    finally:
+        if w.poll() is None:
+            w.kill()
+
+    # pointer must be a committed prefix - json.load of a torn pointer
+    # would throw (os.replace is atomic, mkstemp leftovers are ignored)
+    with open(os.path.join(root, MERCHANT_SUMMARY.name, "_LATEST.json")) as f:
+        pointer = json.load(f)
+    committed = pointer["last_batch_id"] + 1
+    assert committed >= 2
+
+    store = ParquetStateStore(spark, root, n_buckets=4)
+    assert store.last_batch_id(MERCHANT_SUMMARY) == committed - 1
+    assert _merchant_totals(store) == {k: committed for k in KEYS}
+
+    # fresh-process resume: merge the remaining batches idempotently
+    for b in range(committed, target):
+        batch = spark.createDataFrame([(k, 1) for k in KEYS], MERCHANT_AGG_SCHEMA)
+        store.merge_batch(MERCHANT_SUMMARY, batch, batch_id=b, now=NOW)
+    # replay of an already-committed batch stays a no-op after the crash
+    store.merge_batch(
+        MERCHANT_SUMMARY,
+        spark.createDataFrame([(k, 1) for k in KEYS], MERCHANT_AGG_SCHEMA),
+        batch_id=0,
+        now=NOW,
+    )
+    assert _merchant_totals(store) == {k: target for k in KEYS}
+
+    # vacuum reclaims the orphans (possibly 0 if the kill landed clean)
+    removed = store.vacuum(MERCHANT_SUMMARY)
+    assert removed >= 0
+    assert _merchant_totals(store) == {k: target for k in KEYS}
+
+
+def test_crash_artifacts_are_tolerated_and_reclaimed(spark, tmp_path):
+    """The three exact on-disk states a SIGKILL can leave, reconstructed
+    deterministically (no timing dependence):
+
+    (a) stray pointer TEMP file (killed between ``mkstemp`` and
+        ``os.replace``) - readers and writers ignore it
+    (b) orphan snapshot version dir (killed between the parquet write
+        and the pointer swap) - invisible to readers, reclaimed by
+        vacuum, counted exactly once
+    (c) vacuum TOMBSTONE dir (killed between the claim rename and the
+        rmtree) - never in the live set, reclaimed by any later vacuum,
+        after which the emptied version dir is swept too
+    """
+    root = str(tmp_path)
+    store = ParquetStateStore(spark, root, n_buckets=4)
+    for b in range(2):
+        batch = spark.createDataFrame([(k, 1) for k in KEYS], MERCHANT_AGG_SCHEMA)
+        store.merge_batch(MERCHANT_SUMMARY, batch, batch_id=b, now=NOW)
+    store.vacuum(MERCHANT_SUMMARY)  # start clean
+    tdir = os.path.join(root, MERCHANT_SUMMARY.name)
+
+    # (a) stray mkstemp leftover beside the pointer
+    stray = os.path.join(tdir, "tmpdeadbeef")
+    with open(stray, "w") as f:
+        f.write('{"versions": "TORN')  # even torn JSON must be ignored
+    assert _merchant_totals(store) == {k: 2 for k in KEYS}
+    store.merge_batch(
+        MERCHANT_SUMMARY,
+        spark.createDataFrame([(k, 1) for k in KEYS], MERCHANT_AGG_SCHEMA),
+        batch_id=2,
+        now=NOW,
+    )
+    assert _merchant_totals(store) == {k: 3 for k in KEYS}
+    assert os.path.exists(stray)  # not vacuum's to delete (outside v=*)
+    store.vacuum(MERCHANT_SUMMARY)  # clear batch 2's superseded snapshots
+
+    # (b) orphan version dir, as a crashed merge leaves it: buckets
+    # written, pointer never swapped
+    orphan = os.path.join(tdir, "v=999", "_bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    os.utime(orphan, (0, 0))  # old enough to clear any retention cutoff
+    assert _merchant_totals(store) == {k: 3 for k in KEYS}  # invisible
+    assert store.vacuum(MERCHANT_SUMMARY) == 1
+    assert not os.path.exists(os.path.join(tdir, "v=999"))
+    assert _merchant_totals(store) == {k: 3 for k in KEYS}
+
+    # (c) tombstone orphaned by a crash mid-delete
+    tomb = os.path.join(tdir, "v=998", "_bucket=1.vacuum.12345.67890")
+    os.makedirs(tomb)
+    os.utime(tomb, (0, 0))
+    assert store.vacuum(MERCHANT_SUMMARY) == 1
+    assert not os.path.exists(os.path.join(tdir, "v=998"))
+    assert _merchant_totals(store) == {k: 3 for k in KEYS}
