@@ -271,3 +271,183 @@ def test_flagship_pipeline_runs_on_jdbc_store(spark, tmp_path):
         ).fetchall()
     }
     assert got_g == want_g
+
+
+# --- paramstyle portability (round-12 verdict task #8) ---------------------
+#
+# No Postgres server exists in the sandbox, so the psycopg ("format")
+# wiring is exercised at the DB-API seam instead: a recording proxy
+# validates every statement's placeholder discipline for the declared
+# paramstyle, translates %s -> ? for the embedded DuckDB engine, and
+# keeps the full (sql, params) stream for snapshot pinning.
+
+
+class _ParamstyleProxyCursor:
+    """DB-API cursor proxy enforcing one paramstyle end-to-end.
+
+    format mode: every parameterized statement must use %s only (a
+    stray ? would bind nothing under psycopg), placeholder count must
+    equal each param tuple's length, and no %% literal-escape shapes
+    are emitted (the store never needs them); statements are then
+    rewritten to qmark for the underlying DuckDB cursor.
+    qmark mode: the mirror checks, no rewriting."""
+
+    def __init__(self, inner, paramstyle: str, log: list):
+        self._inner = inner
+        self._ps = paramstyle
+        self._log = log
+
+    def _check_and_translate(self, sql: str, params) -> str:
+        bad_ph, good_ph = ("?", "%s") if self._ps == "format" else ("%s", "?")
+        assert bad_ph not in sql, f"{self._ps} statement leaked {bad_ph!r}: {sql}"
+        assert "%%" not in sql, f"unexpected %% escape: {sql}"
+        n = sql.count(good_ph)
+        if params is not None:
+            rows = params if isinstance(params, list) and params and isinstance(params[0], (list, tuple)) else [params]
+            for p in rows:
+                assert len(p) == n, (sql, p)
+        else:
+            assert n == 0, f"placeholders with no params: {sql}"
+        return sql.replace("%s", "?") if self._ps == "format" else sql
+
+    def execute(self, sql, params=None):
+        self._log.append(("execute", sql, params))
+        sql = self._check_and_translate(sql, params)
+        return (
+            self._inner.execute(sql, params)
+            if params is not None
+            else self._inner.execute(sql)
+        )
+
+    def executemany(self, sql, seq):
+        self._log.append(("executemany", sql, list(seq)))
+        sql = self._check_and_translate(sql, list(seq))
+        return self._inner.executemany(sql, seq)
+
+    def __getattr__(self, name):  # fetchone/fetchall/...
+        return getattr(self._inner, name)
+
+
+class _ParamstyleProxyConnection:
+    def __init__(self, db_path: str, paramstyle: str, log: list):
+        import duckdb
+
+        self._con = duckdb.connect(db_path)
+        self._ps = paramstyle
+        self._log = log
+
+    def cursor(self):
+        return _ParamstyleProxyCursor(self._con.cursor(), self._ps, self._log)
+
+
+def _proxied_store(spark, tmp_path, paramstyle: str):
+    log: list = []
+    store = JdbcStateStore(
+        spark,
+        connect=lambda: _ParamstyleProxyConnection(
+            str(tmp_path / f"state_{paramstyle}.duckdb"), paramstyle, log
+        ),
+        paramstyle=paramstyle,
+    )
+    return store, log
+
+
+@pytest.mark.parametrize("paramstyle", ["qmark", "format"])
+def test_merge_protocol_under_both_paramstyles(spark, tmp_path, paramstyle):
+    """The full merge/replay/meta/read flow under each declared
+    paramstyle, with the proxy asserting placeholder discipline on
+    EVERY statement - the psycopg wiring differs from the DuckDB wiring
+    only by this seam, so this is the strongest check available without
+    a server."""
+    store, _ = _proxied_store(spark, tmp_path, paramstyle)
+    for bid in range(2):
+        b = spark.createDataFrame(
+            [("M1", 2), ("M2", 1)], "merchant_id string, total_transactions long"
+        )
+        store.merge_batch(
+            MERCHANT_SUMMARY, b, batch_id=bid, now=NOW, meta={"n": bid}
+        )
+        store.merge_batch(MERCHANT_SUMMARY, b, batch_id=bid, now=NOW)  # replay
+    assert store.last_batch_id(MERCHANT_SUMMARY) == 1
+    assert store.batch_meta(MERCHANT_SUMMARY, 1) == {"n": 1}
+    got = {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    }
+    assert got == {"M1": 4, "M2": 2}
+
+
+# The exact statement stream one merchant merge emits, per paramstyle -
+# committed snapshots, so ANY change to the wire protocol (statement
+# order, placeholder shape, identifier casing) is a reviewed diff.
+# {ph} is the paramstyle's placeholder.
+MERGE_SNAPSHOT = [
+    "SELECT batch_id FROM _applied_batches WHERE table_name = {ph}",
+    "BEGIN",
+    "CREATE TABLE temp_merchant_transaction_summary_updates_batch_7 "
+    "(merchant_id_src VARCHAR, total_transactions_src BIGINT, "
+    "batch_ts TIMESTAMP)",
+    "INSERT INTO temp_merchant_transaction_summary_updates_batch_7 "
+    "VALUES ({ph}, {ph}, CAST({ph} AS TIMESTAMP))",
+    "INSERT INTO merchant_transaction_summary (merchant_id, "
+    "total_transactions, last_updated) SELECT source.merchant_id_src, "
+    "source.total_transactions_src, source.batch_ts "
+    "FROM temp_merchant_transaction_summary_updates_batch_7 AS source "
+    "ON CONFLICT (merchant_id) DO UPDATE SET "
+    "total_transactions = COALESCE(merchant_transaction_summary."
+    "total_transactions, 0) + COALESCE(EXCLUDED.total_transactions, 0), "
+    "last_updated = EXCLUDED.last_updated",
+    "DROP TABLE temp_merchant_transaction_summary_updates_batch_7",
+    "INSERT INTO _applied_batches VALUES ({ph}, {ph}, {ph}) "
+    "ON CONFLICT (table_name) DO UPDATE SET "
+    "batch_id = EXCLUDED.batch_id, meta = EXCLUDED.meta",
+    "COMMIT",
+]
+
+
+@pytest.mark.parametrize("paramstyle", ["qmark", "format"])
+def test_merge_statement_stream_snapshot(spark, tmp_path, paramstyle):
+    store, log = _proxied_store(spark, tmp_path, paramstyle)
+    log.clear()  # drop connection-setup DDL
+    b = spark.createDataFrame(
+        [("M1", 2)], "merchant_id string, total_transactions long"
+    )
+    store.merge_batch(MERCHANT_SUMMARY, b, batch_id=7, now=NOW)
+    ph = "?" if paramstyle == "qmark" else "%s"
+    got = [
+        " ".join(sql.split())
+        for (_, sql, _) in log
+        if not sql.startswith("CREATE TABLE IF NOT EXISTS")  # _ensure_table
+    ]
+    assert got == [s.format(ph=ph) for s in MERGE_SNAPSHOT]
+
+
+@pytest.mark.parametrize("paramstyle", ["qmark", "format"])
+def test_emitted_identifiers_never_need_quoting(spark, tmp_path, paramstyle):
+    """Identifier-quoting portability: every identifier the protocol
+    emits is lowercase snake_case (regex-checked over the whole
+    recorded stream), so the SQL is valid verbatim under PostgreSQL's
+    case-folding AND DuckDB's, and no statement contains a double
+    quote at all."""
+    store, log = _proxied_store(spark, tmp_path, paramstyle)
+    b = spark.createDataFrame(
+        [("C1", "M1", 1, Decimal("1.00"))],
+        "customer_id string, merchant_id string, transaction_count long, "
+        "total_amount_sum decimal(18,2)",
+    )
+    store.merge_batch(CUSTOMER_MERCHANT_SUMMARY, b, batch_id=0, now=NOW)
+    store.read_state(CUSTOMER_MERCHANT_SUMMARY)
+    assert log
+    for _, sql, _ in log:
+        assert '"' not in sql and "`" not in sql, sql
+        for ident in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql):
+            if ident.upper() in (
+                "SELECT", "INSERT", "INTO", "FROM", "WHERE", "AS", "ON",
+                "CONFLICT", "DO", "UPDATE", "SET", "EXCLUDED", "VALUES",
+                "CAST", "TIMESTAMP", "CREATE", "TABLE", "IF", "NOT",
+                "EXISTS", "DROP", "PRIMARY", "KEY", "BEGIN", "COMMIT",
+                "ROLLBACK", "VARCHAR", "BIGINT", "DECIMAL", "NOW", "S",
+                "COALESCE",
+            ):
+                continue
+            assert re.fullmatch(r"[a-z_][a-z0-9_]*", ident), (ident, sql)
