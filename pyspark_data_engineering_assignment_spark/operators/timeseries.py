@@ -36,12 +36,22 @@ from pyspark_data_engineering_assignment_spark.functions.guards import not_nan
 DEC = "decimal(18,2)"
 
 
+_SECONDS_PER_UNIT = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
 def resample_gapfill(
     df: DataFrame,
     series_col: str,
     ts_col: str,
     value_col: str,
     unit: str = "hour",
+    max_spine_buckets: int = 1_000_000,
 ) -> DataFrame:
     """Bucket ``df`` to ``unit`` grain per ``series_col`` and densify.
 
@@ -57,6 +67,19 @@ def resample_gapfill(
     EXPLICITLY (pre-fix they vanished implicitly when the NULL bucket
     fell outside the densified range - same result, invisible in the
     plan); route them to a quality report, not a time series.
+
+    ``max_spine_buckets`` is the densification budget (round-12
+    timestamp-extremes axis): the spine is ``sequence(min, max)`` over
+    the OBSERVED span, so a single corrupt far-future or deep-past
+    timestamp silently inflates it by orders of magnitude - one planted
+    2262 instant turned the sf0.001 hourly rollup's output from ~3.6k
+    rows into 10.4 million. Like TimescaleDB's gapfill, which refuses
+    to run without finite explicit bounds, the span is checked BEFORE
+    densifying (one metadata-sized 1-row min/max job, the same
+    aggregate the spine broadcasts) and a budget-exceeding span fails
+    loudly naming the bounds - filter the input or pick a coarser
+    grain. The default (1M buckets = 114 years hourly) never fires on
+    sane telemetry.
     """
     bucket = F.date_trunc(unit, F.col(ts_col))
     actual = (
@@ -74,6 +97,20 @@ def resample_gapfill(
         F.date_trunc(unit, F.min(ts_col)).alias("_t0"),
         F.date_trunc(unit, F.max(ts_col)).alias("_t1"),
     )
+    # Densification budget check (metadata-sized driver crossing: one
+    # 1-row job over the same aggregate the spine broadcasts).
+    b = bounds.first()
+    if b is not None and b["_t0"] is not None and unit in _SECONDS_PER_UNIT:
+        span_s = (b["_t1"] - b["_t0"]).total_seconds()
+        n_buckets = int(span_s // _SECONDS_PER_UNIT[unit]) + 1
+        if n_buckets > max_spine_buckets:
+            raise ValueError(
+                f"resample_gapfill: observed span {b['_t0']} .. {b['_t1']} "
+                f"densifies to {n_buckets} {unit} buckets, over the "
+                f"max_spine_buckets={max_spine_buckets} budget - a stray "
+                f"out-of-range {ts_col} value usually causes this; filter "
+                "the input span or use a coarser unit"
+            )
     series = df.select(series_col).distinct()
     spine = series.crossJoin(F.broadcast(bounds)).select(
         series_col,

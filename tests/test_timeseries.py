@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from pyspark_data_engineering_assignment_spark.operators.timeseries import (
     resample_gapfill,
@@ -193,3 +194,30 @@ def test_ewma_property_matches_python_fold(spark):
         assert got == expect, (rows, alpha, got, expect)
 
     prop()
+
+
+def test_gapfill_spine_budget_guard(spark):
+    """Round-12 guard: a span over max_spine_buckets fails loudly
+    BEFORE densifying, naming the observed bounds; the same data under
+    a sufficient budget (or a coarser unit) proceeds."""
+    import pytest
+
+    from pyspark_data_engineering_assignment_spark.operators.timeseries import (
+        resample_gapfill,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "1970-01-01 00:00:00", 1.0), ("a", "1970-01-03 00:00:00", 2.0)],
+        "series string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="1970-01-03.*max_spine_buckets=10"):
+        resample_gapfill(df, "series", "ts", "value", unit="hour",
+                         max_spine_buckets=10)
+    assert (
+        resample_gapfill(df, "series", "ts", "value", unit="hour",
+                         max_spine_buckets=49).count() == 49
+    )
+    assert (
+        resample_gapfill(df, "series", "ts", "value", unit="day",
+                         max_spine_buckets=10).count() == 3
+    )
