@@ -265,20 +265,27 @@ class ParquetStateStore:
                 continue
             # A version dir with no _bucket= children is NOT necessarily
             # garbage: a concurrent writer's brand-new v= dir holds only
-            # the output committer's _temporary tree until the first
-            # bucket commits - the round-12 multi-PROCESS axis caught
-            # this sweep rmtree-ing _temporary out from under an
-            # in-flight cross-process merge (TASK_WRITE_FAILED on the
-            # writer). Spare such dirs until they age past the SAME
-            # retention cutoff as bucket snapshots: an in-flight dir is
-            # always fresh, while one orphaned by a crashed writer goes
-            # stale and is reclaimed by the first vacuum after the
-            # window. With retention 0 the caller is asserting the
-            # documented single-writer context (the foreachBatch
-            # pipeline), where nothing can be in flight during vacuum.
+            # the output committer's _temporary tree - or, for the first
+            # instants after mkdirs, NOTHING AT ALL - until the first
+            # bucket commits. The round-12 multi-PROCESS axis caught this
+            # sweep rmtree-ing _temporary out from under an in-flight
+            # cross-process merge (TASK_WRITE_FAILED on the writer), and
+            # the full-suite run then hit the narrower bare-dir variant
+            # (listdir raced between the writer's mkdirs and its first
+            # _temporary file). So under a retention window - the
+            # documented concurrent-safe mode - EVERY empty vdir younger
+            # than the cutoff is spared (in-flight dirs are always
+            # fresh; crash orphans go stale and reclaim after the
+            # window). With retention 0 the caller is asserting the
+            # single-writer context (the foreachBatch pipeline), where
+            # nothing can be in flight during vacuum: bare-empty dirs
+            # sweep immediately as before, and only _temporary-bearing
+            # ones get the mtime check (a crashed writer's orphan).
             try:
                 in_flight = "_temporary" in os.listdir(vdir)
-                if in_flight and os.path.getmtime(vdir) > cutoff:
+                if (in_flight or retention_seconds > 0) and (
+                    os.path.getmtime(vdir) > cutoff
+                ):
                     continue
             except OSError:
                 continue  # already gone (concurrent vacuum)
