@@ -309,3 +309,40 @@ def test_crash_artifacts_are_tolerated_and_reclaimed(spark, tmp_path):
     assert store.vacuum(MERCHANT_SUMMARY) == 1
     assert not os.path.exists(os.path.join(tdir, "v=998"))
     assert _merchant_totals(store) == {k: 3 for k in KEYS}
+
+
+def test_corrupted_bucket_file_fails_reads_loudly(spark, tmp_path):
+    """Bit-rot / torn-write pin (round-12): a truncated parquet file
+    inside a LIVE bucket snapshot must make read_state raise - never
+    silently return partial state (silent state loss is the worst
+    failure a cumulative store can have; Spark's default
+    ignoreCorruptFiles=false is load-bearing and this pins it)."""
+    store = ParquetStateStore(spark, str(tmp_path), n_buckets=4)
+    for bid in range(2):
+        store.merge_batch(
+            MERCHANT_SUMMARY,
+            spark.createDataFrame([(k, 1) for k in KEYS], MERCHANT_AGG_SCHEMA),
+            batch_id=bid,
+            now=NOW,
+        )
+    assert _merchant_totals(store) == {k: 2 for k in KEYS}
+
+    import glob
+
+    ptr = json.load(
+        open(os.path.join(str(tmp_path), MERCHANT_SUMMARY.name, "_LATEST.json"))
+    )
+    b, v = next(iter(ptr["versions"].items()))
+    live = glob.glob(
+        os.path.join(
+            str(tmp_path), MERCHANT_SUMMARY.name, f"v={v}", f"_bucket={b}",
+            "*.parquet",
+        )
+    )
+    assert live
+    data = open(live[0], "rb").read()
+    with open(live[0], "wb") as f:
+        f.write(data[: max(8, len(data) // 2)])  # torn mid-file
+
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|magic|EOF"):
+        store.read_state(MERCHANT_SUMMARY).collect()
