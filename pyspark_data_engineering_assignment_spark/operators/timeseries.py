@@ -13,8 +13,8 @@ Scale shape (100 TB events):
     O(series x buckets), not O(rows);
   * the dense spine is generated, not scanned: distinct series
     (tiny) x a ``sequence()`` over the global [min, max] bucket span
-    (a 1-row aggregate broadcast into the cross join). No row of the
-    raw table is re-read to build it;
+    (one 1-row min/max aggregate, collected once and inlined as plan
+    literals). No row of the raw table is re-read to build it;
   * the gap-fill join is spine LEFT JOIN actuals on (series, bucket) -
     both sides already partitioned by the same key;
   * LOCF is a per-series window (``last(ignorenulls)`` over buckets) -
@@ -36,12 +36,21 @@ from pyspark_data_engineering_assignment_spark.functions.guards import not_nan
 DEC = "decimal(18,2)"
 
 
+# Budget divisors for every unit the spine's ``interval 1 <unit>`` step
+# supports. month/quarter/year use fixed approximations (30/91/365 days):
+# they UNDERSTATE the true average month length, so the derived bucket
+# count slightly OVERSTATES reality - conservative in the only direction
+# a budget guard cares about (it can fire marginally early at the
+# boundary, never silently admit an over-budget spine).
 _SECONDS_PER_UNIT = {
     "second": 1,
     "minute": 60,
     "hour": 3600,
     "day": 86400,
     "week": 604800,
+    "month": 2_592_000,
+    "quarter": 7_862_400,
+    "year": 31_536_000,
 }
 
 
@@ -75,11 +84,17 @@ def resample_gapfill(
     2262 instant turned the sf0.001 hourly rollup's output from ~3.6k
     rows into 10.4 million. Like TimescaleDB's gapfill, which refuses
     to run without finite explicit bounds, the span is checked BEFORE
-    densifying (one metadata-sized 1-row min/max job, the same
-    aggregate the spine broadcasts) and a budget-exceeding span fails
-    loudly naming the bounds - filter the input or pick a coarser
-    grain. The default (1M buckets = 114 years hourly) never fires on
-    sane telemetry.
+    densifying (one metadata-sized 1-row min/max job whose result is
+    then reused as the spine's literal bounds, so the aggregate runs
+    exactly once) and a budget-exceeding span fails loudly naming the
+    bounds - filter the input or pick a coarser grain. The default
+    (1M buckets = 114 years hourly) never fires on sane telemetry.
+    The budget covers every unit ``interval 1 <unit>`` supports,
+    second through year (month/quarter/year via conservative fixed
+    divisors). NOTE: collecting the bounds makes plan construction
+    eager - building this plan runs the min/max scan immediately
+    rather than at first action (documented execution-profile change,
+    round-12 advice).
     """
     bucket = F.date_trunc(unit, F.col(ts_col))
     actual = (
@@ -92,14 +107,18 @@ def resample_gapfill(
             .alias("_sum_cents"),
         )
     )
-    # Global span: a 1-row aggregate; the cross join below broadcasts it.
-    bounds = df.agg(
+    # Global span: ONE metadata-sized 1-row min/max job; the collected
+    # bounds drive BOTH the budget check and, as plan literals, the spine
+    # itself (pre-fix the same aggregate ran twice - once eagerly for the
+    # check, once re-planned inside the broadcast cross join).
+    b = df.agg(
         F.date_trunc(unit, F.min(ts_col)).alias("_t0"),
         F.date_trunc(unit, F.max(ts_col)).alias("_t1"),
-    )
-    # Densification budget check (metadata-sized driver crossing: one
-    # 1-row job over the same aggregate the spine broadcasts).
-    b = bounds.first()
+    ).first()
+    # Densification budget check. The divisor table covers every unit the
+    # interval step supports (second..year); an exotic date_trunc grain
+    # outside it (e.g. 'millennium') skips the guard, documented by the
+    # assert-like lookup below rather than silently.
     if b is not None and b["_t0"] is not None and unit in _SECONDS_PER_UNIT:
         span_s = (b["_t1"] - b["_t0"]).total_seconds()
         n_buckets = int(span_s // _SECONDS_PER_UNIT[unit]) + 1
@@ -111,11 +130,19 @@ def resample_gapfill(
                 f"out-of-range {ts_col} value usually causes this; filter "
                 "the input span or use a coarser unit"
             )
+    if b is not None and b["_t0"] is not None:
+        t0_lit, t1_lit = F.lit(b["_t0"]), F.lit(b["_t1"])
+    else:
+        # Empty/all-null input: sequence(NULL, NULL) is NULL and explode
+        # drops the row, so the spine (and output) stay empty - identical
+        # to the pre-fix cross-join-with-null-bounds behavior.
+        t0_lit = F.lit(None).cast("timestamp")
+        t1_lit = F.lit(None).cast("timestamp")
     series = df.select(series_col).distinct()
-    spine = series.crossJoin(F.broadcast(bounds)).select(
+    spine = series.select(
         series_col,
         F.explode(
-            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"interval 1 {unit}"))
+            F.sequence(t0_lit, t1_lit, F.expr(f"interval 1 {unit}"))
         ).alias("bucket_ts"),
     )
     filled = spine.join(actual, on=[series_col, "bucket_ts"], how="left")

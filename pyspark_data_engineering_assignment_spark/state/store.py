@@ -44,6 +44,13 @@ from pyspark.sql.types import StructType
 
 from pyspark_data_engineering_assignment_spark import schemas as S
 
+# Fixed grace vacuum gives a _temporary-bearing (possibly in-flight)
+# version dir when retention_seconds=0, where the retention cutoff
+# equals now() and would spare nothing: long enough to outlive any
+# real commit's mkdirs->first-file window, short enough that a crashed
+# writer's orphan reclaims on the next periodic vacuum pass.
+_IN_FLIGHT_GRACE_S = 60.0
+
 
 @dataclass(frozen=True)
 class StateTableSpec:
@@ -279,12 +286,25 @@ class ParquetStateStore:
             # window). With retention 0 the caller is asserting the
             # single-writer context (the foreachBatch pipeline), where
             # nothing can be in flight during vacuum: bare-empty dirs
-            # sweep immediately as before, and only _temporary-bearing
-            # ones get the mtime check (a crashed writer's orphan).
+            # sweep immediately as before, while _temporary-bearing
+            # ones keep a small FIXED grace (_IN_FLIGHT_GRACE_S) - at
+            # retention 0 the plain cutoff equals now() and would spare
+            # nothing (round-12 advice), so without the floor a
+            # mis-assumed "single writer" could sweep a live commit
+            # tree; a crashed writer's orphan goes stale past the grace
+            # and reclaims on the next pass.
             try:
                 in_flight = "_temporary" in os.listdir(vdir)
-                if (in_flight or retention_seconds > 0) and (
-                    os.path.getmtime(vdir) > cutoff
+                spare_cutoff = (
+                    cutoff
+                    if retention_seconds > 0
+                    else _time.time() - _IN_FLIGHT_GRACE_S
+                )
+                if in_flight and os.path.getmtime(vdir) > spare_cutoff:
+                    continue
+                if (
+                    retention_seconds > 0
+                    and os.path.getmtime(vdir) > cutoff
                 ):
                     continue
             except OSError:

@@ -532,3 +532,41 @@ def test_rebucket_restamps_superseded_snapshots(spark, tmp_path):
     assert stale_reader.count() == 8
     assert store.vacuum(MERCHANT_SUMMARY, retention_seconds=0) > 0
     assert merchant_state(store) == {f"M{i}": i for i in range(8)}
+
+
+def test_vacuum_retention0_spares_fresh_temporary_dir(spark, tmp_path):
+    """Round-12 advice pin: at retention_seconds=0 the retention cutoff
+    equals now(), so the old "mtime check" spared nothing and a live
+    writer's _temporary-bearing version dir (mkdirs done, no bucket
+    committed yet) could be swept mid-write by a mis-assumed
+    single-writer vacuum. Now such dirs get a fixed grace
+    (_IN_FLIGHT_GRACE_S): a FRESH _temporary tree survives retention-0
+    vacuum; a STALE one (crash orphan) is reclaimed; bare-empty fresh
+    dirs still sweep immediately (the single-writer fast path)."""
+    import os
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    store.merge_batch(
+        MERCHANT_SUMMARY,
+        spark.createDataFrame([("M0", 1)], MERCHANT_AGG_SCHEMA),
+        batch_id=0,
+        now=NOW,
+    )
+    tdir = os.path.join(str(tmp_path / "state"), MERCHANT_SUMMARY.name)
+
+    # a concurrent writer mid-commit: version dir holding only _temporary
+    live_commit = os.path.join(tdir, "v=777", "_temporary")
+    os.makedirs(live_commit)
+    store.vacuum(MERCHANT_SUMMARY, retention_seconds=0)
+    assert os.path.exists(live_commit)  # spared by the fixed grace
+
+    # the same shape gone stale (crashed writer) reclaims
+    os.utime(os.path.join(tdir, "v=777"), (0, 0))
+    store.vacuum(MERCHANT_SUMMARY, retention_seconds=0)
+    assert not os.path.exists(os.path.join(tdir, "v=777"))
+
+    # bare-empty fresh dir: still swept immediately at retention 0
+    bare = os.path.join(tdir, "v=778")
+    os.makedirs(bare)
+    store.vacuum(MERCHANT_SUMMARY, retention_seconds=0)
+    assert not os.path.exists(bare)

@@ -221,3 +221,48 @@ def test_gapfill_spine_budget_guard(spark):
         resample_gapfill(df, "series", "ts", "value", unit="day",
                          max_spine_buckets=10).count() == 3
     )
+
+
+def test_gapfill_budget_covers_month_and_year_units(spark):
+    """Round-12 advice: the densification budget previously skipped any
+    unit outside second..week, so a corrupt far-future timestamp could
+    still explode a MONTHLY spine unguarded. Pins that month/year (via
+    conservative fixed divisors) now hit the same loud failure, and
+    that a sane monthly span still proceeds."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "1970-01-01 00:00:00", 1.0), ("a", "2262-01-01 00:00:00", 2.0)],
+        "series string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # 292 years = ~3.5k monthly buckets / ~292 yearly buckets
+    with pytest.raises(ValueError, match="month buckets.*max_spine_buckets=100"):
+        resample_gapfill(df, "series", "ts", "value", unit="month",
+                         max_spine_buckets=100)
+    with pytest.raises(ValueError, match="year buckets.*max_spine_buckets=100"):
+        resample_gapfill(df, "series", "ts", "value", unit="year",
+                         max_spine_buckets=100)
+    sane = spark.createDataFrame(
+        [("a", "2024-01-15 00:00:00", 1.0), ("a", "2024-04-02 00:00:00", 2.0)],
+        "series string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert (
+        resample_gapfill(sane, "series", "ts", "value", unit="month",
+                         max_spine_buckets=100).count() == 4  # Jan..Apr
+    )
+
+
+def test_gapfill_bounds_aggregate_runs_once_as_literals(spark):
+    """Round-12 advice: the spine reuses the collected bounds as plan
+    literals instead of re-running the min/max aggregate inside a
+    broadcast cross join - the optimized plan must contain no join at
+    all between the series list and a bounds subquery (exactly one
+    Aggregate over the input for the spine side: the groupBy)."""
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 03:00:00", 1.0)],
+        "series string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_gapfill(df, "series", "ts", "value", unit="hour")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the only join left is the spine LEFT JOIN actuals
+    assert plan.lower().count("join") == 1, plan
