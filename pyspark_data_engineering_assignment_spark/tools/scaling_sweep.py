@@ -76,29 +76,72 @@ def exponent_sweep(spark, names, sf_dirs: dict[str, str]) -> list[dict]:
     fixed overheads (planning, task launch, exchange setup) amortize, so
     healthy queries land well under 1. e > 1 means super-linear growth
     and must be explained by the operator's documented shape (e.g. the
-    brute-force ANN baseline is O(corpus) per query by DESIGN)."""
+    brute-force ANN baseline is O(corpus) per query by DESIGN).
+
+    Host-stall hardening (round-12 verdict task #3): a single degraded
+    host window once logged ann_ivf_probe_topk at 60.08s on sf1 vs 3.34s
+    on sf10 - a physically impossible curve. Warm noop time has a hard
+    floor (the true plan cost) and stalls only INFLATE, so min-of-reruns
+    is the correct combiner. Two targeted repairs, both recorded in the
+    row under "remeasured" so the artifact shows its work:
+
+    * non-monotonic drop: a point > 3x its larger-scale neighbor (and
+      > 0.5s, below which 3x is timer jitter) is re-measured, min kept;
+    * near-superlinear endpoints: an exponent > 0.9 re-measures both
+      endpoints once before the verdict stands - a stall on the hi
+      point is exactly what fakes a superlinear alarm.
+    """
     import math
 
     labels = list(sf_dirs)
     lo, hi = labels[0], labels[-1]
     decades = math.log10(float(hi.lstrip("sf")) / float(lo.lstrip("sf")))
+
+    def fitted_exponent(times: dict) -> float:
+        return round(
+            math.log10(max(times[hi], 1e-3) / times[lo]) / decades, 3
+        )
+
     rows = []
     for name in names:
         times = {}
+        remeasured: dict[str, list[float]] = {}
         err = None
+
+        def remeasure(label: str) -> None:
+            new = _warm_time(spark, name, sf_dirs[label])
+            remeasured.setdefault(label, [times[label]]).append(new)
+            times[label] = min(times[label], new)
+
         for label, d in sf_dirs.items():
             try:
                 times[label] = _warm_time(spark, name, d)
             except Exception as exc:  # keep sweeping; record the failure
                 err = f"{label}: {type(exc).__name__}: {exc}"[:200]
                 break
+        if not err:
+            got = [l for l in labels if l in times]
+            for _ in range(2):  # a repaired point can expose a second stall
+                bad = [
+                    got[i]
+                    for i in range(len(got) - 1)
+                    if times[got[i]] > 3 * times[got[i + 1]]
+                    and times[got[i]] > 0.5
+                ]
+                if not bad:
+                    break
+                for label in bad:
+                    remeasure(label)
+            if times[lo] > 0 and fitted_exponent(times) > 0.9:
+                for label in (lo, hi):
+                    remeasure(label)
         row = {"query": name, **times}
+        if remeasured:
+            row["remeasured"] = remeasured
         if err:
             row["err"] = err
         elif times[lo] > 0:
-            row["exponent"] = round(
-                math.log10(max(times[hi], 1e-3) / times[lo]) / decades, 3
-            )
+            row["exponent"] = fitted_exponent(times)
         rows.append(row)
         print(json.dumps(row, separators=(",", ":")), flush=True)
     return rows
