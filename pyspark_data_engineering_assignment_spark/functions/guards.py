@@ -88,3 +88,64 @@ def not_nan(df: DataFrame, col: str) -> Column:
     if can_hold_nan(_dtype_of(df, col)):
         return ~F.isnan(F.col(col))
     return F.lit(True)
+
+
+# Smallest positive magnitude NOT representable in DECIMAL(18,2) - the
+# reference state schema's money type (``sql/postgres_tables.sql:14``).
+MONEY_CAP = 10**16
+
+
+def money_dec(col, colname: str = "amount") -> Column:
+    """The Float -> DECIMAL(18,2) money seam (survey §1.3), with the
+    round-13 overflow contract:
+
+    * NULL / NaN -> NULL - a NON-VALUE stays out of sums (round-8 NaN
+      axis adjudication; the oracle side mirrors with TRY_CAST);
+    * finite overflow (|amount| >= 10^16) -> LOUD per-row error, raised
+      by an explicit guard so it fires regardless of
+      ``spark.sql.ansi.enabled``. Pre-fix this path used ``try_cast``
+      alone, which silently NULLed an oversized FINITE amount and the
+      batch sum dropped real money - the exact failure the reference's
+      Postgres NUMERIC(18,2) column refuses with 'numeric field
+      overflow' (``Mechanism Y.py:40`` money lands in
+      ``postgres_tables.sql:14``). A non-value carries no information;
+      an out-of-range value is data the schema cannot hold, and only
+      the second one may abort the stream.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    overflow = c.isNotNull() & ~F.isnan(c) & (F.abs(c) >= F.lit(float(MONEY_CAP)))
+    return F.when(
+        overflow,
+        F.raise_error(
+            F.concat(
+                F.lit(f"money overflow: {colname} "),
+                c.cast("string"),
+                F.lit(" exceeds DECIMAL(18,2); the reference NUMERIC(18,2)"
+                      " column refuses this row ('numeric field overflow')"),
+            )
+        ).cast("decimal(18,2)"),
+    ).otherwise(c.try_cast("decimal(18,2)"))
+
+
+def checked_money_total(sum_col: Column, label: str, precision: int = 18,
+                        scale: int = 2) -> Column:
+    """Narrow an aggregated money SUM (decimal(p+10, s)) back to the
+    state schema's DECIMAL(p, s) with an ANSI-independent overflow
+    check: a cumulative total the column cannot hold raises loudly
+    instead of depending on the session's ``spark.sql.ansi.enabled``
+    (ANSI off turns the same cast into a silent NULL - cumulative
+    state corruption, the worst failure an additive store can have).
+    """
+    cap = 10 ** (precision - scale)
+    return F.when(
+        sum_col.isNotNull() & (F.abs(sum_col) >= F.lit(cap)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"money overflow: {label} total "),
+                sum_col.cast("string"),
+                F.lit(f" exceeds DECIMAL({precision},{scale}); refusing the"
+                      " merge (reference parity: Postgres NUMERIC raises"
+                      " 'numeric field overflow')"),
+            )
+        ).cast(f"decimal({precision},{scale})"),
+    ).otherwise(sum_col.cast(f"decimal({precision},{scale})"))

@@ -30,16 +30,26 @@ def customer_merchant_batch_aggregate(batch: DataFrame) -> DataFrame:
 
     ``amount`` is Float in flight but DECIMAL(18,2) in state (the money
     seam, survey §1.3) - the cast happens here, once, so the additive
-    merge downstream is penny-exact.
+    merge downstream is penny-exact. The seam's overflow contract
+    (round-13 decimal-overflow axis) lives in ``guards.money_dec``:
+    NaN/NULL -> NULL, finite |amount| >= 10^16 -> loud per-row error
+    independent of the session's ANSI mode (pre-fix, try_cast silently
+    dropped the oversized row's money from the sum); the batch-total
+    narrowing back to DECIMAL(18,2) is likewise overflow-checked.
     """
+    from pyspark_data_engineering_assignment_spark.functions.guards import (
+        checked_money_total,
+        money_dec,
+    )
+
     return batch.groupBy(
         F.col("customer").alias("customer_id"),
         F.col("merchant").alias("merchant_id"),
     ).agg(
         F.count("*").alias("transaction_count"),
-        F.sum(F.col("amount").try_cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("total_amount_sum"),
+        checked_money_total(
+            F.sum(money_dec("amount")), "total_amount_sum"
+        ).alias("total_amount_sum"),
     )
 
 

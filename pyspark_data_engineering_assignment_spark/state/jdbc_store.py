@@ -22,7 +22,12 @@ reference statement (pinned modulo identifiers in
 
 The connection is pluggable DB-API: tested with DuckDB's driver (which
 speaks the same ``ON CONFLICT`` dialect as PostgreSQL), structured so a
-real PostgreSQL deployment is config-only::
+real PostgreSQL deployment is config-only. CAVEAT (round-12 verdict):
+every statement this class emits - including the paramstyle
+format/qmark modes and the ``USING CAST`` migration DDL - is exercised
+ONLY against DuckDB's DB-API driver; no live PostgreSQL server exists
+in this environment, so wire-protocol/server-side differences (GUC
+settings, type OIDs, transaction-isolation defaults) are untested::
 
     # DuckDB (tests / embedded)
     store = JdbcStateStore.duckdb(spark, "/path/state.duckdb")

@@ -44,6 +44,30 @@ from pyspark.sql.types import StructType
 
 from pyspark_data_engineering_assignment_spark import schemas as S
 
+def _checked_counter_total(c: str, dtype) -> "F.Column":
+    """The additive merge's SUM, narrowed back to the state schema's
+    counter type. DECIMAL counters (money) get an ANSI-independent
+    overflow check (round-13 decimal-overflow axis): a cumulative total
+    the column cannot hold refuses the merge loudly - with ANSI off the
+    plain cast silently NULLed the key's money, the exact corruption
+    the reference's Postgres NUMERIC(18,2) refuses with 'numeric field
+    overflow' (``sql/postgres_tables.sql:14``). Integral counters keep
+    the plain cast: reaching LONG overflow (9.2e18 transactions) is not
+    a reachable state before the decimal money column overflows."""
+    from pyspark.sql.types import DecimalType
+
+    from pyspark_data_engineering_assignment_spark.functions.guards import (
+        checked_money_total,
+    )
+
+    s = F.sum(F.coalesce(F.col(c), F.lit(0)))
+    if isinstance(dtype, DecimalType):
+        return checked_money_total(
+            s, f"state.{c}", dtype.precision, dtype.scale
+        ).alias(c)
+    return s.cast(dtype).alias(c)
+
+
 # Fixed grace vacuum gives a _temporary-bearing (possibly in-flight)
 # version dir when retention_seconds=0, where the retention cutoff
 # equals now() and would spare nothing: long enough to outlive any
@@ -520,9 +544,7 @@ class ParquetStateStore:
                 .groupBy(*spec.key_cols)
                 .agg(
                     *[
-                        F.sum(F.coalesce(F.col(c), F.lit(0))).cast(
-                            spec.schema[c].dataType
-                        ).alias(c)
+                        _checked_counter_total(c, spec.schema[c].dataType)
                         for c in spec.sum_cols
                     ],
                     F.max("last_updated").alias("last_updated"),

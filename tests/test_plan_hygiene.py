@@ -230,7 +230,9 @@ EXCHANGE_BUDGET = {
     "event_transition_matrix": 2,
     "events_grouping_sets": 1,
     "events_hourly": 1,
-    "events_hourly_gapfill": 3,
+    # round-13: spine bounds inlined as literals (advice fix) - the
+    # bounds broadcast cross join and its exchange disappeared
+    "events_hourly_gapfill": 2,
     "events_props_json": 2,
     "events_props_variant": 2,
     "events_quality_report": 2,
@@ -637,7 +639,8 @@ def test_registry_hint_budget(spark):
         "embedding_kmeans_cells": 1,
         "embedding_neardup": 1,
         "event_reach_setops_kmv": 2,
-        "events_hourly_gapfill": 1,
+        # round-13: literal-bounds spine needs no broadcast hint
+        "events_hourly_gapfill": 0,
         "flat_sales_export": 3,
         "minhash_lsh_neardup": 3,
         "nation_pair_trade_volume": 2,
