@@ -153,6 +153,18 @@ def read_csv_audited(
     which is only possible when the reader captures them. Filter
     ``corrupt_col IS NOT NULL`` for the quarantine stream and
     ``IS NULL`` for the clean one.
+
+    SHARP EDGE (round-13 leap-second axis, pinned in
+    ``tests/test_leap_second_ingest.py``): corruption is detected only
+    for columns the CSV parser actually PARSES, and Catalyst prunes
+    unreferenced columns all the way into the parser. A lazy
+    ``.filter(corrupt_col IS NULL).agg(...)`` whose aggregate never
+    references the malformed column therefore RESURRECTS the corrupt
+    rows - the parse that would have failed never runs. The sanctioned
+    recipe is the DetectionPipeline's: ``persist()`` the full parse
+    FIRST, then split on the corrupt column (SPARK-21610's cached-parse
+    route; caching materializes every column, freezing each row's
+    corruption status).
     """
     from pyspark.sql.types import StringType, StructField
 
