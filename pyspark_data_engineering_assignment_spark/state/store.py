@@ -229,7 +229,19 @@ class ParquetStateStore:
         paths = self._bucket_paths(spec.name, pointer["versions"], buckets)
         if not paths:
             return self.spark.createDataFrame([], spec.schema)
-        return self.spark.read.schema(spec.schema).parquet(*paths)
+        # Page-CRC verification ON for state reads (round-13 footer/bit-rot
+        # axis): snappy framing and strict decoders catch most corruption,
+        # but a flipped byte that keeps the page a VALID stream decodes to
+        # silently wrong state (reproduced: a PLAIN int64 page read back
+        # wrong-by-one with zero errors). parquet-mr writes page CRCs by
+        # default; only verification is off by default (PARQUET-1580).
+        # State is cumulative and irreplaceable - worth the crc32 cost;
+        # bulk fact scans stay default (recomputable).
+        return (
+            self.spark.read.schema(spec.schema)
+            .option("parquet.page.verify-checksum.enabled", "true")
+            .parquet(*paths)
+        )
 
     def vacuum(self, spec: StateTableSpec, retention_seconds: float = 0.0) -> int:
         """Delete bucket snapshots no longer referenced by the pointer

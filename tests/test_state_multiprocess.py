@@ -346,3 +346,157 @@ def test_corrupted_bucket_file_fails_reads_loudly(spark, tmp_path):
 
     with pytest.raises(Exception, match="(?i)parquet|corrupt|magic|EOF"):
         store.read_state(MERCHANT_SUMMARY).collect()
+
+
+def _live_bucket_file(tmp_path) -> str:
+    import glob
+
+    ptr = json.load(
+        open(os.path.join(str(tmp_path), MERCHANT_SUMMARY.name, "_LATEST.json"))
+    )
+    b, v = next(iter(ptr["versions"].items()))
+    live = glob.glob(
+        os.path.join(
+            str(tmp_path), MERCHANT_SUMMARY.name, f"v={v}", f"_bucket={b}",
+            "*.parquet",
+        )
+    )
+    assert live
+    return live[0]
+
+
+def test_corrupted_parquet_footer_variants_fail_loudly(spark, tmp_path):
+    """Round-13 axis: footer-targeted corruption, extending round-12's
+    torn-mid-file pin (which removes the footer entirely). Three exact
+    shapes a failing disk / torn object-store PUT leaves, each with the
+    file LENGTH and trailing structure plausible enough to fool a naive
+    reader:
+
+    (a) footer THRIFT METADATA corrupted, trailing length+magic intact;
+    (b) trailing magic truncated (file ends mid-footer-length);
+    (c) bit-rot inside a DATA PAGE, footer fully intact (the sneakiest:
+        metadata validates, only decompression/decoding can notice).
+
+    All three must make read_state raise - never return partial or
+    garbage state. (c) is caught by snappy framing today; a single
+    flipped byte that happens to keep the stream valid-snappy is NOT
+    guaranteed caught without parquet.page.verify-checksum.enabled -
+    documented in SCALING.md, round-13.)"""
+    store = ParquetStateStore(spark, str(tmp_path), n_buckets=4)
+    for bid in range(2):
+        store.merge_batch(
+            MERCHANT_SUMMARY,
+            spark.createDataFrame([(k, 1) for k in KEYS], MERCHANT_AGG_SCHEMA),
+            batch_id=bid,
+            now=NOW,
+        )
+    assert _merchant_totals(store) == {k: 2 for k in KEYS}
+    f = _live_bucket_file(tmp_path)
+    orig = open(f, "rb").read()
+    flen = int.from_bytes(orig[-8:-4], "little")
+    assert 0 < flen < len(orig)
+
+    # (a) footer metadata flipped, length+magic intact
+    data = bytearray(orig)
+    for i in range(len(data) - 8 - flen, len(data) - 8, 7):
+        data[i] ^= 0xFF
+    open(f, "wb").write(bytes(data))
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|footer|thrift|magic"):
+        store.read_state(MERCHANT_SUMMARY).collect()
+
+    # (b) trailing magic gone
+    open(f, "wb").write(orig[:-4])
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|footer|magic|expected"):
+        store.read_state(MERCHANT_SUMMARY).collect()
+
+    # (c) data-page bit-rot, footer intact
+    data = bytearray(orig)
+    mid = (len(orig) - 8 - flen) // 2
+    for i in range(mid, min(mid + 64, len(orig) - 8 - flen)):
+        data[i] ^= 0xFF
+    open(f, "wb").write(bytes(data))
+    with pytest.raises(Exception):
+        store.read_state(MERCHANT_SUMMARY).collect()
+
+    # restore: the same handle reads correct totals again (corruption
+    # was in the file, not the pointer protocol)
+    open(f, "wb").write(orig)
+    assert _merchant_totals(store) == {k: 2 for k in KEYS}
+
+
+def test_page_crc_verification_catches_valid_stream_bitrot(spark, tmp_path):
+    """Round-13 finding #71: a flipped byte that keeps the page a VALID
+    stream (PLAIN int64 value byte) decodes with zero errors - the
+    baseline read returns state that is silently WRONG BY ONE. parquet
+    writers emit page CRCs by default but readers skip verification
+    (PARQUET-1580), so read_state now opts in. This test constructs the
+    exact silent-wrong file (pyarrow rewrite of a live bucket:
+    uncompressed, PLAIN, checksummed; one count's low byte flipped
+    2 -> 3) and pins that:
+
+      * a default parquet read returns the wrong total silently (the
+        hazard is real, not hypothetical);
+      * the store's CRC-verifying read_state raises instead.
+    """
+    import struct
+
+    import pyarrow.parquet as pq_
+
+    store = ParquetStateStore(spark, str(tmp_path), n_buckets=4)
+    for bid in range(2):
+        store.merge_batch(
+            MERCHANT_SUMMARY,
+            spark.createDataFrame([(k, 1) for k in KEYS], MERCHANT_AGG_SCHEMA),
+            batch_id=bid,
+            now=NOW,
+        )
+    assert _merchant_totals(store) == {k: 2 for k in KEYS}
+    f = _live_bucket_file(tmp_path)
+
+    # rewrite the live bucket uncompressed/PLAIN with page checksums
+    table = pq_.read_table(f)
+    pq_.write_table(
+        table, f, compression="none", use_dictionary=False,
+        write_page_checksum=True, coerce_timestamps="us",
+    )
+    # drop Hadoop's LOCAL-FS whole-file .crc sidecar: it exists only on
+    # file:// (ChecksumFileSystem) and would mask the parquet-level
+    # behavior under test - object stores (the production substrate)
+    # have no sidecar, so parquet page CRCs are the only line of defense
+    sidecar = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+    if os.path.exists(sidecar):
+        os.remove(sidecar)
+    data = bytearray(open(f, "rb").read())
+    meta = pq_.ParquetFile(f).metadata.row_group(0)
+    col_idx = [
+        i for i in range(meta.num_columns)
+        if meta.column(i).path_in_schema == "total_transactions"
+    ][0]
+    col = meta.column(col_idx)
+    start = col.data_page_offset
+    end = start + col.total_compressed_size
+    # rfind: the page HEADER also encodes min/max statistics (= 2),
+    # which precede the data; the actual value bytes sit at the page's
+    # end, so the LAST pattern occurrence is the value itself
+    idx = data.rfind(struct.pack("<q", 2), start, end)
+    assert idx != -1
+    data[idx] ^= 0x01  # 2 -> 3, page still a perfectly valid stream
+    open(f, "wb").write(bytes(data))
+
+    # default read: silently wrong by one (sum 8 -> 9), zero errors
+    naive = {
+        r["merchant_id"]: r["total_transactions"]
+        for r in spark.read.schema(MERCHANT_SUMMARY.schema).parquet(
+            os.path.dirname(f)
+        ).collect()
+    }
+    # exactly one count read back wrong by one, silently
+    # (the bucket may hold any subset of KEYS; compare per-key)
+    bumped = [k for k, v in naive.items() if v == 3]
+    assert len(bumped) == 1 and all(
+        v in (2, 3) for v in naive.values()
+    ), naive
+
+    # the store's verifying read refuses
+    with pytest.raises(Exception, match="(?i)crc|checksum|corrupt|parquet"):
+        store.read_state(MERCHANT_SUMMARY).collect()

@@ -66,7 +66,14 @@ import json, os, sys, time
 import pyarrow.parquet as pq
 root, table, stopfile = sys.argv[1], sys.argv[2], sys.argv[3]
 tdir = os.path.join(root, table)
-while not os.path.exists(stopfile):
+stopped = False
+while not stopped:
+    # stop-check BEFORE the read, acted on AFTER it: the loop always
+    # performs one full snapshot read after the writer signals stop, so
+    # the final committed state is guaranteed observed even when a host
+    # stall makes the reader lag the writer (pre-fix, the last printed
+    # snapshot could predate the final merge -> flaky last==N assert)
+    stopped = os.path.exists(stopfile)
     try:
         with open(os.path.join(tdir, "_LATEST.json")) as f:
             ptr = json.load(f)
