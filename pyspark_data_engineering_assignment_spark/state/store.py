@@ -31,6 +31,7 @@ analog).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -154,6 +155,37 @@ class ParquetStateStore:
     def _pointer_path(self, table: str) -> str:
         return os.path.join(self.root, table, "_LATEST.json")
 
+    @contextlib.contextmanager
+    def _table_write_lock(self, table: str):
+        """Serialize WRITERS (merge/rebucket/migrate/vacuum) on one
+        table, across processes and threads (round-13 two-writer axis).
+
+        Pre-lock, concurrent ``merge_batch`` calls on the SAME table
+        were a silent-loss race: both read the same pointer, both wrote
+        ``v=next_version``, and the second pointer swap clobbered the
+        first writer's versions map - a whole batch vanished with zero
+        errors (and racing replicas replaying the same batch_id could
+        double-apply past the TOCTOU ledger check). ``fcntl.flock`` is
+        the arbiter: kernel-released on crash (no stale-lock sweeper),
+        exclusive across processes AND across fds within one process
+        (each acquire opens its own fd, so driver threads contend too),
+        ~microseconds uncontended. Writers to DIFFERENT tables keep
+        their concurrency (per-table lock file) - the pipeline's three
+        parallel merges are unaffected. READERS never take it: the
+        atomic pointer protocol already serves them. Scope: local/NFSv4
+        filesystems; multi-writer on an object store is a lakehouse
+        format's job (SCALING.md)."""
+        import fcntl
+
+        path = os.path.join(self.root, table, "_WRITER.lock")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # close releases the flock
+
     def _read_pointer(self, table: str) -> dict:
         try:
             with open(self._pointer_path(table)) as f:
@@ -261,7 +293,13 @@ class ParquetStateStore:
         for the single-threaded foreachBatch pipeline, where vacuum and
         all reads share one thread. Returns the number of snapshot
         directories this call removed (a dir already deleted by a
-        concurrent vacuum is not counted)."""
+        concurrent vacuum is not counted). Holds the per-table writer
+        lock (round-13): vacuum mutates the snapshot set, so it
+        serializes with merges/reshapes on the same table."""
+        with self._table_write_lock(spec.name):
+            return self._vacuum_locked(spec, retention_seconds)
+
+    def _vacuum_locked(self, spec, retention_seconds: float) -> int:
         import glob as _glob
         import shutil
         import time as _time
@@ -364,10 +402,14 @@ class ParquetStateStore:
         changes. Old snapshots become unreferenced and are reclaimed by
         ``vacuum()``. Returns the number of non-empty buckets written.
 
-        Not concurrency-safe against a WRITER: like every pointer swap
-        here, last-write-wins - run it between batches (the pipeline is
-        the only writer, and foreachBatch serializes per-table merges).
+        Concurrency (round-13): holds the per-table writer lock, so a
+        rebucket serializes against merges/vacuums on the same table
+        instead of the previous last-write-wins pointer race.
         """
+        with self._table_write_lock(spec.name):
+            return self._rebucket_locked(spec, new_n_buckets)
+
+    def _rebucket_locked(self, spec, new_n_buckets: int) -> int:
         if new_n_buckets < 1:
             raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
         pointer = self._read_pointer(spec.name)
@@ -427,10 +469,17 @@ class ParquetStateStore:
         one atomically-swapped new version, so concurrent readers are
         never torn; ``last_batch_id`` carries over, so replaying a
         pre-migration batch id stays a no-op; old snapshots start their
-        retention clock at the swap and fall to ``vacuum``. Same
-        single-writer contract as every pointer swap here: run between
-        batches. Returns the number of non-empty buckets written.
+        retention clock at the swap and fall to ``vacuum``. Returns the
+        number of non-empty buckets written.
+
+        Concurrency (round-13): holds the per-table writer lock, so a
+        migration serializes against merges/vacuums on the same table
+        instead of the previous last-write-wins pointer race.
         """
+        with self._table_write_lock(old_spec.name):
+            return self._migrate_schema_locked(old_spec, new_spec)
+
+    def _migrate_schema_locked(self, old_spec, new_spec) -> int:
         if old_spec.name != new_spec.name:
             raise ValueError(
                 f"migrate_schema evolves one table in place: "
@@ -505,7 +554,17 @@ class ParquetStateStore:
         I/O: reads and rewrites only the hash buckets that contain keys
         present in the batch; every other bucket keeps its current
         snapshot version untouched.
+
+        Concurrency: the whole merge - replay check, snapshot write,
+        pointer swap - holds the per-table writer lock, so two writers
+        on one table SERIALIZE (racing replicas of the same batch_id
+        become exactly-once: the loser re-reads the pointer under the
+        lock and sees the batch applied). See ``_table_write_lock``.
         """
+        with self._table_write_lock(spec.name):
+            return self._merge_batch_locked(spec, batch_agg, batch_id, now, meta)
+
+    def _merge_batch_locked(self, spec, batch_agg, batch_id, now, meta) -> None:
         pointer = self._read_pointer(spec.name)
         if batch_id <= pointer["last_batch_id"]:
             return  # replayed batch: already merged, keep idempotent

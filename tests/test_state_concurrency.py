@@ -40,6 +40,7 @@ from pyspark_data_engineering_assignment_spark.state.store import (
 )
 
 NOW = "2024-01-01 00:00:00"
+KEYS = ["M0", "M1", "M2", "M3"]
 
 MERCHANT_AGG_SCHEMA = StructType(
     [
@@ -191,3 +192,42 @@ def test_polling_reader_sees_only_committed_prefixes(spark, tmp_path):
     assert not errors, errors
     assert observed <= committed, observed - committed
     assert s in observed or _merchant_totals(store)["M1"] == s
+
+
+def test_two_threads_same_table_exactly_once(spark, tmp_path):
+    """Same-process face of the round-13 two-writer pin: two driver
+    threads race identical batch-id sequences into one table. flock
+    contends across FDs within one process (each acquire opens its own
+    fd), so the threads serialize and every batch id applies exactly
+    once - never double-counted by the TOCTOU replay check, never lost
+    to a clobbered pointer swap."""
+    import threading as _threading
+
+    store = ParquetStateStore(spark, str(tmp_path), n_buckets=4)
+    n = 6
+    errs = []
+
+    def worker():
+        try:
+            for b in range(n):
+                batch = spark.createDataFrame(
+                    [(k, 1) for k in KEYS], MERCHANT_AGG_SCHEMA
+                )
+                store.merge_batch(
+                    MERCHANT_SUMMARY, batch, batch_id=b, now=NOW
+                )
+        except Exception as exc:  # surface in the main thread
+            errs.append(exc)
+
+    ts = [_threading.Thread(target=worker) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    totals = {
+        r["merchant_id"]: r["total_transactions"]
+        for r in store.read_state(MERCHANT_SUMMARY).collect()
+    }
+    assert totals == {k: n for k in KEYS}
+    assert store.last_batch_id(MERCHANT_SUMMARY) == n - 1

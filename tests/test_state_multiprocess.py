@@ -500,3 +500,31 @@ def test_page_crc_verification_catches_valid_stream_bitrot(spark, tmp_path):
     # the store's verifying read refuses
     with pytest.raises(Exception, match="(?i)crc|checksum|corrupt|parquet"):
         store.read_state(MERCHANT_SUMMARY).collect()
+
+
+@pytest.mark.slow
+def test_two_writers_same_table_serialize_exactly_once(spark, tmp_path):
+    """Round-13 verdict task #4: two concurrent writers on ONE table.
+
+    Two independent Spark drivers race the SAME batch-id sequence into
+    the merchant table - the realistic shape is a failover double-run
+    (a zombie replica still replaying the ids the new primary writes).
+    Pre-fix this was a silent-loss / double-apply race: both writers
+    read the same pointer, both wrote v=next_version, the second
+    pointer swap clobbered the first writer's versions map, and the
+    replay check was TOCTOU. The per-table ``_table_write_lock``
+    (flock: crash-released, cross-process, cross-fd) serializes the
+    whole merge, and the in-lock replay check makes every batch id
+    EXACTLY-ONCE across both writers: final totals are exact, with
+    both processes exiting clean."""
+    root = str(tmp_path)
+    n = 8
+    w1 = _spawn_writer(root, "merchant", n, 0.0)
+    w2 = _spawn_writer(root, "merchant", n, 0.0)
+    for w in (w1, w2):
+        out, _ = w.communicate(timeout=300)
+        assert w.returncode == 0, _stderr_tail(w)
+        assert out.strip().endswith("DONE"), out[-300:]
+    store = ParquetStateStore(spark, root, n_buckets=4)
+    assert _merchant_totals(store) == {f"M{k}": n for k in range(4)}
+    assert store.last_batch_id(MERCHANT_SUMMARY) == n - 1
