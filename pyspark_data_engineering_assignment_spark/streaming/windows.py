@@ -101,3 +101,37 @@ def session_windowed_events(
             "total_value_cents",
         )
     )
+
+
+def split_future_event_time(
+    df: DataFrame,
+    ts_col: str = "ts",
+    tolerance: str = "10 minutes",
+    now_col=None,
+):
+    """Ingest-side producer-clock-skew guard: returns ``(clean,
+    skewed)`` where ``skewed`` holds rows whose event time is more than
+    ``tolerance`` AHEAD of processing time.
+
+    Why this exists (round-13 clock-skew axis): the global watermark is
+    ``max(event time seen) - delay``, computed over EVERY input row.
+    LATE data hurts only itself - but FUTURE data poisons everyone
+    else: one producer with a wrong clock (a year-ahead RTC, a ms/us
+    unit mix-up) advances the watermark past all genuine traffic, and
+    every subsequent legitimate event is silently dropped as "late"
+    (pinned in tests/test_clock_skew_watermark.py - one skewed row
+    blackholes the whole stream with zero errors). Filtering future
+    timestamps BEFORE ``withWatermark`` keeps the watermark anchored to
+    real traffic; route ``skewed`` to the quarantine channel, not
+    /dev/null - a unit mix-up is diagnosable from the captured rows.
+
+    ``now_col`` defaults to ``F.current_timestamp()``, which inside a
+    micro-batch is the BATCH's query timestamp - deterministic within a
+    batch, replay-stable under checkpoint recovery. Tests inject a
+    fixed literal. NULL event times are routed to ``clean`` (they
+    cannot advance a watermark; the null-routing policy downstream
+    owns them)."""
+    now = F.current_timestamp() if now_col is None else now_col
+    horizon = now + F.expr(f"INTERVAL {tolerance}")
+    is_future = F.coalesce(F.col(ts_col) > horizon, F.lit(False))
+    return df.filter(~is_future), df.filter(is_future)
