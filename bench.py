@@ -157,7 +157,9 @@ def bench_streaming(spark) -> dict:
 _STREAM_FACT_KEYS = (
     "rows",
     "seconds",
+    "seconds_median",
     "rows_per_sec",
+    "rows_per_sec_median",
     "rows_per_sec_min",
     "rows_per_sec_max",
     "n_runs",
@@ -490,6 +492,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(times),
         "streaming_rows_per_sec": streaming["rows_per_sec"],
+        "streaming_rows_per_sec_median": streaming.get("rows_per_sec_median"),
         "streaming_rows_per_sec_min": streaming.get("rows_per_sec_min"),
         "streaming_n_runs": streaming.get("n_runs"),
         "streaming_sf": compact(streaming_sf),

@@ -113,7 +113,16 @@ def money_dec(col, colname: str = "amount") -> Column:
       the second one may abort the stream.
     """
     c = F.col(col) if isinstance(col, str) else col
-    overflow = c.isNotNull() & ~F.isnan(c) & (F.abs(c) >= F.lit(float(MONEY_CAP)))
+    # The overflow probe runs in the DOUBLE domain via try_cast so the
+    # guard composes with any money input type (round-13 advice): a bare
+    # F.isnan(c) fails at ANALYSIS time for non-float columns (decimal,
+    # string), unlike the sibling ``not_nan`` which type-dispatches.
+    # try_cast never raises (ANSI-independent); a double column passes
+    # through unchanged, a decimal can never be NaN, and a non-numeric
+    # string try_casts to NULL - all land in the non-overflow arm, where
+    # the existing ``try_cast(decimal)`` NULL contract takes over.
+    d = c.try_cast("double")
+    overflow = d.isNotNull() & ~F.isnan(d) & (F.abs(d) >= F.lit(float(MONEY_CAP)))
     return F.when(
         overflow,
         F.raise_error(

@@ -269,11 +269,27 @@ class ParquetStateStore:
         # default; only verification is off by default (PARQUET-1580).
         # State is cumulative and irreplaceable - worth the crc32 cost;
         # bulk fact scans stay default (recomputable).
-        return (
+        df = (
             self.spark.read.schema(spec.schema)
             .option("parquet.page.verify-checksum.enabled", "true")
             .parquet(*paths)
         )
+        # Lazy-migration convergence (round-13 verdict task #6): a
+        # counter column added by schema skew is missing from
+        # pre-evolution snapshots and resolves as NULL - but a counter's
+        # migration default is typed 0 (``migrate_schema`` backfills 0
+        # for sum_cols; ``merge_batch`` coalesces NULL counters to 0),
+        # so coalescing here makes the lazy upgrade read IDENTICAL to an
+        # eager ``migrate_schema``, removing the pinned NULL-vs-0
+        # divergence for untouched keys. Safe because a NULL sum_col has
+        # no other source: every write path lands a concrete value.
+        # Non-counter columns keep NULL (their migration default).
+        for c in spec.sum_cols:
+            f = spec.schema[c]
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), F.lit(0).cast(f.dataType))
+            )
+        return df.select(*spec.schema.fieldNames())
 
     def vacuum(self, spec: StateTableSpec, retention_seconds: float = 0.0) -> int:
         """Delete bucket snapshots no longer referenced by the pointer

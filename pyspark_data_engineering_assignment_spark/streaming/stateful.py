@@ -108,6 +108,7 @@ def dedup_stream_by_key(
     key_cols: list[str],
     ts_col: str = "ts",
     watermark_delay: str = "1 hour",
+    future_tolerance: str | None = "10 minutes",
 ) -> DataFrame:
     """Streaming exact deduplication: keep the first arrival per key,
     dropping re-deliveries that arrive within the watermark horizon.
@@ -117,7 +118,23 @@ def dedup_stream_by_key(
     state is O(keys per watermark window), not O(all keys ever) - the
     property that makes streaming dedup viable on an unbounded 100 TB
     stream (plain ``dropDuplicates`` on a stream grows state forever).
+
+    ``future_tolerance``: the finding-73 clock-skew guard
+    (``windows._guard_future_event_time``), default ON. Round-14 probe:
+    this operator IS blackholed by one future-clocked row - the global
+    watermark jumps past genuine traffic and every later legitimate
+    event is silently dropped as late (not merely "a duplicate slips
+    through": the rows vanish; pinned in
+    tests/test_clock_skew_watermark.py). Dropping the one skewed row -
+    counted in the ``future_skew_quarantine`` observed metric - is the
+    strictly smaller loss.
     """
+    if future_tolerance is not None:
+        from pyspark_data_engineering_assignment_spark.streaming.windows import (
+            _guard_future_event_time,
+        )
+
+        stream = _guard_future_event_time(stream, ts_col, future_tolerance)
     return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         key_cols
     )
@@ -498,6 +515,7 @@ def expiring_counts(
     ts_col: str,
     ttl_minutes: int = 60,
     watermark_delay: str = "10 minutes",
+    future_tolerance: str | None = "10 minutes",
 ) -> DataFrame:
     """Keyed running counts whose state EXPIRES by event time: a key
     idle for ``ttl_minutes`` past the watermark emits one final row
@@ -508,7 +526,16 @@ def expiring_counts(
     for unbounded key domains. Uses EventTimeTimeout: deterministic
     under replay because expiry is driven by the watermark, not wall
     clock - an availableNow drain with a late flush row expires
-    everything before it reproducibly (pinned in tests)."""
+    everything before it reproducibly (pinned in tests).
+
+    ``future_tolerance``: finding-73 guard, default ON - and for THIS
+    operator the unguarded failure is the loudest of the family
+    (round-14 probe): the poisoned watermark makes every legitimate
+    key's ``setTimeoutTimestamp(newest + ttl)`` land BELOW the
+    watermark, which raises INVALID_TIMEOUT_TIMESTAMP inside the state
+    function - and because the poisoned source file survives restart,
+    the query CRASH-LOOPS on it forever (pinned in
+    tests/test_clock_skew_watermark.py)."""
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -538,6 +565,12 @@ def expiring_counts(
         state.setTimeoutTimestamp(newest_ms + ttl_minutes * 60_000)
         yield pd.DataFrame({"key": [key[0]], "n_events": [n], "expired": [0]})
 
+    if future_tolerance is not None and events.isStreaming:
+        from pyspark_data_engineering_assignment_spark.streaming.windows import (
+            _guard_future_event_time,
+        )
+
+        events = _guard_future_event_time(events, ts_col, future_tolerance)
     return (
         events.withWatermark(ts_col, watermark_delay)
         .select(

@@ -83,19 +83,23 @@ def aggregate_stream_runs(results: list[dict]) -> dict:
     below-gate 5.3k rows/s headline while the same tree read 21-22.5k
     idle - the host noise band is ±20-37%, so one sample can misstate
     the engine by the full gate margin). The representative run (the one
-    whose rows/s is closest to the median) supplies the carried fields
-    (latency, dirs); seconds and rows_per_sec become medians; min/max
-    and the per-run list are kept so a judge can see the spread."""
+    whose rows/s is closest to the median) supplies the WHOLE headline
+    triplet - seconds, rows_per_sec AND latency - so the committed
+    artifact is internally consistent (rows/seconds == rows_per_sec;
+    round-13 advice: mixing the median of each field with a third run's
+    latency made the triplet mutually inconsistent). The field-wise
+    medians are reported separately as ``*_median``; min/max and the
+    per-run list keep the spread visible."""
     import statistics
 
     rps = [r["rows_per_sec"] for r in results]
     med = statistics.median(rps)
     rep = min(results, key=lambda r: abs(r["rows_per_sec"] - med))
-    out = dict(rep)
-    out["seconds"] = round(
+    out = dict(rep)  # one run's coherent (seconds, rows_per_sec, latency, dirs)
+    out["seconds_median"] = round(
         statistics.median([r["seconds"] for r in results]), 3
     )
-    out["rows_per_sec"] = round(med)
+    out["rows_per_sec_median"] = round(med)
     out["rows_per_sec_min"] = min(rps)
     out["rows_per_sec_max"] = max(rps)
     out["n_runs"] = len(results)

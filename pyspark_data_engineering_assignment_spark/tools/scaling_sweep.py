@@ -90,6 +90,20 @@ def exponent_sweep(spark, names, sf_dirs: dict[str, str]) -> list[dict]:
     * near-superlinear endpoints: an exponent > 0.9 re-measures both
       endpoints once before the verdict stands - a stall on the hi
       point is exactly what fakes a superlinear alarm.
+
+    Residual one-sided bias (round-13 advice, accepted + documented in
+    SCALING.md): repair triggers only on verdicts that ALARM (exponent
+    > 0.9, non-monotonic drop), and min-keeping can only lower points.
+    Consequences: (a) a stall on the LO point deflates the exponent
+    (reads too flat) and is never re-examined - in the worst case a
+    genuinely superlinear curve could hide behind a lo-point stall for
+    one round; (b) a chain of 3+ stalls can outlast the 2-iteration
+    repair loop. Both are bounded by the ROUND cadence, not by this
+    sweep: the sweep reruns every round on a freshly measured lo point,
+    so a stall-masked exponent re-surfaces next round (a real
+    superlinear curve alarms every clean round; a stall is transient).
+    Full min-of-2 on every point would remove the bias but doubles a
+    40-90 min sweep for a one-round detection latency win - not paid.
     """
     import math
 

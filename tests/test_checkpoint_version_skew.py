@@ -14,13 +14,11 @@ silently wrong read.
   never fall back to reprocessing the backlog from scratch (that would
   double-count every committed batch).
 * ADDITIVE state-schema skew (new sum column, restart without running
-  migrate_schema): reads resolve the missing column as NULL and the
-  additive merge coalesces it to 0 - the lazy upgrade converges to the
-  same totals as an explicit migrate_schema, with one pinned
-  difference: rows in buckets untouched since the skew read the new
-  column as NULL, where the eager migration backfills 0. (Run
-  migrate_schema to normalize; the pipeline's aggregates coalesce
-  either way.)
+  migrate_schema): reads coalesce the missing counter to its typed-0
+  migration default (round-13 verdict task #6, fixed in
+  ``read_state``), so the lazy upgrade converges EXACTLY to an
+  explicit migrate_schema - totals, untouched keys, everything; the
+  previously pinned NULL-vs-0 divergence is gone.
 * NARROWING state-schema skew (column type changed): read_state raises
   a parquet type mismatch - never casts silently.
 """
@@ -190,12 +188,11 @@ def test_additive_schema_skew_lazily_converges_to_migration(spark, tmp_path):
     }
     # touched keys converge exactly; the counters never corrupt
     assert rows_a["M0"] == rows_b["M0"] == (3, 5)
-    assert rows_a["M1"][0] == rows_b["M1"][0] == 2
-    # the ONE pinned divergence: an untouched key's new column is 0
-    # under eager migration but NULL under the lazy path (missing in
-    # the old snapshot) - run migrate_schema to normalize
-    assert rows_a["M1"][1] == 0
-    assert rows_b["M1"][1] is None
+    # Round-13 verdict task #6: the lazy path now converges COMPLETELY -
+    # read_state coalesces sum_cols to their typed-0 migration default,
+    # so an untouched key's new counter reads 0 under BOTH paths (was
+    # the one pinned NULL-vs-0 divergence; no caveat remains).
+    assert rows_a["M1"] == rows_b["M1"] == (2, 0)
 
 
 def test_narrowing_schema_skew_fails_loudly(spark, tmp_path):

@@ -92,7 +92,11 @@ def test_one_future_row_blackholes_legitimate_traffic(spark, tmp_path):
     in live window state (the one-batch eviction lag), but the window
     is then emitted+evicted, and from batch 2 on every
     perfectly-current event lands in a long-closed window and is
-    DROPPED - the stream silently loses all genuine traffic."""
+    DROPPED - the stream silently loses all genuine traffic.
+
+    Round 14: the guard is now DEFAULT-ON in the constructor, so this
+    hazard pin must opt out explicitly - which doubles as the pin that
+    ``future_tolerance=None`` really disables it."""
     src = str(tmp_path / "in")
     _feed(src, POISONED)
     stream = (
@@ -102,7 +106,9 @@ def test_one_future_row_blackholes_legitimate_traffic(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .load(src)
     )
-    agg = windowed_event_aggregate(stream, "1 hour", watermark_delay="30 minutes")
+    agg = windowed_event_aggregate(
+        stream, "1 hour", watermark_delay="30 minutes", future_tolerance=None
+    )
     sink, dropped = _drain(agg, tmp_path, "append")
     # the drop counter sees POST-partial-aggregation rows: batch 2's two
     # events collapse into one (window, event_type) partial row before
@@ -162,3 +168,173 @@ def test_guarded_stream_survives_future_producer(spark, tmp_path):
         for r in spark.table(sink).collect()
     }
     assert got == {("2024-01-01 10:00:00", 5, 6100)}  # all five events
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (verdict task #2): the guard is wired INTO the event-time
+# constructors, default ON - a library user assembling a stream through
+# the public API gets finding-73 protection without knowing it exists.
+# ---------------------------------------------------------------------------
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+
+
+def test_default_guard_e2e_windowed_aggregate(spark, tmp_path):
+    """Poisoned feed straight through the PUBLIC constructor with all
+    defaults: zero legitimate drops, all five events counted, and the
+    quarantined-row count is published as an observed metric on every
+    micro-batch (the drop is loud, not silent)."""
+    src = str(tmp_path / "in")
+    _feed(src, POISONED)
+    agg = windowed_event_aggregate(
+        _stream(spark, src), "1 hour", watermark_delay="30 minutes"
+    )
+    sink = f"skew_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 0
+    got = {
+        (r["hour"], r["n_events"], r["total_value_cents"])
+        for r in spark.table(sink).collect()
+    }
+    assert got == {("2024-01-01 10:00:00", 5, 6100)}  # all five events
+    quarantined = sum(
+        p["observedMetrics"]["future_skew_quarantine"]["rows_quarantined"]
+        for p in q.recentProgress
+        if "future_skew_quarantine" in p.get("observedMetrics", {})
+    )
+    assert quarantined == 1  # exactly the poison row, visibly counted
+
+
+def test_default_guard_e2e_session_windows(spark, tmp_path):
+    from pyspark_data_engineering_assignment_spark.streaming.windows import (
+        session_windowed_events,
+    )
+
+    src = str(tmp_path / "in")
+    # reuse POISONED but the sessionizer groups by user_id - feed has
+    # event_type only, so rename via a per-file frame with user column
+    _feed(src, POISONED)
+    sess = session_windowed_events(
+        _stream(spark, src).withColumnRenamed("event_type", "user_id"),
+        gap_duration="30 minutes",
+        watermark_delay="30 minutes",
+    )
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    # all 5 legitimate events present across sessions; poison row gone
+    assert sum(r["n_events"] for r in rows) == 5
+
+
+def test_dedup_stream_blackholed_without_guard(spark, tmp_path):
+    """Round-14 probe pin: dropDuplicatesWithinWatermark is ALSO
+    blackholed by one future row - batch 2's events (d, e at 10:20 /
+    10:25) silently vanish as late. This is why the guard defaults ON
+    for dedup too (the skewed row is a smaller loss than the stream)."""
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        dedup_stream_by_key,
+    )
+
+    poisoned = [
+        [("2024-01-01 10:00:00", "1.0"), ("2099-01-01 00:00:00", "2.0")],
+        [("2024-01-01 10:05:00", "4.0"), ("2024-01-01 10:10:00", "8.0")],
+        [("2024-01-01 10:20:00", "16.0"), ("2024-01-01 10:25:00", "32.0")],
+    ]
+    for guard, expect_values in [
+        (None, {"1.0", "2.0", "4.0", "8.0"}),  # d, e GONE
+        ("10 minutes", {"1.0", "4.0", "8.0", "16.0", "32.0"}),  # poison gone
+    ]:
+        src = str(tmp_path / f"in_{'guarded' if guard else 'raw'}")
+        _feed(src, poisoned)
+        # value is the dedup key here: every row unique -> all should pass
+        dd = dedup_stream_by_key(
+            _stream(spark, src),
+            ["value"],
+            watermark_delay="30 minutes",
+            future_tolerance=guard,
+        )
+        sink = f"dd_{uuid.uuid4().hex[:8]}"
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {str(r["value"]) for r in spark.table(sink).collect()}
+        assert got == expect_values, (guard, got)
+
+
+def test_expiring_counts_crashloops_without_guard(spark, tmp_path):
+    """Round-14 probe pin: the unguarded EventTimeTimeout operator does
+    not blackhole - it CRASHES: every legitimate key's
+    setTimeoutTimestamp(newest + ttl) lands below the poisoned
+    watermark and raises INVALID_TIMEOUT_TIMESTAMP; since the poisoned
+    file survives restart, the query would crash-loop forever. With the
+    default guard the same feed drains cleanly."""
+    import pytest
+
+    from pyspark_data_engineering_assignment_spark.streaming.stateful import (
+        expiring_counts,
+    )
+
+    src = str(tmp_path / "in")
+    _feed(src, POISONED)
+
+    def drain(guard):
+        ec = expiring_counts(
+            _stream(spark, src),
+            "event_type",
+            "ts",
+            ttl_minutes=60,
+            watermark_delay="30 minutes",
+            future_tolerance=guard,
+        )
+        sink = f"ec_{uuid.uuid4().hex[:8]}"
+        q = (
+            ec.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink).collect()
+
+    with pytest.raises(Exception, match="INVALID_TIMEOUT_TIMESTAMP|TIMEOUT"):
+        drain(None)
+    rows = drain("10 minutes")
+    # all 5 legitimate events counted under key 'x'; poison row absent
+    assert max(r["n_events"] for r in rows) == 5

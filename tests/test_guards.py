@@ -75,3 +75,42 @@ def test_valid_vector_three_arms(spark):
     )
     kept = [r.id for r in df.filter(valid_vector("vec")).collect()]
     assert kept == [1]
+
+
+def test_money_dec_composes_with_non_float_columns(spark):
+    """Round-13 advice: money_dec used a bare F.isnan(c), which fails at
+    ANALYSIS time for non-float money columns (decimal, string). The
+    overflow probe now runs in the double domain via try_cast, so the
+    guard composes with any input type - and the overflow contract is
+    unchanged per type: finite |amount| >= 10^16 still raises, NaN and
+    non-numeric strings still land NULL."""
+    from pyspark_data_engineering_assignment_spark.functions.guards import money_dec
+
+    # decimal input: analysis-safe, overflow still loud
+    dec = spark.createDataFrame(
+        [("1.50",), ("9999999999999999.00",)], "amount string"
+    ).select(F.col("amount").cast("decimal(20,2)").alias("amount"))
+    ok = dec.filter(F.col("amount") < 10).select(money_dec("amount")).collect()
+    assert str(ok[0][0]) == "1.50"
+    with pytest.raises(Exception, match="money overflow"):
+        dec.select(money_dec("amount")).collect()
+
+    # string input: numeric strings convert, junk and 'NaN' -> NULL,
+    # oversized numeric string -> loud
+    s = spark.createDataFrame(
+        [("2.25",), ("abc",), ("NaN",)], "amount string"
+    )
+    got = {r[0] is None or str(r[0]) for r in s.select(money_dec("amount")).collect()}
+    assert got == {True, "2.25"}  # abc and NaN both NULL, 2.25 converts
+    with pytest.raises(Exception, match="money overflow"):
+        spark.createDataFrame([("99999999999999999",)], "amount string").select(
+            money_dec("amount")
+        ).collect()
+
+    # double input: unchanged semantics (NaN -> NULL, overflow -> loud)
+    d = spark.createDataFrame([(2.5,), (float("nan"),)], "amount double")
+    vals = sorted(
+        ("NULL" if r[0] is None else str(r[0]))
+        for r in d.select(money_dec("amount")).collect()
+    )
+    assert vals == ["2.50", "NULL"]
