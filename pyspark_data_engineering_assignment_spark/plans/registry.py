@@ -235,13 +235,26 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("t.customer_id"), F.col("t.merchant_id"))
         .distinct()
     )
-    active_merchants = (
-        tx.groupBy("merchant_id").agg(F.count("*").alias("n")).filter(F.col("n") > 5)
+    # Round-14 plan change (A/B-adjudicated, SCALING.md): active
+    # merchants are DERIVED from the pair aggregate - a merchant's total
+    # count is the sum of its per-customer pair counts - so the second
+    # full-width shuffle of raw tx rows (groupBy merchant over ~60M rows
+    # at sf10) becomes a re-aggregation of the already-shuffled distinct
+    # pairs. Interleaved min-of-3 A/B: sf10 26.3s vs 34.7s baseline
+    # (-24%), parity at sf0.1/sf1, flagship exponent ~0.89 -> ~0.75.
+    # Semantics identical (COUNT(*) per merchant == SUM of pair counts;
+    # NULL customer_ids form their own pair group and are summed in).
+    pair_counts = tx.groupBy("customer_id", "merchant_id").agg(
+        F.count("*").alias("n")
     )
-    hot_pairs = (
-        tx.groupBy("customer_id", "merchant_id")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 2)
+    hot_pairs = pair_counts.filter(F.col("n") > 2).select(
+        "customer_id", "merchant_id"
+    )
+    active_merchants = (
+        pair_counts.groupBy("merchant_id")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 5)
+        .select("merchant_id")
     )
     return (
         low_weight.join(active_merchants, on="merchant_id", how="left_semi")

@@ -490,15 +490,22 @@ def _ivf_index_path(
     src = os.path.join(sf_dir, "embeddings.parquet")
     h = hashlib.md5(os.path.abspath(src).encode())
     h.update(params.encode())
+    code = hashlib.md5(
+        inspect.getsource(clustering.kmeans_fixedpoint).encode()
+        + inspect.getsource(clustering.build_ivf_det_index).encode()
+    ).hexdigest()
     h.update(inspect.getsource(clustering.kmeans_fixedpoint).encode())
     h.update(inspect.getsource(clustering.build_ivf_det_index).encode())
+    file_stats = []
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
             h.update(f"|{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+            file_stats.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(src):
         st = os.stat(src)
         h.update(f"|{st.st_size}:{st.st_mtime_ns}".encode())
+        file_stats.append(f"{st.st_size}:{st.st_mtime_ns}")
     if scratch_root is None:
         repo_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -508,6 +515,33 @@ def _ivf_index_path(
     os.makedirs(scratch, exist_ok=True)
     fp = h.hexdigest()[:16]
     current = os.path.join(scratch, f"ivf_index_{fp}")
+
+    # Diagnosability sidecar (round-13 verdict task #3: the committed
+    # bench re-paid the build with clustering.py untouched, and nobody
+    # could tell WHY from artifacts). Record the fingerprint's inputs so
+    # a future miss is attributable by diffing two sidecars: in the r13
+    # case, file_stats (the driver regenerates /root/testdata each
+    # round, bumping mtime_ns) - the stat-based key is DELIBERATELY
+    # conservative (a false miss re-pays the build; a false hit would
+    # serve a stale index against a fresh oracle and red the gate), so
+    # one rebuild per driver round is the designed cost, not a bug.
+    import json as _json
+
+    try:
+        with open(
+            os.path.join(scratch, f"fp_inputs_{fp}.json"), "w"
+        ) as fh:
+            _json.dump(
+                {
+                    "abspath": os.path.abspath(src),
+                    "params": params,
+                    "quantizer_code_md5": code,
+                    "file_stats": file_stats,
+                },
+                fh,
+            )
+    except OSError:
+        pass  # sidecar is best-effort; the cache itself is unaffected
 
     # Prune stale fingerprints - concurrency-safe (round-8 ADVICE low):
     #  * the fingerprint token is matched EXACTLY (``ivf_index_<fp>`` or
@@ -544,6 +578,16 @@ def _ivf_index_path(
     for old in stale[:-3]:  # keep the 3 most recent besides current
         if _mtime(old) < cutoff:
             shutil.rmtree(old, ignore_errors=True)
+            # the pruned fingerprint's diagnostic sidecar goes with it
+            try:
+                os.remove(
+                    os.path.join(
+                        scratch,
+                        f"fp_inputs_{_token(os.path.basename(old))}.json",
+                    )
+                )
+            except OSError:
+                pass
     # Refresh the grace window on every cache HIT: a session probing a
     # >1h-old index never bumps its mtime by reading, so without the
     # touch a 4th fingerprint in ANOTHER session could prune the index

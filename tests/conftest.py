@@ -43,6 +43,21 @@ def sf_dir() -> str:
 
 
 def pytest_configure(config):
+    # Two lanes (round-13 verdict task #5):
+    #   FAST (core-correctness, target <10 min):
+    #       python -m pytest tests/ -m "not slow and not axis"
+    #     oracle parity, goldens, state merge, plan hygiene, operator
+    #     units - the signal to run after every change.
+    #   FULL (close-out gate): python -m pytest tests/
+    # "slow"  = heavy-runtime suites (soak, multi-process, sf-scale,
+    #           distributed feeder, cache pruning).
+    # "axis"  = degenerate-input hazard sweeps (corrupt/unicode/extreme
+    #           values/calendar/codec/...). They re-verify pinned
+    #           contracts; run them when touching readers, parsers, the
+    #           oracle conventions, or before a round close.
     config.addinivalue_line(
-        "markers", "slow: full-pipeline tests that run at driver SF scale"
+        "markers", "slow: heavy-runtime tests (soak, multiprocess, sf-scale)"
+    )
+    config.addinivalue_line(
+        "markers", "axis: degenerate-input hazard-axis sweeps (pinned contracts)"
     )

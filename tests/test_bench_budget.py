@@ -21,6 +21,8 @@ import pytest
 
 from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 
 # Worst of (cold, warm) bench seconds at sf0.1 from the round-6 final

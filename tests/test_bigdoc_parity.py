@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from tests.oracle_harness import oracle_queries_reading_only, run_parity_gate
 
+pytestmark = pytest.mark.axis
+
 SF = "/root/testdata/sf0.001"
 CYCLE = 1009
 

@@ -55,6 +55,8 @@ from pyspark_data_engineering_assignment_spark.tools.feeder import feed_chunks
 
 from tests.test_streaming_e2e import COLUMNS, IMPORTANCE_ROWS, ROWS
 
+pytestmark = pytest.mark.axis
+
 CLOCK = FixedClock("2024-01-01 00:00:00")
 NOW = "2024-01-01 00:00:00"
 

@@ -27,9 +27,14 @@ from pyspark.sql.types import (
 )
 
 from pyspark_data_engineering_assignment_spark.streaming.windows import (
+
     split_future_event_time,
     windowed_event_aggregate,
 )
+
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.axis
 
 EVENT_SCHEMA = StructType(
     [

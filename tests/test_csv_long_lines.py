@@ -36,8 +36,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from pyspark_data_engineering_assignment_spark.sources.readers import (
+
     read_csv_audited,
 )
+
+pytestmark = pytest.mark.axis
 
 SCHEMA = StructType(
     [

@@ -25,9 +25,12 @@ from pyspark.sql.types import (
 )
 
 from pyspark_data_engineering_assignment_spark.sources.readers import (
+
     read_csv,
     read_csv_audited,
 )
+
+pytestmark = pytest.mark.axis
 
 SCHEMA = StructType(
     [StructField("id", IntegerType(), True), StructField("v", DoubleType(), True)]

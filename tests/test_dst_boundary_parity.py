@@ -39,9 +39,12 @@ import duckdb
 import pytest
 
 from tests.oracle_harness import (
+
     compare_query,
     oracle_queries_reading_only,
 )
+
+pytestmark = pytest.mark.axis
 
 SF = "/root/testdata/sf0.001"
 T = dt.datetime

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+
     ArrayType,
     DoubleType,
     FloatType,
@@ -30,6 +31,8 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+pytestmark = pytest.mark.axis
 
 DOCS = StructType(
     [

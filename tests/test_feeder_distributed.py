@@ -22,8 +22,11 @@ import os
 import pytest
 
 from pyspark_data_engineering_assignment_spark.tools.feeder import (
+
     feed_chunks_from_df,
 )
+
+pytestmark = pytest.mark.slow
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch", "sf1.0")
 

@@ -54,6 +54,8 @@ from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
 
 from tests.test_streaming_e2e import COLUMNS, ROWS, _write_inputs
 
+pytestmark = pytest.mark.axis
+
 CLOCK = FixedClock("2024-01-01 00:00:00")
 FFFD = "�"
 

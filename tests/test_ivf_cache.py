@@ -15,8 +15,13 @@ from __future__ import annotations
 import os
 
 from pyspark_data_engineering_assignment_spark.plans.vector_queries import (
+
     _ivf_index_path,
 )
+
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 
 def _mk_sf_dir(tmp_path, content: bytes = b"parquet-bytes") -> str:

@@ -42,10 +42,13 @@ from pyspark.sql.types import (
 )
 
 from pyspark_data_engineering_assignment_spark.sources.readers import (
+
     read_csv,
     read_csv_audited,
     read_csv_stream,
 )
+
+pytestmark = pytest.mark.axis
 
 SCHEMA = StructType(
     [

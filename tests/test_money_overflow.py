@@ -36,9 +36,12 @@ from pyspark_data_engineering_assignment_spark.operators.aggregates import (
 )
 from pyspark_data_engineering_assignment_spark.schemas import TRANSACTION_SCHEMA
 from pyspark_data_engineering_assignment_spark.state.store import (
+
     CUSTOMER_MERCHANT_SUMMARY,
     ParquetStateStore,
 )
+
+pytestmark = pytest.mark.axis
 
 NOW = "2024-01-01 00:00:00"
 

@@ -256,7 +256,15 @@ EXCHANGE_BUDGET = {
     "null_safe_category_join": 1,
     "order_enrichment": 0,
     "orders_status_priority_cube": 1,
-    "patid1_upgrade": 7,
+    # round-14 plan change: active_merchants derived from the pair
+    # aggregate - the raw-row groupBy(merchant_id) (a second full-width
+    # shuffle of ~60M tx rows at sf10) became a re-aggregation of the
+    # already-aggregated distinct pairs. The PRINTED count rises 7 -> 8
+    # because the shared pair_counts subtree (one exchange) prints once
+    # per consumer (hot_pairs + active_merchants); the RUNTIME ground
+    # truth is the interleaved min-of-3 A/B: sf10 26.3s vs 34.7s
+    # baseline (-24%), parity at sf0.1/sf1 (SCALING.md round 14).
+    "patid1_upgrade": 8,
     "patid2_child": 1,
     "patid3_dei": 2,
     "pricing_summary": 1,

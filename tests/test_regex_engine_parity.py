@@ -25,12 +25,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyspark_data_engineering_assignment_spark.functions.text import (
+
     BPE_PATTERN,
     PII_PATTERNS,
     match_count,
     scrub,
     tokens_bpe,
 )
+
+pytestmark = pytest.mark.axis
 
 _ALPHABET = (
     "abcXYZ019 .,!?@#%+-_()/:\t\n"

@@ -15,6 +15,8 @@ import pytest
 
 from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
+pytestmark = pytest.mark.axis
+
 SF = "/root/testdata/sf0.001"
 
 DRIVER_SAMPLE_SIZE = 50

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from pyspark_data_engineering_assignment_spark.sources.tables import load_table
 from pyspark_data_engineering_assignment_spark.tools.scaleup import build_scaled_dir
 
+pytestmark = pytest.mark.slow
+
 SRC = "/root/testdata/sf0.001"
 FACTOR = 3
 

@@ -25,6 +25,8 @@ import pytest
 
 from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
+pytestmark = pytest.mark.slow
+
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/.scratch/sf1.0"
 TRIP = 12.0  # 10x data x 1.2 slack

@@ -34,10 +34,15 @@ from pyspark.sql.types import (
 )
 
 from pyspark_data_engineering_assignment_spark.state.store import (
+
     CUSTOMER_MERCHANT_SUMMARY,
     MERCHANT_SUMMARY,
     ParquetStateStore,
 )
+
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 NOW = "2024-01-01 00:00:00"
 KEYS = ["M0", "M1", "M2", "M3"]

@@ -71,6 +71,8 @@ spark = (SparkSession.builder.master("local[2]")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from pyspark_data_engineering_assignment_spark.state.store import (
+
+pytestmark = pytest.mark.slow
     CUSTOMER_MERCHANT_SUMMARY, MERCHANT_SUMMARY, ParquetStateStore)
 store = ParquetStateStore(spark, root, n_buckets=4)
 if table == "merchant":

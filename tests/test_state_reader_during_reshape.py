@@ -64,6 +64,8 @@ MERCHANT_AGG_SCHEMA = StructType(
 _READER = r"""
 import json, os, sys, time
 import pyarrow.parquet as pq
+
+pytestmark = pytest.mark.slow
 root, table, stopfile = sys.argv[1], sys.argv[2], sys.argv[3]
 tdir = os.path.join(root, table)
 stopped = False

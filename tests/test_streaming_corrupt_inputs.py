@@ -43,11 +43,14 @@ from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
 )
 
 from tests.test_streaming_e2e import (
+
     COLUMNS,
     IMPORTANCE_ROWS,
     ROWS,
     _write_inputs,
 )
+
+pytestmark = pytest.mark.axis
 
 CLOCK = FixedClock("2024-01-01 00:00:00")
 

@@ -13,6 +13,8 @@ import pytest
 
 from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 
 

@@ -15,6 +15,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -16,6 +16,8 @@ import uuid
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow
+
 DEPTH, WIDTH = 4, 1024
 SF = "/root/testdata/sf0.01"
 

@@ -40,6 +40,10 @@ from pyspark_data_engineering_assignment_spark.tools.feeder import feed_chunks
 
 from tests.test_streaming_e2e import COLUMNS, IMPORTANCE_ROWS
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
 N_CHUNKS = 10
 CHUNK_ROWS = 4
 

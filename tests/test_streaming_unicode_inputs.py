@@ -45,6 +45,8 @@ from pyspark_data_engineering_assignment_spark.tools.feeder import feed_chunks
 from tests.test_streaming_corrupt_inputs import _merchant_state
 from tests.test_streaming_e2e import COLUMNS, IMPORTANCE_ROWS
 
+pytestmark = pytest.mark.axis
+
 # step, customer, age, gender, zipcodeOri, merchant, zipMerchant, category, amount, fraud
 U_ROWS = [
     (0, "C春眠", "2", "F", "28007", "M春", "28007", "es_a", "10.0", 0),

@@ -23,6 +23,8 @@ import pytest
 
 from tests.oracle_harness import duckdb_connection, compare_query
 
+pytestmark = pytest.mark.axis
+
 SF = "/root/testdata/sf0.001"
 
 # the queries where session-zone leakage would show: hour/dow

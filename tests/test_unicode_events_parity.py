@@ -33,6 +33,8 @@ import pytest
 
 from tests.oracle_harness import oracle_queries_reading_only, run_parity_gate
 
+pytestmark = pytest.mark.axis
+
 SF = "/root/testdata/sf0.001"
 T = dt.datetime
 

@@ -26,6 +26,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+pytestmark = pytest.mark.axis
+
 # surrogates are unencodable in UTF-8 (parquet/DuckDB reject them);
 # everything else, including astral plane, combining marks, ZWSP, BOM,
 # controls, is fair game

@@ -40,9 +40,12 @@ from pyspark.sql.types import (
 )
 
 from pyspark_data_engineering_assignment_spark.state.store import (
+
     ParquetStateStore,
     StateTableSpec,
 )
+
+pytestmark = pytest.mark.axis
 
 SF = "/root/testdata/sf0.001"
 
