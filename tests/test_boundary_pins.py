@@ -121,6 +121,7 @@ def boundary_sf(tmp_path_factory):
 
 
 
+@pytest.mark.slow
 def test_every_events_oracle_agrees_on_boundary_collisions(spark, boundary_sf):
     names = oracle_queries_reading_only({"events"})
     assert len(names) >= 35, f"query discovery collapsed: {names}"

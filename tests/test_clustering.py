@@ -133,6 +133,7 @@ def test_ivf_det_matches_duckdb_end_to_end(spark, con):
     assert ok, msg
 
 
+@pytest.mark.slow
 def test_ivf_det_invariant_to_partitioning(spark):
     emb = load_table(spark, SF, "embeddings")
     a = _run(spark, SF).collect()
@@ -148,6 +149,7 @@ def test_ivf_det_invariant_to_partitioning(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@pytest.mark.slow
 def test_det_oracles_agree_on_corrupt_vectors(spark, tmp_path):
     """Round-8 ADVICE low: the det-IVF DuckDB oracles must mirror the
     Spark side's corrupt-vector exclusion (NULL vector, NaN element,

@@ -88,6 +88,7 @@ def test_exact_duplicate_groups(spark, docs):
     assert groups == {0: 2, 10: 2}  # {0,1} and {10,11}
 
 
+@pytest.mark.slow
 def test_minhash_lsh_matches_exact_baseline(spark, docs):
     exact = _pairs(exact_jaccard_pairs(docs, 0.7))
     lsh = _pairs(minhash_lsh_near_duplicates(docs, jaccard_threshold=0.7))
@@ -98,6 +99,7 @@ def test_minhash_lsh_matches_exact_baseline(spark, docs):
     assert len(lsh) == len(exact), f"missed pairs: {exact - lsh}"
 
 
+@pytest.mark.slow
 def test_minhash_lsh_shipped_config_matches_exact_baseline(spark, docs):
     # The registry query ships 48 hashes / 12 bands (see
     # plans/text_queries.py minhash_lsh_neardup): same structural
@@ -333,6 +335,7 @@ def test_duplicate_clusters_null_sided_pairs_are_inert(spark):
     assert got == {1: 1, 2: 1}
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_property_matches_union_find(spark):
     """Property (hypothesis): for ANY edge list over a small id universe
     - self-loops, duplicate and reversed pairs, NULL sides included -

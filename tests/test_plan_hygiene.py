@@ -622,6 +622,7 @@ def test_scd2_windows_share_one_exchange(simple_plans):
     assert p.count("Exchange hashpartitioning") == 1, p
 
 
+@pytest.mark.slow
 def test_registry_hint_budget(spark):
     """Registry-wide join-hint budget: EVERY query's analyzed-plan
     ResolvedHint count is pinned. A hint overrides the planner's size

@@ -161,6 +161,7 @@ def test_lsh_two_bit_probe_recall_matches_docstring(spark, emb):
     assert r2 >= 0.9, f"2-bit probe recall@5 = {r2}, docstring advertises 0.94"
 
 
+@pytest.mark.slow
 def test_ivf_beats_lsh_on_clustered_data_at_equal_probe_cost(spark):
     """Pin the IVF design claim (similarity.py module docstring): on
     CLUSTERED embeddings, data-adaptive k-means cells follow the density
@@ -190,6 +191,7 @@ def test_ivf_beats_lsh_on_clustered_data_at_equal_probe_cost(spark):
     assert r_ivf >= r_lsh + 0.15, f"IVF {r_ivf} does not beat LSH {r_lsh}"
 
 
+@pytest.mark.slow
 def test_ivf_probe_path_runs_zero_fit_jobs(spark, emb, tmp_path, monkeypatch):
     """The build-once/probe-many contract: once the index is persisted,
     probing launches NO k-means fit. Pin it the strong way - after the
@@ -228,6 +230,7 @@ def test_ivf_probe_path_runs_zero_fit_jobs(spark, emb, tmp_path, monkeypatch):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, fused.collect()))
 
 
+@pytest.mark.slow
 def test_ivf_probe_registry_entry_recall(spark):
     """ann_ivf_probe_topk (probe over the persisted sf-dir index)
     matches the recall bar of the fused entry on the driver embeddings
@@ -255,6 +258,7 @@ def test_ivf_probe_registry_entry_recall(spark):
     assert "MapInPandas" not in plan
 
 
+@pytest.mark.slow
 def test_ivf_index_write_audit_publish(spark, emb, tmp_path):
     """Index lifecycle WAP: versioned builds, recall audit gate, atomic
     LATEST pointer - readers see old-complete or new-complete, never a

@@ -9,6 +9,7 @@ from pyspark_data_engineering_assignment_spark.operators.sketches import (
     kmv_distinct_estimate,
     kmv_set_cardinality,
 )
+import pytest
 
 
 def test_kmv_exact_below_k(spark):
@@ -153,6 +154,7 @@ def test_kmv_setops_group_domain_guard(spark):
     )
 
 
+@pytest.mark.slow
 def test_kmv_property_matches_md5_replay(spark):
     """Property (hypothesis): for ANY multiset of string values with
     NULLs and duplicates across two groups, kmv_distinct_estimate
@@ -210,6 +212,7 @@ def test_kmv_property_matches_md5_replay(spark):
     prop()
 
 
+@pytest.mark.slow
 def test_cms_null_items_uncounted_on_both_hash_paths(spark):
     """count(item) never counts NULL, so neither may the sketch - and
     the two hash paths previously DIVERGED on NULLs (xxhash64 put every
@@ -251,6 +254,7 @@ def test_cms_null_items_uncounted_on_both_hash_paths(spark):
         assert est == {"a": 3}, (hf, est)
 
 
+@pytest.mark.slow
 def test_cms_property_never_undercounts_md5_replay(spark):
     """Property (hypothesis): for ANY multiset of items with NULLs
     mixed in, the md5-path CMS equals the plain-Python counter replay

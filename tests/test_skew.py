@@ -63,6 +63,7 @@ def test_salted_join_rejects_unsupported_how(spark, skewed):
         salted_join(large, small, ["k"], 4, how="full")
 
 
+@pytest.mark.slow
 def test_salted_join_property_equals_plain_join(spark):
     """Property (hypothesis): for ANY large/small inputs - NULL keys,
     duplicate keys on both sides (multiset semantics), any salt count -

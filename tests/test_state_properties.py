@@ -15,6 +15,7 @@ from pyspark_data_engineering_assignment_spark.state.store import (
     ParquetStateStore,
 )
 from tests.test_state_store import CM_AGG_SCHEMA, NOW, cm_state
+import pytest  # noqa: E402
 
 _spark = None  # session-scoped fixture handle for hypothesis inner fn
 
@@ -43,6 +44,7 @@ rows_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=rows_strategy, data=st.data())
+@pytest.mark.slow
 def test_state_merge_is_chunking_invariant(spark, tmp_path_factory, rows, data):
     # hypothesis picks the chunk boundaries too
     n_chunks = data.draw(st.integers(min_value=1, max_value=min(4, len(rows))))

@@ -182,6 +182,7 @@ def test_streaming_end_to_end(spark, tmp_path):
     } == m
 
 
+@pytest.mark.slow
 def test_streaming_dedup_mode(spark, tmp_path):
     """refire_stateful_patterns=False: a detection key is emitted once,
     ever; batch 3 keeps only the new PatId3."""
@@ -392,6 +393,7 @@ def test_empty_batch_short_circuit(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "det"))
 
 
+@pytest.mark.slow
 def test_dedup_mode_replay_reports_original_count(spark, tmp_path):
     """Crash-replay contract in refire-suppression mode: a replayed
     batch whose keys already landed in SEEN_DETECTIONS (crash between
@@ -422,6 +424,7 @@ def test_dedup_mode_replay_reports_original_count(spark, tmp_path):
     assert _read_detections(detections_dir) == before
 
 
+@pytest.mark.slow
 def test_dedup_mode_replay_survives_moved_sink_files(spark, tmp_path):
     """The replay guard must not depend on the sunk CSVs still being in
     place: the original emitted count is recorded in SEEN_DETECTIONS'
@@ -452,6 +455,7 @@ def test_dedup_mode_replay_survives_moved_sink_files(spark, tmp_path):
     assert n == 1, "replay must report the recorded count, not re-read files"
 
 
+@pytest.mark.slow
 def test_clean_source_archive(spark, tmp_path):
     """T6: cleanSource=archive moves consumed chunk files into the
     archive dir once their batch commits (the option the reference
@@ -496,6 +500,7 @@ def test_clean_source_archive(spark, tmp_path):
     assert not (remaining & names)
 
 
+@pytest.mark.slow
 def test_vacuum_every_n_batches(spark, tmp_path):
     """Config-driven snapshot GC: with vacuum_every_n_batches=2 the
     pipeline prunes unreferenced state snapshot versions mid-stream, so
@@ -617,6 +622,7 @@ def test_streaming_flagship_sf_state_oracle(spark, tmp_path, backend):
     assert run["rows"] == con.execute("SELECT count(*) FROM tx").fetchone()[0]
 
 
+@pytest.mark.slow
 def test_malformed_chunk_is_not_a_poison_pill(spark, tmp_path):
     """System-level pin of the NULL-key state contract: a chunk whose
     rows are malformed (wrong arity / untypable - PERMISSIVE nulls every
@@ -677,6 +683,7 @@ def test_malformed_chunk_is_not_a_poison_pill(spark, tmp_path):
     assert store.last_batch_id(MERCHANT_SUMMARY) == 4
 
 
+@pytest.mark.slow
 def test_progress_latency_stats_multi_batch(spark, tmp_path):
     """Round-12 bench addition: per-trigger commit-latency percentiles.
 

@@ -29,6 +29,7 @@ from pyspark_data_engineering_assignment_spark.streaming.pipeline import (
 )
 
 from tests.test_streaming_e2e import COLUMNS, ROWS, _write_inputs
+import pytest  # noqa: E402
 
 CLOCK = FixedClock("2024-01-01 00:00:00")
 
@@ -90,6 +91,7 @@ def test_damaged_rows_quarantined_and_excluded_from_state(spark, tmp_path):
     assert _quarantined_lines(spark, qdir) == sorted(BAD_LINES)
 
 
+@pytest.mark.slow
 def test_quarantine_replay_is_idempotent(spark, tmp_path):
     store, qdir, pipe, input_dir = _run(spark, tmp_path, quarantine=True)
     before = _quarantined_lines(spark, qdir)
@@ -101,6 +103,7 @@ def test_quarantine_replay_is_idempotent(spark, tmp_path):
     assert _merchant_state(store) == state_before
 
 
+@pytest.mark.slow
 def test_without_quarantine_dir_rows_null_through(spark, tmp_path):
     """The default path is byte-for-byte the pre-round-11 behavior:
     damaged rows PERMISSIVE-null and still COUNT toward their merchant

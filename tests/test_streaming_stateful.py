@@ -134,6 +134,7 @@ def test_dedup_stream_drops_redelivery(spark, tmp_path):
     assert ids == [1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_running_ewma_stream_equals_batch_fold(spark, tmp_path):
     """Time-ordered feed in 3 chunks: the streaming EWMA's final value
     per key must be BIT-identical to the batch ewma_by_key fold over

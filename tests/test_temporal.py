@@ -17,6 +17,7 @@ from pyspark.sql.types import (
 )
 
 from pyspark_data_engineering_assignment_spark.operators.temporal import as_of_join
+import pytest
 
 
 def _ts(s: str) -> dt.datetime:
@@ -119,6 +120,7 @@ def test_as_of_join_rejects_column_clash(spark):
         as_of_join(left, right, ["k"], "ts", "ts", ["x", "left_id"])
 
 
+@pytest.mark.slow
 def test_as_of_join_equals_brute_force_property(spark):
     """Property (hypothesis): for ANY left/right event sets, the union-
     tag-window as-of join equals the brute-force definition (latest
@@ -199,6 +201,7 @@ def test_as_of_join_null_right_rows_match_nothing(spark):
     assert out.count() == 4  # every left row preserved
 
 
+@pytest.mark.slow
 def test_as_of_join_property_with_corrupt_rows(spark):
     """Property (hypothesis): with NULL keys and NULL timestamps on
     BOTH sides in the mix, the union-tag-window as-of join equals the

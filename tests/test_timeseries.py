@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark_data_engineering_assignment_spark.operators.timeseries import (
     resample_gapfill,
 )
+import pytest
 
 
 def _ts(h: int, m: int = 0) -> dt.datetime:
@@ -142,6 +143,7 @@ def test_funnel_counts_empty_stages_rejected(spark):
         funnel_counts(df, "user_id", "ts", "event_type", [])
 
 
+@pytest.mark.slow
 def test_ewma_property_matches_python_fold(spark):
     """Property (hypothesis): for ANY (key, unique order, value-or-NULL)
     rows and any alpha, ewma_by_key equals the Python recurrence folded
