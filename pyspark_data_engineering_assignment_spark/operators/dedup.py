@@ -677,11 +677,17 @@ def boilerplate_shingles(
     C4-style repeated-span removal. Returns ``(doc_id, n_shingles,
     n_boilerplate)`` for every doc with at least one shingle.
 
-    Two passes over the exploded shingle table, both hash-partitioned:
-    groupBy(shingle) marks the hot spans (count of distinct docs needs
-    no distinct aggregate - the input is already distinct per doc),
-    then a join back on shingle + groupBy(doc). The hot-span table is
-    output-bounded (spans repeated across docs), never the corpus.
+    One pass over the exploded shingle table (round-14 plan change,
+    guide §2.3/§2.4): the old shape computed the shingle subtree TWICE
+    (once under groupBy(shingle) for the hot set, once as the join's
+    probe side - two full tokenize+explode passes over the corpus) and
+    shuffled the exploded table twice (groupBy + join). A count(*)
+    window partitioned by shingle needs ONE tokenize pass and ONE
+    shuffle; the per-doc distinct count per shingle is unchanged (the
+    input is already distinct per doc, so count(*) == count of distinct
+    docs either way), then groupBy(doc) folds the hot flag exactly as
+    the join did. The n >= min_docs comparison moves from a post-agg
+    filter to a per-row flag - same integer, same boundary.
     """
     sh = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
@@ -691,20 +697,12 @@ def boilerplate_shingles(
             "shingle"
         ),
     )
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("_docs"))
-        .filter(F.col("_docs") >= min_docs)
-        .select("shingle")
-        .withColumn("_hot", F.lit(1).cast("long"))
-    )
+    n_docs = F.count("*").over(Window.partitionBy("shingle"))
     return (
-        sh.join(hot, on="shingle", how="left")
+        sh.withColumn("_hot", (n_docs >= min_docs).cast("long"))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),
-            F.sum(F.coalesce(F.col("_hot"), F.lit(0)))
-            .cast("long")
-            .alias("n_boilerplate"),
+            F.sum("_hot").cast("long").alias("n_boilerplate"),
         )
     )

@@ -219,6 +219,11 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").alias("weight"),
         F.col("l_returnflag").alias("category"),
     )
+    # (A shared (customer, merchant, category, weight) pre-aggregate
+    # feeding every consumer was ALSO built and A/B-rejected this round:
+    # at sf10 the pair key is nearly row-unique, so the extra exchange
+    # compresses nothing and min-of-3 read 32.2s vs 18.5s tx-direct -
+    # see OPTIMIZATION_r14.md.)
     thresholds = exact_percentile_threshold(
         tx, ["merchant_id", "category"], "weight", 0.05, out_col="p1_weight"
     )
@@ -1860,18 +1865,18 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sole_failing_suppliers",
     None,
-    doc="TPC-H Q21 shape: the multi-EXISTS correlated subquery pair as "
-    "chained left-SEMI + left-ANTI joins. A supplier 'kept an order "
-    "waiting' when it returned items (l_returnflag = 'R' stands in for "
-    "the reference schema's receipt>commit lateness - this testdata has "
-    "no commit/receipt dates) on an order that ALSO involved another "
-    "supplier (EXISTS -> semi join on orderkey, suppkey <>) where NO "
-    "other supplier returned (NOT EXISTS -> anti join on orderkey, "
-    "suppkey <>). All three order-grained inputs hash on l_orderkey so "
-    "the semi and anti joins reuse one co-partitioning; supplier "
-    "scales with sf so it carries NO broadcast hint (AQE sizes that "
-    "join). Counts are of DISTINCT (order, supplier) pairs, "
-    "so the result is grain-stable however lineitem splits. "
+    doc="TPC-H Q21 shape: the multi-EXISTS correlated subquery pair, "
+    "round-14 rewritten from chained left-SEMI + left-ANTI joins to a "
+    "single per-order aggregate (n_suppliers >= 2 AND n_failed == 1 "
+    "identifies the sole failing supplier directly - the count "
+    "identities are proved in the function comment). A supplier 'kept "
+    "an order waiting' when it returned items (l_returnflag = 'R' "
+    "stands in for the reference schema's receipt>commit lateness - "
+    "this testdata has no commit/receipt dates) on an order that ALSO "
+    "involved another supplier where NO other supplier returned. "
+    "Supplier scales with sf so it carries NO broadcast hint (AQE "
+    "sizes that join). Counts are of DISTINCT (order, supplier) "
+    "pairs, so the result is grain-stable however lineitem splits. "
     "Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
@@ -1891,37 +1896,41 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    # ONE aggregation pass builds both order-supplier frames: the all-
-    # pairs frame `a` and its failed subset `f` (max of the R flag per
-    # pair), instead of two separate distinct() shuffles over lineitem.
-    # At 100 TB that halves the heaviest stage; `f` derives from `a`
-    # with a filter, no extra exchange.
+    # ONE aggregation pass builds the (order, supplier) pair frame with
+    # its failed flag (max of the R flag per pair), instead of two
+    # separate distinct() shuffles over lineitem.
+    #
+    # Round-14 plan change (guide §2.3/§2.4, A/B in OPTIMIZATION_r14.md):
+    # the EXISTS/NOT-EXISTS pair (semi + anti join, each re-shuffling
+    # the pair frame on l_orderkey with a <> residual) collapses into
+    # one per-ORDER aggregate. For a failed pair, "another supplier
+    # exists on the order" == n_suppliers >= 2, and "no OTHER supplier
+    # failed" == n_failed == 1 - and when n_failed == 1 the qualifying
+    # supplier IS the failed one, recoverable as max(suppkey of failed
+    # pairs), so no join back to the pair table is needed at all.
+    # NULL keys are excluded up front to keep the rewrite equivalent on
+    # ANY input: under the old <>-residual joins a NULL-suppkey or
+    # NULL-orderkey pair could neither qualify, witness the EXISTS, nor
+    # block the NOT EXISTS (NULL <> x is NULL), whereas an aggregate
+    # would have counted it.
     a = (
         l.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max((F.col("l_returnflag") == "R").cast("int")).alias("_failed")
         )
     )
-    f = a.filter(F.col("_failed") == 1).select("l_orderkey", "l_suppkey")
-    a = a.select("l_orderkey", "l_suppkey")
-    l1 = f.alias("l1")
-    other_supplier_present = l1.join(
-        a.alias("l2"),
-        on=[
-            F.col("l1.l_orderkey") == F.col("l2.l_orderkey"),
-            F.col("l1.l_suppkey") != F.col("l2.l_suppkey"),
-        ],
-        how="left_semi",
+    order_stats = a.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum("_failed").alias("_n_failed"),
+        F.max(F.when(F.col("_failed") == 1, F.col("l_suppkey"))).alias(
+            "l_suppkey"
+        ),
     )
-    sole_failure = other_supplier_present.alias("l1").join(
-        f.alias("l3"),
-        on=[
-            F.col("l1.l_orderkey") == F.col("l3.l_orderkey"),
-            F.col("l1.l_suppkey") != F.col("l3.l_suppkey"),
-        ],
-        how="left_anti",
-    )
+    sole_failure = order_stats.filter(
+        (F.col("_n_supp") >= 2) & (F.col("_n_failed") == 1)
+    ).select("l_orderkey", "l_suppkey")
     return (
         sole_failure.join(
             s, F.col("l_suppkey") == s["s_suppkey"]
@@ -3271,23 +3280,41 @@ def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select("event_type", cents.alias("cents")).filter(
         F.col("cents").isNotNull()
     )
-    wr = Window.partitionBy("event_type").orderBy("cents")
-    ranked = c.withColumn("cd", F.cume_dist().over(wr))
+    # Round-14 plan change (guide §2.3): the cume_dist window used to
+    # SORT every event row inside 5 event_type partitions (a 5-task
+    # parallelism ceiling at any scale), then a second full-width pass
+    # joined the raw rows back for the clamp. All rows sharing a cents
+    # value share one cume_dist, and the clamped sum only needs
+    # per-VALUE counts - so both passes now run over the (type, cents,
+    # count) histogram: cume_dist(v) = count(<= v)/n computed by a
+    # running sum over histogram rows (identical double division to
+    # Spark's CumeDist, so the >= 0.10/0.90 boundary is bit-exact), and
+    # n / winsorized_sum re-aggregated as sum(_c) / sum(clamp(v) * _c).
+    hist = c.groupBy("event_type", "cents").agg(F.count("*").alias("_c"))
+    w_incl = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cd = F.sum("_c").over(w_incl).cast("double") / F.sum("_c").over(
+        Window.partitionBy("event_type")
+    ).cast("double")
+    ranked = hist.withColumn("cd", cd)
     bounds = ranked.groupBy("event_type").agg(
         F.min(F.when(F.col("cd") >= 0.10, F.col("cents"))).alias("lo"),
         F.min(F.when(F.col("cd") >= 0.90, F.col("cents"))).alias("hi"),
     )
     clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
     return (
-        c.join(F.broadcast(bounds), on="event_type")
+        hist.join(F.broadcast(bounds), on="event_type")
         .groupBy(
             "event_type",
             F.col("lo").cast("long").alias("p10_cents"),
             F.col("hi").cast("long").alias("p90_cents"),
         )
         .agg(
-            F.count("*").alias("n"),
-            F.sum(clamped).cast("long").alias("winsorized_sum_cents"),
+            F.sum("_c").alias("n"),
+            F.sum(clamped * F.col("_c")).cast("long").alias("winsorized_sum_cents"),
         )
         .select(
             "event_type", "n", "p10_cents", "p90_cents", "winsorized_sum_cents"

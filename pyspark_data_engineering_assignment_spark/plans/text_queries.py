@@ -1381,8 +1381,11 @@ def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate_shingles): 8-token shingles occurring in >= 3 distinct "
     "documents (headers/footers/license blocks), counted per doc - the "
     "cross-doc complement of the within-doc Gopher repetition signals "
-    "and the detection half of C4-style repeated-span removal. Two "
-    "shingle-partitioned passes; the hot-span table is output-bounded. "
+    "and the detection half of C4-style repeated-span removal. "
+    "Round-14: ONE tokenize pass + ONE shingle-keyed shuffle (count "
+    "window over the exploded shingles) replaces the old two-pass "
+    "groupBy+join shape, and the scan is CPU-spread before the "
+    "tokenize (A/B: -53%/-40%/-23% at sf0.1/1/10, OPTIMIZATION_r14.md). "
     "Integer outputs, hash-exact. Driver-window neutral (local_oracle).",
     local_oracle="""
     WITH tok AS (SELECT doc_id, string_split(trim(text, ' '), ' ') AS l
@@ -1405,7 +1408,7 @@ def doc_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         boilerplate_shingles,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return boilerplate_shingles(d, n=8, min_docs=3)
 
 

@@ -264,7 +264,14 @@ EXCHANGE_BUDGET = {
     # per consumer (hot_pairs + active_merchants); the RUNTIME ground
     # truth is the interleaved min-of-3 A/B: sf10 26.3s vs 34.7s
     # baseline (-24%), parity at sf0.1/sf1 (SCALING.md round 14).
-    "patid1_upgrade": 8,
+    # 8 -> 9 (optimization round): the percentile threshold moved from
+    # a full-row percent_rank sort-window to the (group, value, count)
+    # histogram (relational.py) - the printed count gains the
+    # histogram's partial->final agg exchange, but that exchange now
+    # carries distinct (merchant, category, weight) combos instead of
+    # sorting every tx row (isolated-subtree A/B at sf10: -13.5%,
+    # OPTIMIZATION_r14.md).
+    "patid1_upgrade": 9,
     "patid2_child": 1,
     "patid3_dei": 2,
     "pricing_summary": 1,
@@ -282,7 +289,10 @@ EXCHANGE_BUDGET = {
     "simhash_neardup": 5,
     "simhash_neardup_scaled": 5,
     "small_quantity_part_revenue": 2,
-    "sole_failing_suppliers": 4,
+    # 4 -> 3 (optimization round): EXISTS/NOT-EXISTS semi+anti joins
+    # collapsed into the per-order aggregate (registry.py), dropping
+    # one pair-frame exchange (sf10 A/B: -20%, OPTIMIZATION_r14.md).
+    "sole_failing_suppliers": 3,
     "suppliers_with_shipments": 0,
     "text_quality": 0,
     "token_frequency": 2,
@@ -311,7 +321,13 @@ EXCHANGE_BUDGET = {
     "value_hour_regression_stats": 1,
     "value_quantiles_approx": 1,
     "value_quantiles_by_type": 1,
-    "value_winsorized_stats": 2,
+    # 2 -> 4 (optimization round): the cume_dist full-row sort (a
+    # 5-partition parallelism ceiling) became histogram passes - the
+    # printed count gains the histogram agg exchanges (one per printed
+    # reference of the shared subtree), but every exchange now carries
+    # distinct (type, cents) rows, not events (sf10 A/B: -83%,
+    # OPTIMIZATION_r14.md).
+    "value_winsorized_stats": 4,
     "widget_parts_by_brand": 1,
 }
 
@@ -488,15 +504,16 @@ def test_q22_anti_join_and_pushed_priority_filter(plans):
     assert "BroadcastNestedLoopJoin" in p
 
 
-def test_q21_semi_then_anti_join_shapes(plans):
-    """sole_failing_suppliers: the EXISTS must stay a LeftSemi and the
-    NOT EXISTS a LeftAnti on the shared orderkey partitioning, with the
-    supplier dim broadcast - never an inner-join blow-up then distinct,
-    never a shuffled supplier join."""
+def test_q21_per_order_aggregate_shape(plans):
+    """sole_failing_suppliers (round-14 rewrite): the EXISTS/NOT-EXISTS
+    pair is a per-order aggregate now - no semi/anti re-shuffle of the
+    pair frame may reappear, no inner-join blow-up then distinct, and
+    the supplier dim join stays a hash join (broadcast at tiny sf)."""
     p = plans["sole_failing_suppliers"]
-    assert "LeftSemi" in p
-    assert "LeftAnti" in p
+    assert "LeftSemi" not in p
+    assert "LeftAnti" not in p
     assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
 def test_q17_reuses_aggregate_partitioning(simple_plans, plans):
