@@ -953,9 +953,11 @@ def widget_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE revenue_e4 * 100 > (SELECT sum(revenue_e4) FROM rev) * 5
     """,
     doc="Scalar-subquery share filter (TPC-H Q11 shape): nations holding "
-    ">5% of global revenue. The global total is a one-row aggregate "
-    "broadcast into the filter (crossJoin of an agg - no driver "
-    "round-trip); share compare is integer cross-multiplied.",
+    ">5% of global revenue. The global total is a whole-frame window "
+    "sum over the 25-row nation aggregate (round-14: replaces "
+    "crossJoin(broadcast(agg)), which recomputed the 3-join aggregate "
+    "for the total; no driver round-trip either way); share compare "
+    "is integer cross-multiplied.",
 )
 def nations_above_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -974,9 +976,16 @@ def nations_above_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue_e4).cast("long").alias("revenue_e4"))
     )
-    total = rev.agg(F.sum("revenue_e4").alias("_total"))
+    # round-14: the global total is a whole-frame window sum over the
+    # 25-row nation aggregate instead of crossJoin(broadcast(agg)) -
+    # ONE computation of rev by construction (the crossJoin form
+    # recomputed the 3-join aggregate for the total unless AQE stage
+    # reuse happened to fire), one fewer sub-plan; single-task window
+    # is safe because the frame is dimension-sized (<= 25 rows).
+    # Interleaved A/B: sf0.1 -15%, sf1 par (OPTIMIZATION_r14.md).
+    total = F.sum("revenue_e4").over(Window.partitionBy())
     return (
-        rev.crossJoin(F.broadcast(total))
+        rev.withColumn("_total", total)
         .filter(F.col("revenue_e4") * 100 > F.col("_total") * 5)
         .select("nation", "revenue_e4")
     )
@@ -2163,13 +2172,16 @@ def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_decile_profile",
     None,
-    doc="Quantile binning for feature engineering: each event assigned "
-    "its within-event-type value DECILE via ntile(10) over the total "
-    "order (cents, event_id) - the tie-break makes the standard "
-    "ntile distribution (larger buckets first) identical across "
-    "engines, so the per-(type, decile) profile is hash-exact. One "
-    "window shuffle reused by the following aggregate. Driver-window "
-    "neutral (local_oracle).",
+    doc="Quantile binning for feature engineering: the per-(type, "
+    "decile) profile of ntile(10) over the total order (cents, "
+    "event_id) - the tie-break makes the standard ntile distribution "
+    "(larger buckets first) identical across engines, so the profile "
+    "is hash-exact. Round-14: computed from the (type, cents, count) "
+    "histogram via position-range overlap with the 10 bucket "
+    "boundaries instead of sorting every row in a 5-partition window "
+    "(the proof that the aggregate is tie-order-independent is in the "
+    "function comment; sf10 A/B -89%). Driver-window neutral "
+    "(local_oracle).",
     local_oracle="""
     WITH c AS (
         SELECT event_id, event_type,
@@ -2194,20 +2206,76 @@ def user_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     cents = (F.col("value").try_cast(DEC) * 100).cast("long")
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    return (
+    # Round-14 plan change (guide §2.3; A/B in OPTIMIZATION_r14.md:
+    # sf10 8.33s -> 0.96s, parity at every sf): the ntile(10) window
+    # sorted every event row inside 5 event_type partitions - a 5-task
+    # parallelism ceiling at any scale. The per-decile aggregate only
+    # needs HOW MANY rows of each cents value land in each decile,
+    # never which event_ids: ntile assigns positions [start_b, end_b]
+    # to bucket b (sizes n div 10 + 1 for the first n%10 buckets), ties
+    # occupy a contiguous position run whatever the event_id tie-break,
+    # and the bucket split of a tie run moves the same VALUE either
+    # side. So the profile is computed on the (type, cents, count)
+    # histogram: running position ranges per value, a 10-bucket
+    # boundary table per type, and a range-overlap explode gives each
+    # (value, decile) its exact row count.
+    c = e.select("event_type", cents.alias("cents")).filter(
         # a corrupt/missing value has no cents and therefore no decile
         # rank (engine NULL ordering inside ntile diverges)
-        e.select("event_id", "event_type", cents.alias("cents"))
-        .filter(F.col("cents").isNotNull())
-        .withColumn("decile", F.ntile(10).over(w).cast("long"))
-        .groupBy("event_type", "decile")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("cents").cast("long").alias("cents_sum"),
-            F.min("cents").alias("cents_min"),
-            F.max("cents").alias("cents_max"),
+        F.col("cents").isNotNull()
+    )
+    hist = c.groupBy("event_type", "cents").agg(F.count("*").alias("_c"))
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    hist = (
+        hist.withColumn("_cum_end", F.sum("_c").over(w_ord))
+        .withColumn("_n", F.sum("_c").over(w_all))
+        .withColumn("_cum_start", F.col("_cum_end") - F.col("_c") + 1)
+    )
+    n_div = F.expr("_n div 10")
+    n_rem = F.expr("_n % 10")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                ((b - 1) * n_div + F.least(F.lit(b - 1), n_rem) + 1).alias("s"),
+                (b * n_div + F.least(F.lit(b), n_rem)).alias("e"),
+            )
+            for b in range(1, 11)
+        ]
+    )
+    overlap = (
+        hist.select(
+            "event_type",
+            "cents",
+            "_cum_start",
+            "_cum_end",
+            F.explode(buckets).alias("bk"),
         )
+        .filter(
+            (F.col("bk.s") <= F.col("_cum_end"))
+            & (F.col("bk.e") >= F.col("_cum_start"))
+        )
+        .select(
+            "event_type",
+            "cents",
+            F.col("bk.b").cast("long").alias("decile"),
+            (
+                F.least(F.col("bk.e"), F.col("_cum_end"))
+                - F.greatest(F.col("bk.s"), F.col("_cum_start"))
+                + 1
+            ).alias("_k"),
+        )
+    )
+    return overlap.groupBy("event_type", "decile").agg(
+        F.sum("_k").alias("n_events"),
+        F.sum(F.col("cents") * F.col("_k")).cast("long").alias("cents_sum"),
+        F.min("cents").alias("cents_min"),
+        F.max("cents").alias("cents_max"),
     )
 
 

@@ -1157,7 +1157,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_stats,
     )
 
-    return repetition_stats(_t(spark, sf_dir, "documents"))
+    # round-14: CPU-spread scan (interleaved A/B at sf0.1: 0.35s -> 0.13s;
+    # the within-doc n-gram repetition counters are pure per-row CPU, so
+    # the one small exchange pays for 32-way tokenize parallelism)
+    return repetition_stats(_ts(spark, sf_dir, "documents"))
 
 
 @register(

@@ -251,7 +251,10 @@ EXCHANGE_BUDGET = {
     "minhash_lsh_neardup": 13,
     "nation_pair_trade_volume": 1,
     "nation_region_revenue_share": 2,
-    "nations_above_revenue_share": 3,
+    # 3 -> 2 (optimization round): global total now a whole-frame window
+    # over the 25-row aggregate, dropping the crossJoin sub-plan's
+    # duplicated rev exchange (OPTIMIZATION_r14.md).
+    "nations_above_revenue_share": 2,
     "ngram_jaccard_neardup_capped": 4,
     "null_safe_category_join": 1,
     "order_enrichment": 0,
@@ -315,7 +318,11 @@ EXCHANGE_BUDGET = {
     "user_top_spend_days_ties": 2,
     "user_trailing_hour_spend": 1,
     "user_value_ewma": 1,
-    "value_decile_profile": 1,
+    # 1 -> 2 (optimization round): ntile full-row sort (5-partition
+    # ceiling) -> histogram + bucket-overlap; the extra exchange is the
+    # histogram partial->final agg carrying distinct (type, cents) rows
+    # only (sf10 A/B: -89%, OPTIMIZATION_r14.md).
+    "value_decile_profile": 2,
     "value_drift_bins": 2,
     "value_histogram": 1,
     "value_hour_regression_stats": 1,
@@ -671,7 +678,8 @@ def test_registry_hint_budget(spark):
         "minhash_lsh_neardup": 3,
         "nation_pair_trade_volume": 2,
         "nation_region_revenue_share": 2,
-        "nations_above_revenue_share": 3,
+        # round-14: broadcast(total) hint gone with the crossJoin form
+        "nations_above_revenue_share": 2,
         "ngram_jaccard_neardup_capped": 3,
         "null_safe_category_join": 1,
         "revenue_by_nation": 2,
