@@ -64,7 +64,6 @@ def kmeans_fixedpoint(
     array<bigint> of e6 fixed-point coordinates and n_vectors counts
     the final assignment against those centroids."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     spark = df.sparkSession
     # NULL vectors train nothing (NULL distance to every centroid),
@@ -114,19 +113,34 @@ def kmeans_fixedpoint(
             # centroids ride a broadcast TABLE, not literals: the
             # assignment plan is byte-identical every round, so codegen
             # compiles it once (literal centroids re-compiled a large
-            # expression tree per round - measured 4x the cost here)
+            # expression tree per round - measured 4x the cost here).
+            # Round-14: the per-vid argmin is min_by over the exact
+            # (distance, cell) struct - lexicographic struct ordering
+            # is the row_number orderBy (d asc, cell asc) it replaces,
+            # so the chosen cell is identical, but the plan is a hash
+            # aggregate whose map-side partial pass finishes each vid's
+            # group inside the scan task (the broadcast crossJoin emits
+            # a vid's k candidate rows contiguously) instead of
+            # sort-shuffling corpus x n_cells rows per Lloyd round
+            # (interleaved A/B in OPTIMIZATION_r14.md).
             cent_df = spark.createDataFrame(
                 [(ci, cents[ci]) for ci in range(len(cents))],
                 "cell long, c array<bigint>",
             )
             pairs = v.crossJoin(F.broadcast(cent_df))
-            w = Window.partitionBy("vid").orderBy(
-                _sqdist(F.col("v"), F.col("c")).asc(), F.col("cell").asc()
-            )
             return (
-                pairs.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") == 1)
-                .select("vid", "v", "cell")
+                pairs.select(
+                    "vid",
+                    "v",
+                    _sqdist(F.col("v"), F.col("c")).alias("_d"),
+                    "cell",
+                )
+                .groupBy("vid", "v")
+                .agg(
+                    F.min_by(
+                        F.col("cell"), F.struct(F.col("_d"), F.col("cell"))
+                    ).alias("cell")
+                )
             )
 
         for _ in range(iters):
