@@ -679,7 +679,9 @@ def test_registry_hint_budget(spark):
         "nation_pair_trade_volume": 2,
         "nation_region_revenue_share": 2,
         # round-14: broadcast(total) hint gone with the crossJoin form
-        "nations_above_revenue_share": 2,
+        # (measured: the remaining hint is broadcast(nation); the old 3
+        # counted the duplicated rev sub-plan's nation hint twice)
+        "nations_above_revenue_share": 1,
         "ngram_jaccard_neardup_capped": 3,
         "null_safe_category_join": 1,
         "revenue_by_nation": 2,

@@ -44,6 +44,8 @@ from pyspark_data_engineering_assignment_spark.state.store import (
     ParquetStateStore,
 )
 
+pytestmark = pytest.mark.slow
+
 NOW = "2024-01-01 00:00:00"
 KEYS = ["M0", "M1", "M2", "M3"]
 
@@ -71,8 +73,6 @@ spark = (SparkSession.builder.master("local[2]")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from pyspark_data_engineering_assignment_spark.state.store import (
-
-pytestmark = pytest.mark.slow
     CUSTOMER_MERCHANT_SUMMARY, MERCHANT_SUMMARY, ParquetStateStore)
 store = ParquetStateStore(spark, root, n_buckets=4)
 if table == "merchant":

@@ -48,6 +48,8 @@ from pyspark_data_engineering_assignment_spark.state.store import (
     StateTableSpec,
 )
 
+pytestmark = pytest.mark.slow
+
 NOW = "2024-01-01 00:00:00"
 KEYS = ["M0", "M1", "M2", "M3"]
 
@@ -65,7 +67,6 @@ _READER = r"""
 import json, os, sys, time
 import pyarrow.parquet as pq
 
-pytestmark = pytest.mark.slow
 root, table, stopfile = sys.argv[1], sys.argv[2], sys.argv[3]
 tdir = os.path.join(root, table)
 stopped = False
