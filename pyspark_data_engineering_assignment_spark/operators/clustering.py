@@ -117,12 +117,16 @@ def kmeans_fixedpoint(
             # Round-14: the per-vid argmin is min_by over the exact
             # (distance, cell) struct - lexicographic struct ordering
             # is the row_number orderBy (d asc, cell asc) it replaces,
-            # so the chosen cell is identical, but the plan is a hash
-            # aggregate whose map-side partial pass finishes each vid's
-            # group inside the scan task (the broadcast crossJoin emits
-            # a vid's k candidate rows contiguously) instead of
-            # sort-shuffling corpus x n_cells rows per Lloyd round
-            # (interleaved A/B in OPTIMIZATION_r14.md).
+            # so the chosen cell is identical. The plan is a
+            # SortAggregate (the array grouping key and struct buffer
+            # rule out hash aggregation) whose PARTIAL pass completes
+            # each vid inside the scan task - the broadcast crossJoin
+            # emits a vid's k candidate rows contiguously - so the
+            # exchange per Lloyd round carries corpus rows instead of
+            # corpus x n_cells rows (k-fold fewer; the old window form
+            # shuffled every candidate row before its top-1). Plans in
+            # plans/r14/kmeans_assign_{before,after}.txt; interleaved
+            # A/B in OPTIMIZATION_r14.md.
             cent_df = spark.createDataFrame(
                 [(ci, cents[ci]) for ci in range(len(cents))],
                 "cell long, c array<bigint>",
