@@ -491,6 +491,21 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(times),
+        # Round-15 (verdict task #2, additions-only, no timed action
+        # changed): the driver's PERF comparison needs per-query seconds
+        # in the PARSED final line - r14 came back per_query={} /
+        # n_common=0 / null geomean because only the total was visible.
+        # "queries" is the cold lane (the lane the headline total sums),
+        # "queries_warm" the JIT-warm lane (solo-converged for the
+        # deepest plans). Size note: 123 query names alone are ~2.4 KB,
+        # so this line now exceeds the ~2000-char stdout window the
+        # r04-era driver exposed (see the comment above); the current
+        # driver contract explicitly specifies the queries map inside
+        # the one printed JSON line, so the contract wins. The full
+        # detail (runs, build lane, solo lane) stays in
+        # BENCH_DETAIL.json either way.
+        "queries": times,
+        "queries_warm": times_warm,
         "streaming_rows_per_sec": streaming["rows_per_sec"],
         "streaming_rows_per_sec_median": streaming.get("rows_per_sec_median"),
         "streaming_rows_per_sec_min": streaming.get("rows_per_sec_min"),

@@ -1,0 +1,250 @@
+"""Round-15 A/B experiments (optimization round 2 of 2).
+
+Each experiment inlines the BASELINE plan verbatim (as committed at the
+start of round 15) next to the VARIANT, checks row-level parity
+(exceptAll both directions) at every scale dir BEFORE timing, then runs
+the interleaved min-of-N protocol from
+pyspark_data_engineering_assignment_spark.tools.query_ab.
+
+Usage:
+    python plans/r15/ab_round15.py <experiment> [reps] [sf_label=dir ...]
+Default dirs: sf0.1=/root/testdata/sf0.1 sf1=.scratch/sf1.0 sf10=.scratch/sf10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyspark_data_engineering_assignment_spark.operators.relational import (  # noqa: E402
+    exact_percentile_threshold,
+)
+from pyspark_data_engineering_assignment_spark.tools.query_ab import ab  # noqa: E402
+
+DEFAULT_DIRS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": os.path.join(REPO, ".scratch", "sf1.0"),
+    "sf10": os.path.join(REPO, ".scratch", "sf10"),
+}
+
+
+# ---------------------------------------------------------------------------
+# flagship: patid1_upgrade
+# ---------------------------------------------------------------------------
+
+def _tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_suppkey").alias("merchant_id"),
+        F.col("l_discount").alias("weight"),
+        F.col("l_returnflag").alias("category"),
+    )
+
+
+def patid1_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim copy of plans/registry.py::patid1_upgrade at r15 start."""
+    tx = _tx(spark, sf_dir)
+    thresholds = exact_percentile_threshold(
+        tx, ["merchant_id", "category"], "weight", 0.05, out_col="p1_weight"
+    )
+    low_weight = (
+        tx.alias("t")
+        .join(
+            thresholds.alias("thr"),
+            on=[
+                F.col("t.merchant_id") == F.col("thr.merchant_id"),
+                F.col("t.category") == F.col("thr.category"),
+            ],
+        )
+        .filter(F.col("t.weight") < F.col("thr.p1_weight"))
+        .select(F.col("t.customer_id"), F.col("t.merchant_id"))
+        .distinct()
+    )
+    pair_counts = tx.groupBy("customer_id", "merchant_id").agg(
+        F.count("*").alias("n")
+    )
+    hot_pairs = pair_counts.filter(F.col("n") > 2).select(
+        "customer_id", "merchant_id"
+    )
+    active_merchants = (
+        pair_counts.groupBy("merchant_id")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 5)
+        .select("merchant_id")
+    )
+    return (
+        low_weight.join(active_merchants, on="merchant_id", how="left_semi")
+        .join(hot_pairs, on=["customer_id", "merchant_id"], how="left_semi")
+        .select("customer_id", "merchant_id")
+    )
+
+
+def patid1_qualified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: decide with small rows (guide §8 / §3.2).
+
+    The result is bounded by hot pairs (n > 2), which at sf10 are RARE
+    (pair counts are nearly row-unique). So: derive the qualified pair
+    set first (hot pair AND active merchant - both from ONE pair
+    aggregate), semi-filter the raw tx probe rows down to those pairs
+    BEFORE the thresholds join, and take the tiny distinct at the end.
+    Removes: the full-width low_weight DISTINCT exchange (5% of tx), the
+    low_weight-by-merchant exchange, and the final (c,m) re-exchange.
+    Set-equivalence: result = {(c,m): pair hot, merchant active,
+    exists tx row with weight < p1(m,cat)} in both forms; NULL-keyed
+    rows can never match an equality semi join in either form.
+    """
+    tx = _tx(spark, sf_dir)
+    thresholds = exact_percentile_threshold(
+        tx, ["merchant_id", "category"], "weight", 0.05, out_col="p1_weight"
+    )
+    pair_counts = tx.groupBy("customer_id", "merchant_id").agg(
+        F.count("*").alias("n")
+    )
+    active_merchants = (
+        pair_counts.groupBy("merchant_id")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 5)
+        .select("merchant_id")
+    )
+    qualified = (
+        pair_counts.filter(F.col("n") > 2)
+        .select("customer_id", "merchant_id")
+        .join(active_merchants, on="merchant_id", how="left_semi")
+    )
+    cand = tx.join(
+        qualified, on=["customer_id", "merchant_id"], how="left_semi"
+    )
+    return (
+        cand.alias("t")
+        .join(
+            thresholds.alias("thr"),
+            on=[
+                F.col("t.merchant_id") == F.col("thr.merchant_id"),
+                F.col("t.category") == F.col("thr.category"),
+            ],
+        )
+        .filter(F.col("t.weight") < F.col("thr.p1_weight"))
+        .select(F.col("t.customer_id"), F.col("t.merchant_id"))
+        .distinct()
+    )
+
+
+def patid1_qualified_pairs_persist_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: V1 + persist() of the tx join (re-test of the r7 rejection
+    under the restructured assembly). NOTE: caller must clearCache
+    between runs (query_ab does)."""
+    from pyspark import StorageLevel
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tx = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("l_suppkey").alias("merchant_id"),
+            F.col("l_discount").alias("weight"),
+            F.col("l_returnflag").alias("category"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    thresholds = exact_percentile_threshold(
+        tx, ["merchant_id", "category"], "weight", 0.05, out_col="p1_weight"
+    )
+    pair_counts = tx.groupBy("customer_id", "merchant_id").agg(
+        F.count("*").alias("n")
+    )
+    active_merchants = (
+        pair_counts.groupBy("merchant_id")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 5)
+        .select("merchant_id")
+    )
+    qualified = (
+        pair_counts.filter(F.col("n") > 2)
+        .select("customer_id", "merchant_id")
+        .join(active_merchants, on="merchant_id", how="left_semi")
+    )
+    cand = tx.join(
+        qualified, on=["customer_id", "merchant_id"], how="left_semi"
+    )
+    return (
+        cand.alias("t")
+        .join(
+            thresholds.alias("thr"),
+            on=[
+                F.col("t.merchant_id") == F.col("thr.merchant_id"),
+                F.col("t.category") == F.col("thr.category"),
+            ],
+        )
+        .filter(F.col("t.weight") < F.col("thr.p1_weight"))
+        .select(F.col("t.customer_id"), F.col("t.merchant_id"))
+        .distinct()
+    )
+
+
+EXPERIMENTS = {
+    "patid1_v1": (patid1_baseline, patid1_qualified_pairs),
+    "patid1_v2": (patid1_baseline, patid1_qualified_pairs_persist_tx),
+}
+
+
+def parity(spark, base_fn, var_fn, label, d) -> dict:
+    b = base_fn(spark, d)
+    v = var_fn(spark, d)
+    extra = v.exceptAll(b).count()
+    missing = b.exceptAll(v).count()
+    spark.catalog.clearCache()
+    ok = extra == 0 and missing == 0
+    return {"sf": label, "extra": extra, "missing": missing, "ok": ok}
+
+
+def main(argv: list[str]) -> None:
+    name = argv[0]
+    reps = int(argv[1]) if len(argv) > 1 and argv[1].isdigit() else 3
+    dirs = (
+        dict(a.split("=", 1) for a in argv[2:])
+        if len(argv) > 2
+        else DEFAULT_DIRS
+    )
+    dirs = {k: v for k, v in dirs.items() if os.path.isdir(v)}
+    base_fn, var_fn = EXPERIMENTS[name]
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"experiment": name, "parity": [], "ab": None}
+    for label, d in dirs.items():
+        p = parity(spark, base_fn, var_fn, label, d)
+        out["parity"].append(p)
+        print(json.dumps(p), flush=True)
+        if not p["ok"]:
+            print(json.dumps(out))
+            return
+    out["ab"] = ab(spark, dirs, base_fn, var_fn, reps=reps)
+    print(json.dumps(out), flush=True)
+    with open(
+        os.path.join(REPO, "plans", "r15", f"AB_{name}.json"), "w"
+    ) as fh:
+        json.dump(out, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

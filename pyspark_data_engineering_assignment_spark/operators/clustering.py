@@ -119,14 +119,16 @@ def kmeans_fixedpoint(
             # is the row_number orderBy (d asc, cell asc) it replaces,
             # so the chosen cell is identical. The plan is a
             # SortAggregate (the array grouping key and struct buffer
-            # rule out hash aggregation) whose PARTIAL pass completes
-            # each vid inside the scan task - the broadcast crossJoin
-            # emits a vid's k candidate rows contiguously - so the
-            # exchange per Lloyd round carries corpus rows instead of
-            # corpus x n_cells rows (k-fold fewer; the old window form
-            # shuffled every candidate row before its top-1). Plans in
-            # plans/r14/kmeans_assign_{before,after}.txt; interleaved
-            # A/B in OPTIMIZATION_r14.md.
+            # rule out hash aggregation) partial/final pair replacing
+            # Sort+WindowGroupLimit x2+Window+Filter. Shuffle VOLUME was
+            # already bounded before the change: the old plan's partial
+            # WindowGroupLimit sat below the exchange and cut each vid
+            # to ~1 row per map partition (see the committed
+            # plans/r14/kmeans_assign_before.txt, node 9) - the win is
+            # the removed SECOND sort/window pass above the exchange and
+            # the simpler aggregate, measured -5.5% interleaved at
+            # sf0.1 (OPTIMIZATION_r14.md; claim corrected per the
+            # round-14 verdict).
             cent_df = spark.createDataFrame(
                 [(ci, cents[ci]) for ci in range(len(cents))],
                 "cell long, c array<bigint>",
