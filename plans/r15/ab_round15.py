@@ -193,9 +193,127 @@ def patid1_qualified_pairs_persist_tx(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+# ---------------------------------------------------------------------------
+# flat_sales_export: Expand(x3) exact distinct vs two-level pre-aggregation
+# ---------------------------------------------------------------------------
+
+def _flat(spark: SparkSession, sf_dir: str):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev_e4 = (
+        F.col("l_extendedprice").try_cast("decimal(18,2)")
+        * (1 - F.col("l_discount").try_cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = n.select(F.col("n_nationkey").alias("s_nk"))
+    flat = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r["r_regionkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+    )
+    return flat, rev_e4
+
+
+def flat_sales_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat, rev_e4 = _flat(spark, sf_dir)
+    return flat.groupBy(
+        F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rev_e4).cast("long").alias("revenue_e4"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+def flat_sales_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level exact distinct: base stats in one plain aggregate (no
+    Expand), each countDistinct as its own (group, key) pre-aggregate
+    re-counted per group. count(key) at level 2 skips the NULL-key
+    level-1 row, matching countDistinct's NULL exclusion; every branch
+    aggregates the SAME flat join so the group sets are identical and
+    inner joins are exact."""
+    flat, rev_e4 = _flat(spark, sf_dir)
+    gb = [F.col("r_name").alias("region"), F.col("p_brand").alias("brand")]
+    base = flat.groupBy(*gb).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rev_e4).cast("long").alias("revenue_e4"),
+    )
+    cust = (
+        flat.groupBy(*gb, F.col("o_custkey"))
+        .agg()
+        .groupBy("region", "brand")
+        .agg(F.count("o_custkey").alias("n_customers"))
+    )
+    supp = (
+        flat.groupBy(*gb, F.col("l_suppkey"))
+        .agg()
+        .groupBy("region", "brand")
+        .agg(F.count("l_suppkey").alias("n_suppliers"))
+    )
+    return (
+        base.join(cust, on=["region", "brand"])
+        .join(supp, on=["region", "brand"])
+        .select(
+            "region", "brand", "n_rows", "revenue_e4",
+            "n_customers", "n_suppliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_neardup: fused shingle hashing (no shingle-array boundary)
+# ---------------------------------------------------------------------------
+
+def minhash_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        minhash_lsh_near_duplicates,
+    )
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+    return minhash_lsh_near_duplicates(
+        load_table(spark, sf_dir, "documents", spread_cpu=True),
+        num_hashes=48,
+        bands=12,
+        jaccard_threshold=0.7,
+        hash_fn="md5",
+    )
+
+
+def minhash_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_data_engineering_assignment_spark.operators.dedup import (
+        minhash_lsh_near_duplicates,
+    )
+    from pyspark_data_engineering_assignment_spark.sources.tables import load_table
+
+    return minhash_lsh_near_duplicates(
+        load_table(spark, sf_dir, "documents", spread_cpu=True),
+        num_hashes=48,
+        bands=12,
+        jaccard_threshold=0.7,
+        hash_fn="md5",
+        fused_shingles=True,
+    )
+
+
 EXPERIMENTS = {
     "patid1_v1": (patid1_baseline, patid1_qualified_pairs),
     "patid1_v2": (patid1_baseline, patid1_qualified_pairs_persist_tx),
+    "patid1_v1_vs_v2": (patid1_qualified_pairs, patid1_qualified_pairs_persist_tx),
+    "flat_sales_twolevel": (flat_sales_baseline, flat_sales_twolevel),
+    "minhash_fused": (minhash_baseline, minhash_fused),
 }
 
 

@@ -240,6 +240,40 @@ def shingle_hashes_md5(shingles: Column) -> Column:
     )
 
 
+def fused_shingle_hashes_md5(toks: Column, n: int) -> Column:
+    """md5-prefix shingle hashes computed STRAIGHT from the token array:
+    the shingle string exists only as a per-element temporary inside the
+    transform, never materialized as an ``array<string>`` column between
+    projections (round-15: the shingle-array materialization was the
+    dominant cost of the minhash pipeline's tokenize floor). The md5
+    INPUT is byte-identical to ``word_ngrams_of`` by construction - the
+    SAME ``array_join(slice(toks, i, n), " ")`` expression - so every
+    downstream signature/band/verify value is unchanged (oracle-pinned).
+
+    ``toks`` must be materialized at a projection boundary (the
+    ``word_ngrams_of`` O(len^2) hazard), and callers must pre-filter
+    ``size(toks) >= n`` - this fused form has no empty-array branch.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, n), " ")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % MINHASH_P,
+    )
+
+
+def fused_shingle_hashes_xx(toks: Column, n: int) -> Column:
+    """xxhash64 twin of ``fused_shingle_hashes_md5`` (same fusion, same
+    caller contract, the operator-default hash family)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+    )
+
+
 def minhash_signature_md5(hashed_shingles: Column, num_hashes: int) -> Column:
     """MinHash signature over md5-prefix hashes: min over shingles of
     the affine family maps. Cheaper per family than the xxhash64 path

@@ -27,6 +27,8 @@ from pyspark.storagelevel import StorageLevel
 
 from pyspark_data_engineering_assignment_spark.functions.text import (
     distinct_tokens,
+    fused_shingle_hashes_md5,
+    fused_shingle_hashes_xx,
     md5_fingerprint,
     minhash_signature,
     shingle_hashes,
@@ -67,6 +69,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     hash_fn: str = "xxhash64",
+    fused_shingles: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -86,22 +89,47 @@ def minhash_lsh_candidates(
     # candidate bucket would go quadratic on a real corpus. Short docs are
     # routed to exact dedup instead (md5 of the whole normalized text is
     # the right key when there aren't even shingle_len tokens).
-    shingled = (
-        docs.select(
+    # fused_shingles=True (round-15): skip the shingle-string
+    # array<string> materialization entirely and hash each shingle as a
+    # per-element temporary inside ONE transform over the token array
+    # (functions/text.fused_shingle_hashes_*). The md5/xxhash INPUT
+    # bytes are identical (the same array_join(slice(...)) expression
+    # word_ngrams_of evaluates); the short-doc filter becomes
+    # size(toks) >= shingle_len, the same predicate (sh nonempty <=>
+    # at least shingle_len tokens; NULL text -> NULL/-1 size, dropped
+    # by either form).
+    if fused_shingles:
+        toksed = docs.select(
             F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+        ).filter(F.size("_t") >= shingle_len)
+        fused_fn = (
+            fused_shingle_hashes_md5
+            if hash_fn == "md5"
+            else fused_shingle_hashes_xx
         )
-        .select("doc_id", word_ngrams_of(F.col("_t"), shingle_len).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+        hashed = toksed.select(
+            "doc_id", fused_fn(F.col("_t"), shingle_len).alias("hv")
+        )
+    else:
+        shingled = (
+            docs.select(
+                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+            )
+            .select(
+                "doc_id", word_ngrams_of(F.col("_t"), shingle_len).alias("sh")
+            )
+            .filter(F.size("sh") > 0)
+        )
     # Hash the shingle strings ONCE (its own projection boundary, so the
     # per-family passes rehash fixed-width longs, not strings).
     # hash_fn="md5": cross-engine-reproducible base hash + affine
     # families + CONCATENATED band values (no band re-hash at all, so
     # the band key is collision-free and trivially oracle-matched).
     if hash_fn == "md5":
-        hashed = shingled.select(
-            "doc_id", shingle_hashes_md5(F.col("sh")).alias("hv")
-        )
+        if not fused_shingles:
+            hashed = shingled.select(
+                "doc_id", shingle_hashes_md5(F.col("sh")).alias("hv")
+            )
         sig = hashed.select(
             "doc_id", minhash_signature_md5(F.col("hv"), num_hashes).alias("sig")
         )
@@ -113,9 +141,10 @@ def minhash_lsh_candidates(
             ],
         )
     elif hash_fn == "xxhash64":
-        hashed = shingled.select(
-            "doc_id", shingle_hashes(F.col("sh")).alias("hv")
-        )
+        if not fused_shingles:
+            hashed = shingled.select(
+                "doc_id", shingle_hashes(F.col("sh")).alias("hv")
+            )
         sig = hashed.select(
             "doc_id", minhash_signature(F.col("hv"), num_hashes).alias("sig")
         )
@@ -174,6 +203,7 @@ def minhash_lsh_near_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     hash_fn: str = "xxhash64",
+    fused_shingles: bool = False,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard.
 
@@ -201,7 +231,14 @@ def minhash_lsh_near_duplicates(
     this between registry queries).
     """
     cands = minhash_lsh_candidates(
-        docs, id_col, text_col, shingle_len, num_hashes, bands, hash_fn=hash_fn
+        docs,
+        id_col,
+        text_col,
+        shingle_len,
+        num_hashes,
+        bands,
+        hash_fn=hash_fn,
+        fused_shingles=fused_shingles,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias("_cid")).distinct()

@@ -227,8 +227,49 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = exact_percentile_threshold(
         tx, ["merchant_id", "category"], "weight", 0.05, out_col="p1_weight"
     )
-    low_weight = (
-        tx.alias("t")
+    # Round-14 plan change (A/B-adjudicated, SCALING.md): active
+    # merchants are DERIVED from the pair aggregate - a merchant's total
+    # count is the sum of its per-customer pair counts - so the second
+    # full-width shuffle of raw tx rows (groupBy merchant over ~60M rows
+    # at sf10) becomes a re-aggregation of the already-shuffled distinct
+    # pairs. Semantics identical (COUNT(*) per merchant == SUM of pair
+    # counts; NULL customer_ids form their own pair group and are
+    # summed in).
+    pair_counts = tx.groupBy("customer_id", "merchant_id").agg(
+        F.count("*").alias("n")
+    )
+    active_merchants = (
+        pair_counts.groupBy("merchant_id")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 5)
+        .select("merchant_id")
+    )
+    # Round-15 plan change (guide §8 "decide with small rows" / §3.2;
+    # A/B plans/r15/AB_patid1_v1.json): the result is bounded by the
+    # QUALIFIED pairs (pair count > 2 AND merchant active), which at
+    # scale are rare (pair counts are nearly row-unique at sf10). So
+    # the assembly inverts: derive qualified pairs first from the ONE
+    # pair aggregate, semi-filter the raw probe rows down to them
+    # BEFORE the thresholds join, and take the now-tiny distinct last.
+    # Removes vs the r14 shape: the full-width low_weight DISTINCT
+    # exchange (~5% of tx rows), the low_weight-by-merchant exchange,
+    # and the final (customer, merchant) re-exchange; the probe's semi
+    # join broadcasts while qualified fits and degrades to a shuffled
+    # semi at scale (no hint - AQE sizes it). Set-equivalence: result =
+    # {(c,m): pair hot AND merchant active AND some tx row for (c,m)
+    # has weight < p1(m,cat)} in both shapes; NULL-keyed rows can never
+    # match an equality semi join in either shape. Interleaved min-of-3:
+    # sf10 43.4 -> 34.3s (-21%), sf1 -3%, sf0.1 -4%; parity TRUE x3.
+    qualified = (
+        pair_counts.filter(F.col("n") > 2)
+        .select("customer_id", "merchant_id")
+        .join(active_merchants, on="merchant_id", how="left_semi")
+    )
+    cand = tx.join(
+        qualified, on=["customer_id", "merchant_id"], how="left_semi"
+    )
+    return (
+        cand.alias("t")
         .join(
             thresholds.alias("thr"),
             on=[
@@ -239,32 +280,6 @@ def patid1_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t.weight") < F.col("thr.p1_weight"))
         .select(F.col("t.customer_id"), F.col("t.merchant_id"))
         .distinct()
-    )
-    # Round-14 plan change (A/B-adjudicated, SCALING.md): active
-    # merchants are DERIVED from the pair aggregate - a merchant's total
-    # count is the sum of its per-customer pair counts - so the second
-    # full-width shuffle of raw tx rows (groupBy merchant over ~60M rows
-    # at sf10) becomes a re-aggregation of the already-shuffled distinct
-    # pairs. Interleaved min-of-3 A/B: sf10 26.3s vs 34.7s baseline
-    # (-24%), parity at sf0.1/sf1, flagship exponent ~0.89 -> ~0.75.
-    # Semantics identical (COUNT(*) per merchant == SUM of pair counts;
-    # NULL customer_ids form their own pair group and are summed in).
-    pair_counts = tx.groupBy("customer_id", "merchant_id").agg(
-        F.count("*").alias("n")
-    )
-    hot_pairs = pair_counts.filter(F.col("n") > 2).select(
-        "customer_id", "merchant_id"
-    )
-    active_merchants = (
-        pair_counts.groupBy("merchant_id")
-        .agg(F.sum("n").alias("n"))
-        .filter(F.col("n") > 5)
-        .select("merchant_id")
-    )
-    return (
-        low_weight.join(active_merchants, on="merchant_id", how="left_semi")
-        .join(hot_pairs, on=["customer_id", "merchant_id"], how="left_semi")
-        .select("customer_id", "merchant_id")
     )
 
 
