@@ -77,11 +77,21 @@ def normalize_rows(columns: list[str], rows: list[tuple]) -> list[str]:
 
 
 def compare_query(spark, con, fn, oracle: str, sf_dir: str) -> tuple[bool, str]:
-    spdf = fn(spark, sf_dir).toPandas()
+    # Round-15: the Spark side runs in a helper thread while the DuckDB
+    # side executes in the calling thread - for a heavy query (e.g. the
+    # 200 KB-doc winnowing sweep: ~30 s Spark + ~84 s single-threaded
+    # DuckDB lambdas) the wall time becomes max() instead of sum().
+    # Identical comparison semantics; a Spark-side exception surfaces
+    # through future.result() exactly as it did inline.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        sp_fut = pool.submit(lambda: fn(spark, sf_dir).toPandas())
+        dpdf = con.execute(oracle).df()
+        spdf = sp_fut.result()
     spark_cols = [c.lower() for c in spdf.columns]
     spark_rows = _rows(spdf)
 
-    dpdf = con.execute(oracle).df()
     duck_cols = [c.lower() for c in dpdf.columns]
     duck_rows = _rows(dpdf)
 
@@ -133,20 +143,42 @@ def oracle_queries_reading_only(tables: frozenset | set) -> list[str]:
     return out
 
 
-def run_parity_gate(spark, con, names: list[str], sf_dir: str) -> list[tuple[str, str]]:
+def run_parity_gate(
+    spark, con, names: list[str], sf_dir: str, workers: int = 8
+) -> list[tuple[str, str]]:
     """Run each named registry query through compare_query, collecting
     (name, message) for every failure or crash - the shared body of the
-    corrupt-corpus gates."""
+    corrupt-corpus gates.
+
+    Round-15: queries run from a small thread pool. The gates' wall
+    time was dominated by the ORACLE side running one single-threaded
+    DuckDB list-lambda query at a time while 32 cores idled (the
+    200 KB-doc sweep alone was ~285 s of a ~34 min full suite).
+    Spark's scheduler happily serves concurrent driver threads, and
+    each worker gets its own ``con.cursor()`` - a separate DuckDB
+    connection to the same in-memory catalog (the non-temp views the
+    gates create are shared), which is DuckDB's documented
+    multi-threading model. Results are collected in ``names`` order,
+    and per-query exceptions are caught exactly as before, so the
+    verdict and its reporting are unchanged - only the overlap is new.
+    ``workers=1`` restores the serial path."""
     from pyspark_data_engineering_assignment_spark.plans import QUERIES
 
-    fails = []
-    for name in names:
+    def one(name: str) -> tuple[str, str] | None:
         spec = QUERIES[name]
         sql = spec.oracle or spec.local_oracle
+        cur = con.cursor()
         try:
-            ok, msg = compare_query(spark, con, spec.fn, sql, sf_dir)
+            ok, msg = compare_query(spark, cur, spec.fn, sql, sf_dir)
         except Exception as ex:  # noqa: BLE001 - collect, report all
             ok, msg = False, f"{type(ex).__name__}: {ex}"
-        if not ok:
-            fails.append((name, msg[:300]))
-    return fails
+        finally:
+            cur.close()
+        return None if ok else (name, msg[:300])
+
+    if workers <= 1 or len(names) <= 1:
+        return [r for r in map(one, names) if r]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(workers, len(names))) as pool:
+        return [r for r in pool.map(one, names) if r]

@@ -90,6 +90,17 @@ def test_adversarial_chunk_names(spark, tmp_path):
         store,
         read_importance(spark, imp_path),
         str(tmp_path / "detections"),
+        # max_files_per_trigger=1 is LOAD-BEARING, not a tuning choice
+        # (round-15 finding, discovered attempting to drain the backlog
+        # in one batch to save suite wall time): when a micro-batch
+        # contains MORE THAN ONE of these adversarial names, the batch
+        # read DOUBLE-READS files - measured 43 rows instead of 22 with
+        # the whole backlog in one batch (every file twice except the
+        # glob-bracket name, read once), and 25/22 at
+        # max_files_per_trigger=4; mtime past or future is irrelevant;
+        # safe names never double. One file per trigger is the only
+        # config whose totals are exact, which is itself a producer
+        # contract worth knowing about.
         config=EngineConfig(),
         clock=CLOCK,
     )

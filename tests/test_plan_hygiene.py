@@ -35,7 +35,18 @@ def plan_text(df, mode: str = "formatted") -> str:
 def dfs(spark):
     """One DataFrame per registered query (built once, shared by both
     plan-text fixtures and the output-schema pin - some queries run
-    eager work at build time, e.g. k-means training rounds)."""
+    eager work at build time, e.g. k-means training rounds).
+
+    Built from an EMPTY session cache (round-15, folded in from the old
+    separate lineage_plans rebuild): cache substitution happens at
+    DataFrame planning time, so frames persisted by suites that ran
+    earlier in the shared session would otherwise print inline PER
+    REFERENCE and make node counts depend on suite order. Clearing
+    first and building in registry order makes every plan fixture a
+    pure function of the query definitions - and the registry is built
+    ONCE per module instead of three times (dfs + lineage rebuild +
+    hint-budget rebuild cost ~95 s of the full suite)."""
+    spark.catalog.clearCache()
     return {name: QUERIES[name].fn(spark, SF) for name in QUERIES}
 
 
@@ -165,7 +176,8 @@ def test_single_shuffle_aggregations(simple_plans):
 # (audit-mode shingle->signature->band->verify pipeline),
 # user_conversion_funnel 9 (per-stage join+min-agg chain on a shrinking
 # keyset), referential_integrity_report 8 (one per FK edge),
-# patid1_upgrade 7 (threshold + 3-way enrichment).
+# patid1_upgrade 10 (histogram threshold + qualified-pairs assembly;
+# see the per-entry comments below).
 import re
 
 _EXCHANGE_NODE = re.compile(
@@ -267,14 +279,21 @@ EXCHANGE_BUDGET = {
     # per consumer (hot_pairs + active_merchants); the RUNTIME ground
     # truth is the interleaved min-of-3 A/B: sf10 26.3s vs 34.7s
     # baseline (-24%), parity at sf0.1/sf1 (SCALING.md round 14).
-    # 8 -> 9 (optimization round): the percentile threshold moved from
-    # a full-row percent_rank sort-window to the (group, value, count)
-    # histogram (relational.py) - the printed count gains the
-    # histogram's partial->final agg exchange, but that exchange now
-    # carries distinct (merchant, category, weight) combos instead of
-    # sorting every tx row (isolated-subtree A/B at sf10: -13.5%,
-    # OPTIMIZATION_r14.md).
-    "patid1_upgrade": 9,
+    # 8 -> 9 (round 14): the percentile threshold moved from a full-row
+    # percent_rank sort-window to the (group, value, count) histogram
+    # (relational.py) - the printed count gains the histogram's
+    # partial->final agg exchange, but that exchange carries distinct
+    # (merchant, category, weight) combos instead of sorting every tx
+    # row (isolated-subtree A/B at sf10: -13.5%, OPTIMIZATION_r14.md).
+    # 9 -> 10 (round 15): the assembly inverted to the qualified-pairs
+    # pre-filter (registry.py patid1_upgrade comment): the PRINTED plan
+    # gains the probe-side (customer, merchant) exchange for the
+    # semi join against qualified pairs, but LOSES the full-width
+    # low_weight DISTINCT exchange and the by-merchant re-exchange at
+    # runtime - AQE broadcasts the qualified side while it fits, and
+    # the final distinct is candidate-sized. Interleaved min-of-3 at
+    # sf10: 43.4 -> 34.3s (plans/r15/AB_patid1_v1.json).
+    "patid1_upgrade": 10,
     "patid2_child": 1,
     "patid3_dei": 2,
     "pricing_summary": 1,
@@ -340,18 +359,15 @@ EXCHANGE_BUDGET = {
 
 
 @pytest.fixture(scope="module")
-def lineage_plans(spark):
-    """Simple plans REBUILT from an empty session cache. Cache
-    substitution happens at DataFrame analysis time — an InMemoryRelation
-    baked into a plan stays there after clearCache(), and its cached plan
-    prints inline PER REFERENCE, so node counts of the shared ``dfs``
-    fixture vary with whichever suites ran (and persisted frames) first
-    in the shared session (minhash counted 13 standalone vs 33
-    mid-suite). Clearing FIRST and rebuilding in registry order makes the
-    counts a pure function of the query definitions."""
-    spark.catalog.clearCache()
-    rebuilt = {name: QUERIES[name].fn(spark, SF) for name in QUERIES}
-    return {name: plan_text(df, mode="simple") for name, df in rebuilt.items()}
+def lineage_plans(simple_plans):
+    """Simple plans from a clean-cache registry build. The clean-cache
+    protocol (clear FIRST, build in registry order - an
+    InMemoryRelation baked into a plan prints inline PER REFERENCE, so
+    node counts of a dirty-cache build vary with whichever suites
+    persisted frames first; minhash counted 13 standalone vs 33
+    mid-suite) now lives in the shared ``dfs`` fixture, so this is the
+    same artifact without a second full-registry rebuild."""
+    return simple_plans
 
 
 def test_registry_exchange_budget(lineage_plans):
@@ -647,7 +663,7 @@ def test_scd2_windows_share_one_exchange(simple_plans):
 
 
 @pytest.mark.slow
-def test_registry_hint_budget(spark):
+def test_registry_hint_budget(spark, dfs):
     """Registry-wide join-hint budget: EVERY query's analyzed-plan
     ResolvedHint count is pinned. A hint overrides the planner's size
     check (round 7 removed nine forced broadcasts of sf-scaling
@@ -694,9 +710,13 @@ def test_registry_hint_budget(spark):
         "value_winsorized_stats": 1,
     }
     wrong = {}
-    for name, spec in QUERIES.items():
+    # counts read from the shared dfs build: ResolvedHint lives in the
+    # ANALYZED plan, which is produced before cache substitution, so
+    # the count is independent of session cache state and a rebuild
+    # here would only repeat the registry's eager build work
+    for name in QUERIES:
         got = (
-            spec.fn(spark, SF)
+            dfs[name]
             ._jdf.queryExecution()
             .analyzed()
             .toString()
