@@ -418,12 +418,20 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fused_shingles (round-15): the candidate pipeline hashes each
+    # shingle as a per-element temporary instead of materializing the
+    # shingle-string array between projections - identical md5 input
+    # bytes, so the oracle pin holds value-for-value (parity TRUE at
+    # sf0.1/sf1/sf10). Interleaved min-of-3: sf0.1 2.69 -> 1.49s
+    # (-45%), sf1 -33%, sf10 40.6 -> 23.7s (-42%)
+    # (plans/r15/AB_minhash_fused.json).
     return minhash_lsh_near_duplicates(
         _ts(spark, sf_dir, "documents"),
         num_hashes=48,
         bands=12,
         jaccard_threshold=0.7,
         hash_fn="md5",
+        fused_shingles=True,
     )
 
 

@@ -114,6 +114,30 @@ def test_minhash_lsh_shipped_config_matches_exact_baseline(spark, docs):
     assert len(lsh) == len(exact), f"missed pairs: {exact - lsh}"
 
 
+def test_minhash_fused_shingles_value_identical(spark):
+    """Round-15: fused shingle hashing (hash inside one transform over
+    the token array, no shingle-string array materialized) must be
+    VALUE-identical to the two-boundary form for both hash families -
+    full output equality on a real corpus slice, including the hv-level
+    md5 affine path the registry oracle pins. Covers the short-doc
+    filter equivalence too (size(toks) >= n <=> nonempty shingles)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        base = minhash_lsh_near_duplicates(
+            docs, num_hashes=48, bands=12, hash_fn=hash_fn
+        )
+        fused = minhash_lsh_near_duplicates(
+            docs, num_hashes=48, bands=12, hash_fn=hash_fn,
+            fused_shingles=True,
+        )
+        assert fused.exceptAll(base).count() == 0, hash_fn
+        assert base.exceptAll(fused).count() == 0, hash_fn
+        spark.catalog.clearCache()
+
+
 def test_minhash_short_docs_excluded(spark, docs):
     cands = _pairs(minhash_lsh_candidates(docs))
     short_ids = {10, 11, 12, 13}
