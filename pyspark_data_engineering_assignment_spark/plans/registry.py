@@ -3058,13 +3058,43 @@ def flat_sales_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .join(p, F.col("l_partkey") == p["p_partkey"])
     )
-    return flat.groupBy(
-        F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
-    ).agg(
+    # Round-15 (verdict task #6, A/B plans/r15/AB_flat_sales_twolevel
+    # .json): the two exact countDistincts used to plan as Expand(x3) -
+    # every joined fact row materialized three times before the partial
+    # aggregate. Split instead into three aggregation branches over the
+    # SAME flat join (scan/broadcast stages reused at runtime by AQE):
+    # plain stats, distinct (region, brand, custkey), distinct
+    # (region, brand, suppkey), each with map-side partial aggregation,
+    # joined on the 125-row group key. count(key) at level 2 skips the
+    # NULL-key level-1 row exactly as countDistinct ignores NULLs, and
+    # all three branches aggregate the same join so the group sets are
+    # identical (inner joins exact). Interleaved min-of-3: sf0.1
+    # 2.62 -> 1.75s (-33%), sf10 34.4 -> 21.2s (-38%), sf1 within the
+    # noise band (+5% on mins); parity TRUE x3.
+    gb = [F.col("r_name").alias("region"), F.col("p_brand").alias("brand")]
+    base = flat.groupBy(*gb).agg(
         F.count("*").alias("n_rows"),
         F.sum(rev_e4).cast("long").alias("revenue_e4"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+    cust = (
+        flat.select(*gb, F.col("o_custkey"))
+        .distinct()
+        .groupBy("region", "brand")
+        .agg(F.count("o_custkey").alias("n_customers"))
+    )
+    supp = (
+        flat.select(*gb, F.col("l_suppkey"))
+        .distinct()
+        .groupBy("region", "brand")
+        .agg(F.count("l_suppkey").alias("n_suppliers"))
+    )
+    return (
+        base.join(cust, on=["region", "brand"])
+        .join(supp, on=["region", "brand"])
+        .select(
+            "region", "brand", "n_rows", "revenue_e4",
+            "n_customers", "n_suppliers",
+        )
     )
 
 
